@@ -1,0 +1,258 @@
+"""Per-document extractors over the event list.
+
+Re-implements the reference's derived extractors (SURVEY.md §2.5):
+
+* ``get_text`` / ``get_trimmed_text`` / ``get_phrase``
+  (`/root/reference/lib/HTML/TokeParser.pm:83-150`)
+* HeadParser metadata capture
+  (`/root/reference/lib/HTML/HeadParser.pm:110-273`)
+* LinkExtor link extraction
+  (`/root/reference/lib/HTML/LinkExtor.pm:59-133`)
+
+These are plain per-document Python functions; the Spark operators run
+them inside `mapInPandas` so tokenize+extract is one fused stage with
+no shuffle (each turn is independent).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+from html_parser_spark.config import ParserConfig
+from html_parser_spark.functions import project
+from html_parser_spark.functions.entities import decode_entities
+from html_parser_spark.functions.tagset import (
+    DEFAULT_TEXTIFY,
+    LINK_ELEMENTS,
+    PHRASE_TAGS,
+)
+from html_parser_spark.functions.tokenizer import (
+    EV_END,
+    EV_START,
+    EV_TEXT,
+)
+
+# Perl \s is ASCII-only on these code paths; Python re \s would also
+# eat U+00A0 etc. (t/tokeparser.t:93 requires "Perl\xA0Institute")
+_WS_RUN = re.compile(r"[ \t\n\r\f\x0b]+")
+_WS_EDGE = re.compile(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$")
+
+
+def collapse_ws(s: str) -> str:
+    """s/^\\s+//; s/\\s+$//; s/\\s+/ /g (TokeParser.pm:119)."""
+    return _WS_RUN.sub(" ", _WS_EDGE.sub("", s))
+
+
+def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
+             textify=DEFAULT_TEXTIFY, start: int = 0) -> tuple[str, int]:
+    """TokeParser::get_text (TokeParser.pm:83-112).
+
+    Returns (text, next_index): the concatenated text and the row index
+    of the stopping tag (the reference ungets it), or len(rows).
+    """
+    parts: list[str] = []
+    endtags = tuple(endtags)
+    i = start
+    n = len(rows)
+    while i < n:
+        row = rows[i]
+        ev = row[0]
+        if ev is EV_TEXT:
+            txt = project.raw_text(doc, row)
+            if not row[4]:  # not is_cdata
+                txt = decode_entities(txt)
+            parts.append(txt)
+        elif ev is EV_START or ev is EV_END:
+            tname = project.tagname(doc, row, cfg)
+            tag = tname
+            if ev is EV_START:
+                if tname in textify:
+                    a = project.attrs(doc, row, cfg)
+                    alt = a[0].get(textify[tname]) if a else None
+                    parts.append(
+                        alt if alt is not None else "[%s]" % tname.upper()
+                    )
+                    i += 1
+                    continue
+            else:
+                tag = "/" + tname
+            if not endtags or tag in endtags:
+                return "".join(parts), i  # unget
+            if tag == "br" or tname not in PHRASE_TAGS:
+                parts.append(" ")
+        i += 1
+    return "".join(parts), n
+
+
+def get_trimmed_text(doc: str, rows, cfg: ParserConfig, endtags=(),
+                     textify=DEFAULT_TEXTIFY, start: int = 0):
+    txt, i = get_text(doc, rows, cfg, endtags, textify, start)
+    return collapse_ws(txt), i
+
+
+def get_phrase(doc: str, rows, cfg: ParserConfig,
+               textify=DEFAULT_TEXTIFY, start: int = 0) -> tuple[str, int]:
+    """TokeParser::get_phrase (TokeParser.pm:123-150)."""
+    parts: list[str] = []
+    i = start
+    n = len(rows)
+    while i < n:
+        row = rows[i]
+        ev = row[0]
+        if ev is EV_TEXT:
+            txt = project.raw_text(doc, row)
+            if not row[4]:
+                txt = decode_entities(txt)
+            parts.append(txt)
+        elif ev is EV_START or ev is EV_END:
+            tname = project.tagname(doc, row, cfg)
+            if ev is EV_START and tname in textify:
+                a = project.attrs(doc, row, cfg)
+                alt = a[0].get(textify[tname]) if a else None
+                parts.append(
+                    alt if alt is not None else "[%s]" % tname.upper()
+                )
+                i += 1
+                continue
+            if tname not in PHRASE_TAGS:
+                return collapse_ws("".join(parts)), i  # unget
+            if tname == "br":
+                parts.append(" ")
+        i += 1
+    return collapse_ws("".join(parts)), n
+
+
+def get_tag(doc: str, rows, cfg: ParserConfig, want=(),
+            start: int = 0) -> tuple[str, int] | None:
+    """TokeParser::get_tag (TokeParser.pm:49-63): returns the tag name
+    (end tags '/'-prefixed) and its row index."""
+    want = tuple(want)
+    for i in range(start, len(rows)):
+        ev = rows[i][0]
+        if ev is not EV_START and ev is not EV_END:
+            continue
+        t = project.tagname(doc, rows[i], cfg)
+        if ev is EV_END:
+            t = "/" + t
+        if not want or t in want:
+            return t, i
+    return None
+
+
+_HEAD_TEXT_TAGS = ("title", "noscript", "object", "command")
+
+
+def head_headers(doc: str, rows, cfg: ParserConfig) -> list[tuple[str, str]]:
+    """HeadParser equivalent: (header_name, value) pairs in push order
+    (HeadParser.pm:110-273).  Stops at the first body text / non-head
+    tag / </head>, like the reference's in-handler ``eof``."""
+    headers: list[tuple[str, str]] = []
+    cur_tag: str | None = None
+    text_parts: list[str] = []
+    first_chunk = True
+
+    def flush():
+        nonlocal cur_tag
+        if cur_tag is None:
+            return
+        text = collapse_ws("".join(text_parts))
+        if cur_tag == "title":
+            headers.append(("Title", decode_entities(text)))
+        cur_tag = None
+        text_parts.clear()
+
+    for row in rows:
+        ev = row[0]
+        if ev is EV_START:
+            tag = project.tagname(doc, row, cfg)
+            a = project.attrs(doc, row, cfg)
+            attr = a[0] if a else {}
+            if cur_tag:
+                flush()
+            if tag == "meta":
+                key = attr.get("http-equiv")
+                if not key:
+                    if attr.get("name"):
+                        key = "X-Meta-" + attr["name"][:1].upper() + attr["name"][1:]
+                    elif attr.get("charset"):
+                        headers.append(("X-Meta-Charset", attr["charset"]))
+                        continue
+                    else:
+                        continue
+                key = key.replace(":", "-")
+                headers.append((key, attr.get("content", "")))
+            elif tag == "base":
+                if "href" not in attr:
+                    continue
+                headers.append(
+                    ("Content-Base", _WS_EDGE.sub("", attr["href"]))
+                )
+            elif tag == "isindex":
+                headers.append(("Isindex", attr.get("prompt") or "?"))
+            elif tag in _HEAD_TEXT_TAGS:
+                cur_tag = tag
+            elif tag == "link":
+                if "href" not in attr:
+                    continue
+                href = _WS_EDGE.sub("", attr["href"])
+                h_val = "<%s>" % href
+                for k in sorted(attr):
+                    if k in ("href", "/"):
+                        continue
+                    h_val += '; %s="%s"' % (k, attr[k])
+                headers.append(("Link", h_val))
+            elif tag in ("head", "html"):
+                pass
+            else:
+                break  # stop parsing (HeadParser.pm:237-240)
+        elif ev is EV_END:
+            if cur_tag:
+                flush()
+            if project.tagname(doc, row, cfg) == "head":
+                break
+        elif ev is EV_TEXT:
+            text = project.raw_text(doc, row)
+            if first_chunk:
+                if text.startswith("﻿"):
+                    text = text[1:]
+                first_chunk = False
+            if not cur_tag and _WS_EDGE.sub("", text):
+                break  # normal text means start of body
+            if cur_tag != "title":
+                continue
+            text_parts.append(text)
+    return headers
+
+
+def extract_links(doc: str, rows, cfg: ParserConfig,
+                  base: str | None = None
+                  ) -> list[tuple[int, str, str, str]]:
+    """LinkExtor equivalent: (elem_seq, tagname, attr_name, url) per
+    link attribute, source order (LinkExtor.pm:74-91); ``elem_seq``
+    groups attributes of the same element (the reference reports one
+    link per element with all its link attrs); values HTML5-trimmed;
+    absolutized against ``base`` when given."""
+    out: list[tuple[int, str, str, str]] = []
+    seq = 0
+    for row in rows:
+        if row[0] is not EV_START:
+            continue
+        tag = project.tagname(doc, row, cfg)
+        want = LINK_ELEMENTS.get(tag)
+        if not want:
+            continue
+        a = project.attrs(doc, row, cfg)
+        attr = a[0] if a else {}
+        found = False
+        for name in want:
+            if name not in attr:
+                continue
+            link = _WS_EDGE.sub("", attr[name])
+            if base:
+                link = urljoin(base, link)
+            out.append((seq, tag, name, link))
+            found = True
+        if found:
+            seq += 1
+    return out
