@@ -50,9 +50,16 @@ def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
 
     Returns (text, next_index): the concatenated text and the row index
     of the stopping tag (the reference ungets it), or len(rows).
+
+    ``endtags`` semantics: ``()`` matches the reference exactly (with
+    no endtags, *any* non-textified tag stops the scan,
+    TokeParser.pm:103); ``None`` means document mode -- never stop,
+    assemble the whole turn (the eg/htext whole-document pattern with
+    get_text's textify + phrase-markup spacing).
     """
     parts: list[str] = []
-    endtags = tuple(endtags)
+    doc_mode = endtags is None
+    endtags = () if doc_mode else tuple(endtags)
     i = start
     n = len(rows)
     while i < n:
@@ -77,12 +84,18 @@ def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
                     continue
             else:
                 tag = "/" + tname
-            if not endtags or tag in endtags:
+            if not doc_mode and (not endtags or tag in endtags):
                 return "".join(parts), i  # unget
             if tag == "br" or tname not in PHRASE_TAGS:
                 parts.append(" ")
         i += 1
     return "".join(parts), n
+
+
+def document_text(doc: str, rows, cfg: ParserConfig,
+                  textify=DEFAULT_TEXTIFY) -> str:
+    """Whole-turn main-content assembly: get_text in document mode."""
+    return get_text(doc, rows, cfg, None, textify)[0]
 
 
 def get_trimmed_text(doc: str, rows, cfg: ParserConfig, endtags=(),

@@ -1,0 +1,256 @@
+"""Spark operators: fused tokenize+extract over the transcripts table.
+
+The flagship pipeline (SURVEY.md §7 Phase 1): one `mapInPandas` stage
+fuses tokenize -> filter -> assemble per turn, so extraction is
+embarrassingly parallel and **shuffle-free** -- each turn is one
+complete document, no cross-row state.  Catalyst prunes the scan to
+the key + text columns (we pre-select them so the parquet/Iceberg
+reader never materializes the rest).
+
+At 100 TB the cost model is: scan (columnar, pruned) -> Arrow batches
+to the Python worker -> per-document FSM -> Arrow back.  No shuffle,
+no skew sensitivity (a hot conv_id just means more rows, all
+independent); ``plans.pipeline`` adds salted repartitioning only when
+a downstream stage needs conv-level grouping or balanced output files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from html_parser_spark.config import EXTRACT_CONFIG, ParserConfig
+from html_parser_spark.functions import assemble
+from html_parser_spark.functions.tagset import DEFAULT_TEXTIFY
+from html_parser_spark.functions.tokenizer import tokenize
+
+#: key columns carried through every per-turn operator
+KEY_COLS = ("conv_id", "turn_idx")
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("trimmed_text", T.StringType()),
+    T.StructField("n_events", T.IntegerType()),
+    T.StructField("n_chars_in", T.IntegerType()),
+])
+
+
+def extract_text(df: DataFrame, cfg: ParserConfig = EXTRACT_CONFIG,
+                 textify: dict[str, str] = DEFAULT_TEXTIFY,
+                 text_col: str = "text") -> DataFrame:
+    """transcripts -> (conv_id, turn_idx, extracted_text, trimmed_text,
+    n_events, n_chars_in): TokeParser-style main-content assembly
+    (SURVEY.md Q6/Q7) fused with the tokenizer in one Arrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = pdf[text_col].tolist()
+            ex = []
+            tr = []
+            nev = []
+            for doc in docs:
+                doc = doc if isinstance(doc, str) else ""
+                rows = tokenize(doc, cfg)
+                txt = assemble.document_text(doc, rows, cfg, textify)
+                ex.append(txt)
+                tr.append(assemble.collapse_ws(txt))
+                nev.append(len(rows))
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].astype(str),
+                "turn_idx": pdf["turn_idx"],
+                "extracted_text": ex,
+                "trimmed_text": tr,
+                "n_events": nev,
+                "n_chars_in": [len(d) if isinstance(d, str) else 0
+                               for d in docs],
+            })
+
+    cols = [F.col("conv_id").cast("string"),
+            F.col("turn_idx").cast("int"),
+            F.col(text_col)]
+    return df.select(*cols).mapInPandas(run, EXTRACT_SCHEMA)
+
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("event", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("dtext", T.StringType()),
+    T.StructField("tagname", T.StringType()),
+    T.StructField("token0", T.StringType()),
+    T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("attrseq", T.ArrayType(T.StringType())),
+    T.StructField("tokens", T.ArrayType(T.StringType())),
+    T.StructField("tokenpos", T.ArrayType(T.IntegerType())),
+    T.StructField("is_cdata", T.BooleanType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("length", T.IntegerType()),
+    T.StructField("line", T.IntegerType()),
+    T.StructField("column", T.IntegerType()),
+    T.StructField("skipped_text", T.StringType()),
+])
+
+
+def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
+           text_col: str = "text") -> DataFrame:
+    """transcripts -> one row per tokenizer event (SURVEY.md §1.3).
+
+    The per-turn event fan-out happens inside the Arrow batch (the UDF
+    yields the exploded frame directly), so there is no separate
+    explode/shuffle stage; ``seq`` is the in-turn ordinal, making
+    ``(conv_id, turn_idx, seq)`` a stable total order.
+    """
+    from html_parser_spark.functions import project
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in EVENTS_SCHEMA.fieldNames()}
+            for conv_id, turn_idx, doc in zip(
+                pdf["conv_id"].astype(str), pdf["turn_idx"],
+                pdf[text_col]
+            ):
+                doc = doc if isinstance(doc, str) else ""
+                for seq, row in enumerate(tokenize(doc, cfg)):
+                    p = project.project(doc, row, cfg)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["seq"].append(seq)
+                    out["event"].append(p["event"])
+                    out["text"].append(p["text"])
+                    out["dtext"].append(p["dtext"])
+                    out["tagname"].append(p["tagname"])
+                    out["token0"].append(p["token0"])
+                    out["attrs"].append(p["attr"])
+                    out["attrseq"].append(p["attrseq"])
+                    out["tokens"].append(p["tokens"])
+                    out["tokenpos"].append(p["tokenpos"])
+                    out["is_cdata"].append(p["is_cdata"])
+                    out["offset"].append(p["offset"])
+                    out["length"].append(p["length"])
+                    out["line"].append(p["line"])
+                    out["column"].append(p["column"])
+                    out["skipped_text"].append(p["skipped_text"])
+            if out["conv_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select("conv_id", F.col("turn_idx").cast("int"),
+                     text_col).mapInPandas(run, EVENTS_SCHEMA)
+
+
+HEADERS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("header_seq", T.IntegerType()),
+    T.StructField("header_name", T.StringType()),
+    T.StructField("header_value", T.StringType()),
+])
+
+_HEAD_CFG = ParserConfig(ignore_elements=("script", "style"))
+
+
+def head_headers(df: DataFrame, cfg: ParserConfig = _HEAD_CFG,
+                 text_col: str = "text") -> DataFrame:
+    """HeadParser-equivalent metadata capture (SURVEY.md Q1)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in HEADERS_SCHEMA.fieldNames()}
+            for conv_id, turn_idx, doc in zip(
+                pdf["conv_id"].astype(str), pdf["turn_idx"], pdf[text_col]
+            ):
+                doc = doc if isinstance(doc, str) else ""
+                rows = tokenize(doc, cfg)
+                for i, (name, value) in enumerate(
+                    assemble.head_headers(doc, rows, cfg)
+                ):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["header_seq"].append(i)
+                    out["header_name"].append(name)
+                    out["header_value"].append(value)
+            if out["conv_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select("conv_id", F.col("turn_idx").cast("int"),
+                     text_col).mapInPandas(run, HEADERS_SCHEMA)
+
+
+LINKS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("link_seq", T.IntegerType()),
+    T.StructField("tagname", T.StringType()),
+    T.StructField("attr_name", T.StringType()),
+    T.StructField("url", T.StringType()),
+])
+
+
+def links(df: DataFrame, cfg: ParserConfig = ParserConfig(),
+          base: str | None = None, text_col: str = "text") -> DataFrame:
+    """LinkExtor-equivalent link extraction (SURVEY.md Q2)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in LINKS_SCHEMA.fieldNames()}
+            for conv_id, turn_idx, doc in zip(
+                pdf["conv_id"].astype(str), pdf["turn_idx"], pdf[text_col]
+            ):
+                doc = doc if isinstance(doc, str) else ""
+                rows = tokenize(doc, cfg)
+                for seq, tag, attr_name, url in assemble.extract_links(
+                    doc, rows, cfg, base
+                ):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["link_seq"].append(seq)
+                    out["tagname"].append(tag)
+                    out["attr_name"].append(attr_name)
+                    out["url"].append(url)
+            if out["conv_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select("conv_id", F.col("turn_idx").cast("int"),
+                     text_col).mapInPandas(run, LINKS_SCHEMA)
+
+
+def decode_entities_col(col, expand_prefix: bool = False):
+    """Vectorized entity decode as a scalar pandas UDF (SURVEY.md P5).
+
+    The '&' pre-mask (SURVEY.md O10) skips untouched rows without even
+    entering the scanner.
+    """
+    from html_parser_spark.functions.entities import decode_entities
+
+    @F.pandas_udf(T.StringType())
+    def _decode(s: pd.Series) -> pd.Series:
+        mask = s.str.contains("&", regex=False, na=False)
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = s[mask].map(
+            lambda x: decode_entities(x, expand_prefix)
+        )
+        return out
+
+    return _decode(col)
+
+
+def encode_entities_col(col, unsafe_chars: str | None = None):
+    """Vectorized entity encode (SURVEY.md P7)."""
+    from html_parser_spark.functions.entities import encode_entities
+
+    @F.pandas_udf(T.StringType())
+    def _encode(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: encode_entities(x, unsafe_chars)
+                     if isinstance(x, str) else x)
+
+    return _encode(col)

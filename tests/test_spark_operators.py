@@ -1,0 +1,140 @@
+"""Spark operator tests: the fused extract pipeline, events/headers/
+links DataFrames, batch-size & partition-count invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from html_parser_spark.config import EXTRACT_CONFIG, ParserConfig
+from html_parser_spark.operators import extract as ops
+from html_parser_spark.sources.transcripts import (
+    synth_transcripts,
+    wrap_documents,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = [
+        ("c1", 0, "user",
+         "<html><head><title>T &amp; t</title></head>"
+         "<body><p>hello <b>world</b></p>"
+         "<script>drop(this)</script>"
+         '<a href="/x">link text</a>'
+         '<img src="i.png" alt="IMG ALT">'
+         "</body></html>",
+         None),
+        ("c1", 1, "assistant", "plain text &aring; here", None),
+        ("c2", 0, "user", "<textarea>raw <b>keep</b></textarea>", None),
+        ("c2", 1, "tool", "", "search"),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, r, x, tool) for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    return df
+
+
+def test_extract_text(spark, transcripts):
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in ops.extract_text(transcripts).collect()
+    }
+    # </a> is phrase markup (no space) so the textified img alt
+    # follows directly, as in t/tokeparser.t:93 "Perl\xa0Institute"
+    assert out[("c1", 0)]["trimmed_text"] == (
+        "T & t hello world link textIMG ALT"
+    )
+    assert out[("c1", 1)]["trimmed_text"] == "plain text \xe5 here"
+    # textarea content is literal but still text (not stripped)
+    assert out[("c2", 0)]["trimmed_text"] == "raw <b>keep</b>"
+    assert out[("c2", 1)]["trimmed_text"] == ""
+    assert out[("c2", 1)]["n_events"] == 0
+
+
+def test_events_df(spark, transcripts):
+    ev = ops.events(transcripts, ParserConfig())
+    rows = ev.filter("conv_id = 'c1' AND turn_idx = 0").orderBy("seq") \
+        .collect()
+    assert [r["event"] for r in rows[:4]] == [
+        "start", "start", "start", "text"]
+    title_text = [r for r in rows if r["event"] == "text"][0]
+    assert title_text["text"] == "T &amp; t"
+    assert title_text["dtext"] == "T & t"
+    # offsets tile each turn
+    from pyspark.sql import functions as F
+
+    agg = ev.groupBy("conv_id", "turn_idx").agg(
+        F.sum("length").alias("sum_len"),
+        F.max(F.col("offset") + F.col("length")).alias("max_end"),
+    ).collect()
+    by = {(r["conv_id"], r["turn_idx"]): r for r in agg}
+    assert by[("c1", 1)]["sum_len"] == len("plain text &aring; here")
+
+
+def test_headers_df(spark, transcripts):
+    rows = ops.head_headers(transcripts).collect()
+    got = {(r["conv_id"], r["turn_idx"], r["header_name"]): r["header_value"]
+           for r in rows}
+    assert got[("c1", 0, "Title")] == "T & t"
+
+
+def test_links_df(spark, transcripts):
+    rows = ops.links(transcripts).collect()
+    got = [(r["conv_id"], r["tagname"], r["attr_name"], r["url"])
+           for r in rows]
+    assert ("c1", "a", "href", "/x") in got
+    assert ("c1", "img", "src", "i.png") in got
+
+
+def test_decode_entities_col(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("&lt;x&gt; &aring;",), ("no entities",), ("&euro;!",)],
+        "s string",
+    )
+    got = [r["d"] for r in
+           df.select(ops.decode_entities_col(F.col("s")).alias("d"))
+           .collect()]
+    assert got == ["<x> \xe5", "no entities", "€!"]
+
+
+def test_batch_and_partition_invariance(spark):
+    """Reinterpretation of t/parser.t chunk-size invariance: identical
+    results for 1 vs many partitions and small vs large Arrow batches."""
+    tr = synth_transcripts(spark, 200, seed=7, partitions=8)
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], r["trimmed_text"])
+        for r in ops.extract_text(tr).collect()
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        b = sorted(
+            (r["conv_id"], r["turn_idx"], r["trimmed_text"])
+            for r in ops.extract_text(tr.repartition(1)).collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert a == b
+    assert len(a) == 200
+
+
+def test_wrap_documents_extract(spark):
+    """The SQL-templated wrapping must extract to exactly the value the
+    DuckDB oracle computes (same formula as __spark_entry__)."""
+    import duckdb
+
+    tr = wrap_documents(spark, SF_DIR)
+    got = {
+        int(r["conv_id"]): r["trimmed_text"]
+        for r in ops.extract_text(tr, EXTRACT_CONFIG).collect()
+    }
+    expected = dict(duckdb.sql(
+        "SELECT doc_id, 'Doc & ' || CAST(doc_id AS VARCHAR) || ' ' || text"
+        " || ' <link> pic ' || CAST(doc_id AS VARCHAR) AS t"
+        f" FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall())
+    assert got == expected
