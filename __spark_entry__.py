@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal plumbing). ``oracle_sql()``
+gives an independent DuckDB derivation for each: the HTML-extraction
+oracles exploit that ``wrap_documents`` builds its payload from a
+fixed SQL template around markup-free document text, so the expected
+tokenizer/extractor output has a closed form in pure SQL; the
+dedup/similarity oracles re-run the same md5-based formulas.
 """
 
 from __future__ import annotations
@@ -12,27 +15,431 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+_ID = "CAST(doc_id AS VARCHAR)"
+
+#: DuckDB expression rebuilding the exact wrap_documents payload
+#: (see html_parser_spark.sources.transcripts.WRAP_SQL_EXPR)
+def _wrap_expr() -> str:
+    from html_parser_spark.sources.transcripts import WRAP_SQL_EXPR
+    return WRAP_SQL_EXPR
+
+
+def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from html_parser_spark.sources.transcripts import wrap_documents
+    return wrap_documents(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused tokenize+extract (main-content assembly) over
+    the sf0.001 corpus wrapped as transcripts."""
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators.extract import extract_text
+
+    return extract_text(_tr(spark, SF0001), EXTRACT_CONFIG)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_extract_text(spark, sf_dir):
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators.extract import extract_text
+
+    return extract_text(_tr(spark, sf_dir), EXTRACT_CONFIG).select(
+        "conv_id", "turn_idx", "extracted_text", "trimmed_text")
+
+
+def _q_headers(spark, sf_dir):
+    from html_parser_spark.operators.extract import head_headers
+    return head_headers(_tr(spark, sf_dir))
+
+
+def _q_links(spark, sf_dir):
+    from html_parser_spark.operators.extract import links
+    return links(_tr(spark, sf_dir))
+
+
+def _q_event_stats(spark, sf_dir):
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    ev = events(_tr(spark, sf_dir), ParserConfig())
+    return ev.groupBy("conv_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("length").alias("total_len"),
+        F.sum(F.when(F.col("event") == "text", 1).otherwise(0))
+        .cast("long").alias("n_text"),
+        F.sum(F.when(F.col("event") == "start", 1).otherwise(0))
+        .cast("long").alias("n_start"),
+        F.sum(F.when(F.col("event") == "end", 1).otherwise(0))
+        .cast("long").alias("n_end"),
+    )
+
+
+def _q_reconstruct(spark, sf_dir):
+    """Filter.pm identity invariant (SURVEY.md Q9): ordered concat of
+    raw event text rebuilds each document byte-for-byte."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    ev = events(_tr(spark, sf_dir), ParserConfig())
+    return ev.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "text"))),
+                lambda s: s.text),
+            "").alias("doc"))
+
+
+def _q_decode_entities(spark, sf_dir):
+    from html_parser_spark.operators.extract import decode_entities_col
+
+    raw = F.expr(
+        "'x &amp; y &lt;' || CAST(doc_id AS STRING) || "
+        "'&gt; &aring; &#229; &#xE5; &euro; &unknown;'")
+    return _docs(spark, sf_dir).select(
+        "doc_id", decode_entities_col(raw).alias("decoded"))
+
+
+def _q_encode_entities(spark, sf_dir):
+    from html_parser_spark.operators.extract import encode_entities_col
+
+    raw = F.expr("'<' || text || '> & \"q\" ' || CAST(doc_id AS STRING)")
+    return _docs(spark, sf_dir).select(
+        "doc_id", encode_entities_col(raw).alias("encoded"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from html_parser_spark.operators.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from html_parser_spark.operators.textstats import fingerprint
+    return fingerprint(_docs(spark, sf_dir), ["doc_id"])
+
+
+def _q_token_stats(spark, sf_dir):
+    from html_parser_spark.operators.textstats import token_stats
+    out = token_stats(_docs(spark, sf_dir), ["doc_id"])
+    return out.select("doc_id", *[F.col(c).cast("long").alias(c)
+                                  for c in ("n_chars", "n_words",
+                                            "n_tokens")])
+
+
+def _q_quality(spark, sf_dir):
+    from html_parser_spark.operators.textstats import quality_score
+    out = quality_score(_docs(spark, sf_dir), ["doc_id"])
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len", "alpha_ratio", "stopword_ratio")
+
+
+def _q_lang_id(spark, sf_dir):
+    from html_parser_spark.operators.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir), ["doc_id"])
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from html_parser_spark.operators.dedup import minhash_signatures
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from html_parser_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+    return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
+                               max_bucket=1_000_000)
+
+
+def _q_simhash(spark, sf_dir):
+    from html_parser_spark.operators.dedup import simhash
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from html_parser_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+def _q_cosine_knn(spark, sf_dir):
+    from html_parser_spark.operators.similarity import cosine_neighbors
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_neighbors(emb, q, threshold=0.2)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from html_parser_spark.operators.dedup import embedding_near_dup
+    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.3)
+
+
+def _q_lsh_ann(spark, sf_dir):
+    """Scale-path ANN (rows-only check: hyperplane sketch is engine-
+    internal). Recall vs the exact query is asserted in tests."""
+    from html_parser_spark.operators.similarity import lsh_neighbors
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2)
+
+
+def _q_media_meta(spark, sf_dir):
+    from html_parser_spark.operators.media import (
+        decode_image_meta, with_binary)
+    return decode_image_meta(with_binary(_docs(spark, sf_dir)))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from html_parser_spark.operators.media import sample_frames, with_binary
+    return sample_frames(with_binary(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_text": _q_extract_text,
+        "headers": _q_headers,
+        "links": _q_links,
+        "event_stats": _q_event_stats,
+        "reconstruct": _q_reconstruct,
+        "decode_entities": _q_decode_entities,
+        "encode_entities": _q_encode_entities,
+        "dedup_exact": _q_dedup_exact,
+        "fingerprint": _q_fingerprint,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "minhash_sigs": _q_minhash_sigs,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_knn": _q_cosine_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lsh_ann": _q_lsh_ann,
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLES = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s "
+    "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+    "FROM documents)"
+)
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5(s || '#{i}')) AS h{i}" for i in range(8))
+
+_STOPLIST = ("['the','a','of','and','to','in','is','it','that','for',"
+             "'on','with','as','was','at','by','an','be','this','are']")
+
+_HEXPOS = "position(substr(md5(x), {p}, 1) IN '0123456789abcdef')-1"
+_H16 = " + ".join(f"({_HEXPOS.format(p=p)})*{m}"
+                  for p, m in ((1, 4096), (2, 256), (3, 16), (4, 1)))
+
+_COS = ("round(CAST(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        "WHERE vec_id = 0)) AS DOUBLE), 3)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wrap = _wrap_expr()
+    return {
+        "extract_text": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx,
+              '   Doc & ' || {_ID} || '     ' || text ||
+                ' <link> pic ' || {_ID} || '  ' AS extracted_text,
+              'Doc & ' || {_ID} || ' ' ||
+                trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                ' <link> pic ' || {_ID} AS trimmed_text
+            FROM documents""",
+        "headers": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx, 0 AS header_seq,
+                   'Title' AS header_name,
+                   'Doc & ' || {_ID} AS header_value FROM documents
+            UNION ALL
+            SELECT {_ID}, 0, 1, 'Expires', 'E' || {_ID} FROM documents""",
+        "links": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx, 0 AS link_seq,
+                   'a' AS tagname, 'href' AS attr_name,
+                   '/d/' || {_ID} AS url FROM documents
+            UNION ALL
+            SELECT {_ID}, 0, 1, 'img', 'src', 'i' || {_ID} || '.png'
+            FROM documents""",
+        "event_stats": f"""
+            SELECT {_ID} AS conv_id,
+                   CAST(24 AS BIGINT) AS n_events,
+                   CAST(length({wrap}) AS BIGINT) AS total_len,
+                   CAST(5 AS BIGINT) AS n_text,
+                   CAST(11 AS BIGINT) AS n_start,
+                   CAST(8 AS BIGINT) AS n_end
+            FROM documents""",
+        "reconstruct": f"""
+            SELECT {_ID} AS conv_id, {wrap} AS doc FROM documents""",
+        "decode_entities": f"""
+            SELECT doc_id,
+                   'x & y <' || {_ID} || '> å å å € '
+                   || '&unknown;' AS decoded
+            FROM documents""",
+        "encode_entities": f"""
+            SELECT doc_id,
+                   '&lt;' || text || '&gt; &amp; &quot;q&quot; ' || {_ID}
+                   AS encoded
+            FROM documents""",
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS canonical_id
+            FROM documents GROUP BY md5(text)""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint
+            FROM documents""",
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))
+                        AS BIGINT) AS n_tokens
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(CAST(n_chars AS DOUBLE)/n_words, 3)
+                     AS avg_word_len,
+                   round(CAST(n_alpha AS DOUBLE)/n_chars, 3)
+                     AS alpha_ratio,
+                   round(CAST(n_stop AS DOUBLE)/n_words, 3)
+                     AS stopword_ratio
+            FROM (SELECT doc_id, length(text) AS n_chars,
+                         len(w) AS n_words,
+                         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                         len(list_filter(w,
+                             x -> list_contains({_STOPLIST}, x)))
+                           AS n_stop
+                  FROM (SELECT doc_id, text,
+                               regexp_split_to_array(trim(text), '\\s+')
+                                 AS w
+                        FROM documents))""",
+        "lang_id": f"""
+            SELECT doc_id,
+                   round(r, 3) AS stopword_ratio,
+                   CASE WHEN r >= 0.08 THEN 'en' ELSE 'other' END
+                     AS lang_pred
+            FROM (SELECT doc_id,
+                         CAST(len(list_filter(w,
+                              x -> list_contains({_STOPLIST}, x)))
+                              AS DOUBLE) / len(w) AS r
+                  FROM (SELECT doc_id,
+                               regexp_split_to_array(trim(text), '\\s+')
+                                 AS w
+                        FROM documents))""",
+        "minhash_sigs": f"""
+            SELECT doc_id, {_MINHASH_AGGS}
+            FROM ({_SHINGLES}) GROUP BY doc_id""",
+        "lsh_pairs": f"""
+            WITH sig AS (
+              SELECT doc_id, {_MINHASH_AGGS}
+              FROM ({_SHINGLES}) GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
+                FROM sig
+              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id""",
+        "simhash": f"""
+            WITH wrds AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS x
+              FROM documents),
+            h AS (SELECT doc_id, {_H16} AS h FROM wrds),
+            v AS (SELECT doc_id, b,
+                         sum(CASE WHEN ((h >> b) & 1) = 1
+                             THEN 1 ELSE -1 END) AS v
+                  FROM h, (SELECT unnest(range(0, 16)) AS b)
+                  GROUP BY doc_id, b)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END)
+                        AS INTEGER) AS simhash
+            FROM v GROUP BY doc_id""",
+        "ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                      GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT id_a, id_b,
+                     round(CAST(inter AS DOUBLE)
+                           / (sa.n + sb.n - inter), 3) AS jaccard
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b)
+            WHERE jaccard >= 0.1""",
+        "cosine_knn": f"""
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   {_COS} AS cos_sim
+            FROM embeddings WHERE {_COS} >= 0.2""",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3)
+                     AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) >= 0.3""",
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_bytes,
+                   CASE length(text) % 3 WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+                   CAST(64 + length(text) % 640 AS INTEGER) AS width,
+                   CAST(64 + length(text) % 480 AS INTEGER) AS height
+            FROM documents""",
+        "frame_sample": """
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   md5(substr(text, CAST(i*64+1 AS INTEGER), 64))
+                     AS frame_hash
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, CAST(ceil(length(text)/64.0)
+                                               AS BIGINT))) AS i
+                  FROM documents)""",
+        # lsh_ann: intentionally omitted — engine-internal hyperplane
+        # sketch; driver records rows-only, recall asserted in tests.
+    }

@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale notes (the whole point of these designs):
+
+* **exact_dedup** — one hash-aggregate on ``md5(text)``. Map-side
+  partial aggregation collapses duplicates before the shuffle, so
+  shuffle volume is O(distinct docs), not O(rows).
+* **minhash_signatures** — explode distinct shingles (narrow), then a
+  single groupBy(doc) computing all K min-hashes at once. One shuffle
+  keyed by doc id; K is a column count, not a job count.
+* **lsh_candidate_pairs** — group signature bands; only buckets with
+  >1 member produce pairs, so the candidate join is output-bounded
+  (the classic MinHash-LSH trick: no O(n²) compare). A hot bucket
+  (degenerate band) would explode quadratically — ``max_bucket`` caps
+  it, the standard guard at corpus scale.
+* **simhash** — md5-derived 16-bit signature entirely in JVM
+  expressions; near-dup = signatures at small Hamming distance,
+  found via exact-match on rotated/banded pieces if needed.
+* **ngram_jaccard_pairs** — shingle-join computes exact Jaccard but
+  only over docs that share ≥1 shingle; at corpus scale you run it
+  on LSH candidates only (compose the two operators).
+* **embedding_near_dup** — all-pairs cosine over a broadcastable
+  side; at 100 TB you bucket by a coarse LSH first (similarity.py).
+
+All hashing is md5-based so results are reproducible across engines
+(the DuckDB oracle in ``__spark_entry__`` runs the same formulas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from html_parser_spark.operators.textstats import words_col
+
+
+def exact_dedup(df: DataFrame, key_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Group identical texts: (text_hash, n_dups, canonical_id).
+
+    Canonical = smallest key. Downstream keeps ``canonical_id`` rows
+    only (an inner join or a window filter; at scale prefer the join
+    against this — much smaller — table).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"),
+             F.min(key_col).alias("canonical_id"))
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of ``text`` (n=3 default)."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    make = lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + j) for j in range(n)])
+    return F.when(
+        F.size(w) >= n, F.array_distinct(F.transform(idx, make))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(df: DataFrame, key_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """(key, shingle) rows — the narrow fan-out stage shared by
+    MinHash and Jaccard."""
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(df: DataFrame, key_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8,
+                       n: int = 3) -> DataFrame:
+    """K md5-minhashes per document as a NARROW projection — no
+    explode, no shuffle: ``array_min(transform(shingles, s ->
+    md5(s#i)))`` per row inside whole-stage codegen.
+
+    Hash family: ``md5(shingle || '#' || i)`` for i in 0..K-1 — string
+    min over hex digests is a valid uniform minhash and is
+    reproducible in any engine with md5. At 100 TB this stage is
+    map-only: signature cost scales with input bytes, cluster scales
+    linearly, and only the (tiny) signature table ever shuffles.
+    """
+    with_sh = df.select(F.col(key_col),
+                        shingles_col(F.col(text_col), n).alias("_sh"))
+    def _hash_i(i: int):
+        # NB: the returned lambda must be single-arg — F.transform
+        # passes (element, index) to two-arg callables
+        return lambda s: F.md5(
+            F.concat(s, F.lit(f"#{i}")).cast("binary"))
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), _hash_i(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return with_sh.select(key_col, *mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
+                        num_hashes: int = 8, band_size: int = 2,
+                        max_bucket: int = 1000) -> DataFrame:
+    """MinHash-LSH: docs sharing any (band_idx, band_key) bucket.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. ``max_bucket``
+    drops degenerate buckets (e.g. empty-text docs all hashing alike)
+    before the quadratic self-join.
+    """
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *cols).alias("band_key"),
+        ))
+    exploded = sigs.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*bands)).alias("band"),
+    ).select("key", "band.band_idx", "band.band_key")
+    counts = (exploded.groupBy("band_idx", "band_key")
+              .agg(F.count("*").alias("n"))
+              .filter((F.col("n") > 1) & (F.col("n") <= max_bucket)))
+    kept = exploded.join(F.broadcast(counts.select("band_idx", "band_key")),
+                         ["band_idx", "band_key"])
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.key") < F.col("b.key")))
+        .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, key_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace words, md5-derived, pure JVM.
+
+    Per word: h = first 4 hex nibbles of md5(word) as an int; per bit
+    b: vote +1 if set else -1 summed over words; signature bit b = 1
+    iff vote > 0. Near-duplicates have small Hamming distance.
+
+    Shuffle-free: per-word hashes and per-bit votes are computed with
+    array expressions inside one codegen stage — the corpus never
+    leaves its input partitioning.
+    """
+    hexpos = "(position(substr(md5(x), {p}, 1) IN '0123456789abcdef')-1)"
+    h16 = (f"{hexpos.format(p=1)}*4096 + {hexpos.format(p=2)}*256 + "
+           f"{hexpos.format(p=3)}*16 + {hexpos.format(p=4)}")
+    # words -> per-word 16-bit hashes (md5 computed once per word)
+    hs = (f"transform(split(trim({text_col}), '\\\\s+'), "
+          f"x -> {h16})")
+    vote = (f"aggregate({hs}, cast(0 as bigint), "
+            "(acc, h) -> acc + (CASE WHEN ((h >> {b}) & 1) = 1 "
+            "THEN 1 ELSE -1 END))")
+    sig = " + ".join(
+        f"(CASE WHEN ({vote.format(b=b)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16))
+    return df.selectExpr(key_col, f"cast(({sig}) as int) AS simhash")
+
+
+def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.1) -> DataFrame:
+    """Exact n-gram Jaccard over co-shingled pairs: (id_a, id_b,
+    jaccard) with jaccard >= threshold, id_a < id_b.
+
+    The shingle equi-join only materializes pairs sharing a shingle;
+    at full scale feed it LSH candidates instead of the raw corpus.
+    """
+    sh = shingle_rows(df, key_col, text_col, n)
+    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.key") < F.col("b.key")))
+        .groupBy(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter
+        .join(F.broadcast(sizes.withColumnRenamed("key", "id_a")
+                          .withColumnRenamed("n_sh", "na")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("key", "id_b")
+                          .withColumnRenamed("n_sh", "nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter")), 3)
+            .alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_dup(df: DataFrame, key_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.35) -> DataFrame:
+    """All-pairs cosine near-dup: (id_a, id_b, cos_sim) above
+    threshold, id_a < id_b, rounded to 3 decimals.
+
+    The right side is broadcast when it fits (the common case for a
+    dedup *reference* set); full corpus×corpus runs go through the
+    LSH bucketing in similarity.py instead.
+    """
+    from html_parser_spark.operators.similarity import cosine_expr
+
+    norm = df.select(F.col(key_col).alias("key"), F.col(vec_col).alias("v"))
+    a = norm.alias("a")
+    b = norm.alias("b")
+    sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(F.broadcast(b), F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"),
+                F.round(sim, 3).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers, as a 100 TB pipeline needs:
+
+* **brute-force cosine** (`cosine_topk` / `cosine_neighbors`) — the
+  exact baseline: one narrow projection per (row, query); queries are
+  broadcast. Linear scan, embarrassingly parallel, zero shuffle for
+  the scoring stage; only the final top-k does a small shuffle
+  (``orderBy ... limit`` → TakeOrderedAndProject, per-partition top-k
+  then driver merge of k·P rows — never a full sort).
+* **LSH-bucketed ANN** (`lsh_neighbors`) — the scale path: sign
+  random-hyperplane sketch (md5-derived, deterministic) buckets the
+  corpus; candidates = same-bucket rows only, then exact re-scoring.
+  Probe multiple hash tables for recall. Bucket cardinality is
+  bounded by construction (hyperplanes split mass), so the candidate
+  join is output-bounded instead of O(n·q).
+
+The dot products run in JVM expressions (`aggregate`/`zip_with`), so
+scoring stays inside whole-stage codegen — no Python worker in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns in pure
+    JVM expressions (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(
+        b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_neighbors(df: DataFrame, query_df: DataFrame,
+                     key_col: str = "vec_id", vec_col: str = "embedding",
+                     query_key: str = "query_id",
+                     threshold: float = 0.2) -> DataFrame:
+    """All corpus rows within cosine >= threshold of each query row.
+
+    ``query_df`` (query_key, vec) is broadcast — the corpus is never
+    shuffled. Result: (query_id, vec_id, cos_sim rounded to 3).
+    """
+    q = F.broadcast(query_df.select(
+        F.col(query_key), F.col(vec_col).alias("_qv")))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("_qv")), 3)
+    return (
+        df.crossJoin(q)
+        .select(query_key, key_col, sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
+                key_col: str = "vec_id", vec_col: str = "embedding",
+                query_key: str = "query_id") -> DataFrame:
+    """Exact top-k per query by cosine (ties broken by key for
+    determinism). Uses a window rank after broadcast scoring; with a
+    single query Spark plans TakeOrderedAndProject (no full sort)."""
+    from pyspark.sql import Window
+
+    scored = cosine_neighbors(df, query_df, key_col, vec_col,
+                              query_key, threshold=-1.0)
+    w = (Window.partitionBy(query_key)
+         .orderBy(F.col("cos_sim").desc(), F.col(key_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def lsh_sketch_expr(vec_col: str, dim: int, n_bits: int = 16,
+                    seed: int = 7) -> Column:
+    """Sign-random-projection sketch via SQL expr (Rademacher ±1
+    hyperplanes from md5 parity): bit b = [Σ_j s(b,j)·v_j > 0].
+
+    Built as a single selectExpr string so the whole sketch stays in
+    one codegen stage.
+    """
+    terms = []
+    for b in range(n_bits):
+        comp = (
+            f"aggregate(zip_with({vec_col}, "
+            f"transform(sequence(0, {dim - 1}), "
+            f"j -> CASE WHEN (position(substring(md5(concat('s{seed}b{b}j', "
+            f"cast(j as string))), 1, 1) in '0123456789abcdef') - 1) % 2 = 0 "
+            f"THEN 1.0D ELSE -1.0D END), "
+            f"(x, c) -> cast(x as double) * c), 0.0D, (a, v) -> a + v)"
+        )
+        terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def lsh_neighbors(df: DataFrame, query_df: DataFrame, dim: int,
+                  key_col: str = "vec_id", vec_col: str = "embedding",
+                  query_key: str = "query_id", n_bits: int = 12,
+                  threshold: float = 0.2, seed: int = 7) -> DataFrame:
+    """ANN: bucket corpus and queries by hyperplane sketch, score only
+    same-bucket candidates exactly.
+
+    Recall < 1 by construction (single table); raise recall with
+    fewer bits or by unioning several seeds. The candidate join is an
+    equi-join on the sketch — shuffle is O(corpus), and with a small
+    query side the bucket map broadcasts.
+    """
+    sk = lsh_sketch_expr(vec_col, dim, n_bits, seed)
+    corpus = df.select(key_col, vec_col).withColumn("_bucket", sk)
+    queries = query_df.select(
+        F.col(query_key), F.col(vec_col).alias("_qv")
+    ).withColumn("_bucket", lsh_sketch_expr("_qv", dim, n_bits, seed))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("_qv")), 3)
+    return (
+        corpus.join(F.broadcast(queries), "_bucket")
+        .select(query_key, key_col, sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Physical-plan helpers for the 10^12-turn deployment: salted
+repartitioning, per-partition lineage/metrics, resumable runs.
+
+North-rule requirements (BASELINE.json:14) with no reference
+counterpart — the reference is single-threaded; these exist purely so
+the same per-turn semantics hold on a 1000-executor cluster:
+
+* **salting** — conv_id is Zipf-skewed (agent loops produce million-
+  turn conversations). Every extraction operator here is per-turn, so
+  we are free to split a conversation across partitions:
+  ``hash(conv_id, turn_idx % salt_buckets)`` balances hot convs
+  without breaking anything; conv-level consumers re-aggregate after.
+* **lineage/metrics** — one row per task partition (id, rows, chars,
+  wall seconds) appended to a checkpoint table. On Iceberg this is an
+  append-only commit per batch; the sandbox implementation writes
+  parquet (same schema, same anti-join resume contract).
+* **resume** — a restart left-anti-joins completed batch ids from the
+  checkpoint table, so only unfinished input splits re-run and the
+  output is identical to a single uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: checkpoint/lineage row schema (Iceberg table in deployment)
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("partition_id", T.IntegerType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("wall_sec", T.DoubleType()),
+])
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       salt_buckets: int = 16) -> DataFrame:
+    """Balance skewed conv_ids: partition by (conv_id, turn_idx %
+    salt_buckets). Hot conversations spread over ``salt_buckets``
+    partitions; uniform ones are untouched statistically."""
+    return df.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        F.pmod(F.col("turn_idx"), F.lit(salt_buckets)),
+    )
+
+
+def stable_sorted(df: DataFrame) -> DataFrame:
+    """Final output contract: stable (conv_id, turn_idx) total order
+    regardless of salting — a range-partitioned sort (Spark samples
+    boundaries; skewed conv_ids split across ranges by turn_idx)."""
+    return df.orderBy("conv_id", "turn_idx")
+
+
+def partition_metrics(df: DataFrame, batch_id: int = 0,
+                      text_col: str = "extracted_text") -> DataFrame:
+    """Per-partition lineage rows computed in the same pass shape the
+    real pipeline uses (one Arrow scan, no shuffle): partition id,
+    row/char counts, wall seconds."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.monotonic()
+        rows = 0
+        chars = 0
+        for pdf in batches:
+            rows += len(pdf)
+            chars += int(pdf[text_col].str.len().fillna(0).sum())
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        yield pd.DataFrame({
+            "batch_id": [batch_id], "partition_id": [pid],
+            "n_rows": [rows], "n_chars": [chars],
+            "wall_sec": [time.monotonic() - t0],
+        })
+
+    return df.mapInPandas(run, LINEAGE_SCHEMA)
+
+
+def completed_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:
+    """Batch ids already committed to the checkpoint table."""
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        return set()
+    rows = (spark.read.parquet(checkpoint_dir)
+            .select("batch_id").distinct().collect())
+    return {r.batch_id for r in rows}
+
+
+def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
+                  checkpoint_dir: str, batch_col: str = "batch_id") -> int:
+    """Process only batches absent from the checkpoint table; write
+    output + lineage per batch. Returns number of batches executed.
+
+    The anti-join against completed batch ids happens on the (tiny)
+    checkpoint table — broadcast, no shuffle of the main input. Batch
+    = input split (for Iceberg: a snapshot/file group); here: a
+    ``batch_col`` value.
+    """
+    done = completed_batches(spark, checkpoint_dir)
+    todo = [r[0] for r in
+            df.select(batch_col).distinct().collect() if r[0] not in done]
+    for b in sorted(todo):
+        part = df.filter(F.col(batch_col) == b)
+        (part.write.mode("append").parquet(out_dir))
+        (partition_metrics(part.drop(batch_col), batch_id=b,
+                           text_col="extracted_text")
+         .write.mode("append").parquet(checkpoint_dir))
+    return len(todo)

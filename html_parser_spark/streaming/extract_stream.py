@@ -1,0 +1,70 @@
+"""Structured Streaming surface: the same fused tokenize+extract
+stage applied to a transcript stream.
+
+The reference's "incremental chunk feed" (`Parser.pm:168-170`) is
+bounded-buffer incremental parsing, not event-time streaming — per
+SURVEY.md §2.6 there are no watermark semantics to port. What a
+production corpus DOES need is continuous ingestion: new transcript
+turns land (Iceberg snapshot / Kafka topic / file drop) and flow
+through the identical extraction operators. Because every operator
+is per-turn (stateless across rows), the batch `mapInPandas` stage
+is reused VERBATIM — `extract_text(stream_df)` — and the stream
+stays shuffle-free end-to-end (append mode, no stateful operator).
+
+For conversation-level rollups (e.g. turns per conv per window) we
+add the standard watermark + window aggregation, which IS stateful —
+kept separate so the hot extraction path never pays state-store
+costs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from html_parser_spark.config import EXTRACT_CONFIG, ParserConfig
+from html_parser_spark.operators.extract import extract_text
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           schema) -> DataFrame:
+    """File-drop source: each new parquet file under ``path`` is a
+    micro-batch of turns (sandbox stand-in for an Iceberg streaming
+    read / Kafka topic)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def extract_text_stream(stream_df: DataFrame,
+                        cfg: ParserConfig = EXTRACT_CONFIG) -> DataFrame:
+    """Streaming flagship: identical operator, streaming input.
+    Stateless ⇒ append output mode, no watermark required."""
+    return extract_text(stream_df, cfg)
+
+
+def turns_per_conv_windowed(stream_df: DataFrame,
+                            window: str = "1 minute",
+                            watermark: str = "2 minutes") -> DataFrame:
+    """Stateful rollup: turns + chars per (conv_id, event-time
+    window), late data bounded by the watermark. State is keyed by
+    (conv_id, window) — skew-safe because window close evicts state;
+    a hot conv_id holds one state row per open window, not per turn.
+    """
+    return (
+        stream_df
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length("text")).alias("n_chars"))
+        .select("conv_id", F.col("w.start").alias("window_start"),
+                "n_turns", "n_chars")
+    )
+
+
+def write_stream_parquet(df: DataFrame, out_dir: str,
+                         checkpoint_dir: str, mode: str = "append"):
+    """Sink with exactly-once file semantics via the streaming
+    checkpoint (offsets + commit log — the streaming twin of
+    plans.pipeline's batch lineage table)."""
+    return (df.writeStream.outputMode(mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .format("parquet").option("path", out_dir))

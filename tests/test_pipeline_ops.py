@@ -1,0 +1,233 @@
+"""Tests for the training-data pipeline operators: text stats, dedup
+(exact / MinHash-LSH / SimHash / Jaccard / embedding), similarity
+search, multimodal plumbing, salted plans + resumable checkpoints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from html_parser_spark.operators import dedup, media, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "spark executors shuffle arrow batches between stages"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (4, "zzz yyy xxx www vvv uuu"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# ------------------------------------------------------------- textstats
+
+def test_token_stats(spark, docs):
+    out = {r.doc_id: r for r in
+           textstats.token_stats(docs, ["doc_id"]).collect()}
+    assert out[0].n_words == 9
+    assert out[0].n_chars == len("the quick brown fox jumps over the lazy dog")
+    assert out[4].n_words == 6
+
+
+def test_token_regex_counts(spark):
+    df = spark.createDataFrame([(0, "a1b, c-2!")], "doc_id long, text string")
+    r = textstats.token_stats(df, ["doc_id"]).collect()[0]
+    # a|1|b|,|c|-|2|! -> 8 regex tokens
+    assert r.n_tokens == 8
+
+
+def test_quality_and_lang(spark, docs):
+    q = {r.doc_id: r for r in
+         textstats.quality_score(docs, ["doc_id"]).collect()}
+    assert q[0].stopword_ratio > 0.2          # 'the' x2 + 'over' not stop..
+    li = {r.doc_id: r.lang_pred for r in
+          textstats.lang_id(docs, ["doc_id"]).collect()}
+    assert li[0] == "en"
+    assert li[4] == "other"
+
+
+def test_fingerprint_normalizes_ws_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other text")],
+        "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprint for r in
+           textstats.fingerprint(df, ["doc_id"]).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    assert len(out) == 4  # 5 docs, one exact dup
+    dup = [r for r in out if r.n_dups == 2]
+    assert len(dup) == 1 and dup[0].canonical_id == 0
+
+
+def test_minhash_identical_docs_equal_sigs(spark, docs):
+    sigs = {r.doc_id: tuple(r[f"h{i}"] for i in range(8))
+            for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    assert shared >= 4
+
+
+def test_lsh_pairs_find_dup_and_near_dup(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 3) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_dup_equal_and_near(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[3]
+    ham = bin(sh[0] ^ sh[1]).count("1")
+    assert ham <= 6          # one-word diff -> small hamming distance
+    assert 0 <= sh[0] < 2 ** 16
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs,
+                                                threshold=0.1).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert 0.1 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_embedding_near_dup(spark, vecs):
+    pairs = {(r.id_a, r.id_b): r.cos_sim
+             for r in dedup.embedding_near_dup(vecs,
+                                               threshold=0.9).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] >= 0.999
+
+
+# ------------------------------------------------------------ similarity
+
+def test_cosine_neighbors_and_topk(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = {r.vec_id: r.cos_sim for r in
+           similarity.cosine_neighbors(vecs, q, threshold=0.5).collect()}
+    assert out[0] == 1.0 and out[1] > 0.99 and 2 not in out
+    top = similarity.cosine_topk(vecs, q, k=2).collect()
+    assert [r.vec_id for r in sorted(top, key=lambda r: r.rank)] == [0, 1]
+
+
+def test_lsh_ann_recall_vs_exact(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {r.vec_id for r in
+             similarity.cosine_neighbors(vecs, q, threshold=0.9).collect()}
+    approx = {r.vec_id for r in
+              similarity.lsh_neighbors(vecs, q, dim=4, n_bits=4,
+                                       threshold=0.9).collect()}
+    # sketch buckets must keep the exact near-dup reachable
+    assert approx <= exact
+    assert 0 in approx and 1 in approx
+
+
+# ----------------------------------------------------------------- media
+
+def test_media_meta_deterministic(spark, docs):
+    out = media.decode_image_meta(media.with_binary(docs))
+    a = sorted(out.collect())
+    b = sorted(out.collect())
+    assert a == b
+    r0 = [r for r in a if r.doc_id == 0][0]
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert r0.n_bytes == n
+    assert r0.width == 64 + n % 640 and r0.height == 64 + n % 480
+
+
+def test_frame_sample_fanout(spark, docs):
+    frames = media.sample_frames(media.with_binary(docs),
+                                 every_n_bytes=10).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert len(by_doc[0]) == (n + 9) // 10
+    assert sorted(r.frame_idx for r in by_doc[0]) == \
+        list(range(len(by_doc[0])))
+
+
+# ----------------------------------------------------------------- plans
+
+def test_salted_repartition_and_resume(spark, tmp_path):
+    from html_parser_spark.plans import pipeline
+
+    tr = spark.createDataFrame(
+        [("hot", i, f"<p>t{i}</p>") for i in range(40)]
+        + [("cold", 0, "<p>c</p>")],
+        "conv_id string, turn_idx int, text string")
+    salted = pipeline.salted_repartition(tr, 8, salt_buckets=8)
+    sizes = (salted.rdd.glom().map(len).collect())
+    # the hot conversation must not land in one partition
+    assert max(sizes) < 41
+
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators.extract import extract_text
+
+    ex = extract_text(tr, EXTRACT_CONFIG).withColumn(
+        "batch_id", (F.col("turn_idx") % 2).cast("int"))
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = pipeline.run_resumable(spark, ex, out_dir, ckpt)
+    assert n1 == 2
+    # second run: everything checkpointed, nothing re-executed
+    n2 = pipeline.run_resumable(spark, ex, out_dir, ckpt)
+    assert n2 == 0
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 41
+    lineage = spark.read.parquet(ckpt)
+    assert set(r.batch_id for r in lineage.collect()) == {0, 1}
+    assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 41
+
+
+# ------------------------------------------------------------- streaming
+
+def test_extract_text_stream_matches_batch(spark, tmp_path):
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators.extract import extract_text
+    from html_parser_spark.streaming import extract_stream as es
+
+    tr = spark.createDataFrame(
+        [("c1", i, "user", f"<p>turn &amp; {i}</p>", None)
+         for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    src = str(tmp_path / "src")
+    tr.write.parquet(src)
+
+    stream = es.read_transcript_stream(spark, src, tr.schema)
+    q = (es.extract_text_stream(stream, EXTRACT_CONFIG)
+         .writeStream.format("memory").queryName("ex_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.conv_id, r.turn_idx): r.trimmed_text
+           for r in spark.sql("SELECT * FROM ex_stream").collect()}
+    exp = {(r.conv_id, r.turn_idx): r.trimmed_text
+           for r in extract_text(tr, EXTRACT_CONFIG).collect()}
+    assert got == exp
+    assert got[("c1", 3)] == "turn & 3"
