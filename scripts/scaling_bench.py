@@ -1,0 +1,117 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8
+from N to 4N executors).
+
+Sandbox substitution per the driver instruction: the identical
+flagship job (fused tokenize+extract over the wrapped sf0.1 corpus,
+replicated to ~200k turns) runs at two parallelism levels in separate
+JVMs; efficiency = (throughput_4N / throughput_N) / 4.
+
+N defaults to 4 (so 4N=16): this container advertises 32 CPUs but is
+a shared host (~18 effective cores measured via a multiprocessing
+saturation probe), so 8->32 would measure host contention, not the
+engine. Override with SCALE_N / SCALE_4N.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_ONE = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+cpus = int(sys.argv[1])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName(f"scaling-{{cpus}}")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "16g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from html_parser_spark.config import EXTRACT_CONFIG
+from html_parser_spark.operators.extract import extract_text
+from html_parser_spark.sources.transcripts import wrap_documents
+
+tr = wrap_documents(spark, "/root/testdata/sf0.1")
+tr = (tr.select("conv_id",
+                F.explode(F.sequence(F.lit(0), F.lit(39))).alias("turn_idx"),
+                "text")
+        .withColumn("text", F.concat("text", F.lit(" <i>t"),
+                                     F.col("turn_idx"), F.lit("</i>")))
+        .repartition(cpus).cache())
+n = tr.count()
+warm = tr.limit(2000)
+for _ in range(2):
+    (warm.mapInPandas(lambda it: (p for p in it), warm.schema)
+     .agg(F.count("*")).collect())
+extract_text(tr, EXTRACT_CONFIG).agg(F.count("*")).collect()  # warm run
+best = float("inf")
+for _ in range(3):
+    t0 = time.monotonic()
+    extract_text(tr, EXTRACT_CONFIG).agg(
+        F.count("*"), F.sum(F.length("extracted_text"))).collect()
+    best = min(best, time.monotonic() - t0)
+print(json.dumps({{"cpus": cpus, "turns": n, "sec": round(best, 3),
+                   "turns_per_sec": round(n / best, 1)}}))
+spark.stop()
+""".format(repo=REPO)
+
+
+def run(cpus: int) -> dict:
+    out = subprocess.run([sys.executable, "-c", RUN_ONE, str(cpus)],
+                         capture_output=True, text=True, timeout=900)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_small = int(os.environ.get("SCALE_N", "4"))
+    n_big = int(os.environ.get("SCALE_4N", str(n_small * 4)))
+    small = run(n_small)
+    big = run(n_big)
+    eff = round((big["turns_per_sec"] / small["turns_per_sec"])
+                / (n_big / n_small), 3)
+    result = {"N": small, "fourN": big, "scaling_efficiency": eff}
+    print(json.dumps(result))
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north rule)
+
+The north rule's two-cluster-size criterion (throughput scaling
+efficiency >= 0.8 from N to 4N executors) cannot use a real cluster
+in this sandbox; per the driver instruction it is evidenced by
+running the identical flagship job (fused tokenize+extract,
+`extract_text` over the wrapped sf0.1 corpus replicated to
+{small['turns']:,} turns) at two parallelism levels in separate JVMs.
+
+Host caveat: the container advertises 32 CPUs but shares the
+physical host (~18 effective cores measured by a multiprocessing
+saturation probe), so N={n_small} vs 4N={n_big} keeps both runs
+inside real capacity.
+
+| cores | turns | best-of-3 sec | turns/sec |
+|---|---|---|---|
+| local[{n_small}] | {small['turns']:,} | {small['sec']} | {small['turns_per_sec']:,} |
+| local[{n_big}] | {big['turns']:,} | {big['sec']} | {big['turns_per_sec']:,} |
+
+**Scaling efficiency = ({big['turns_per_sec']:,} / {small['turns_per_sec']:,}) / {n_big // n_small}
+= {eff}** (target >= 0.8).
+
+Why it scales: the extraction stage is map-only (no shuffle, no
+cross-row state — see `html_parser_spark/operators/extract.py`), so
+throughput is proportional to cores as long as input splits >> cores;
+the salted repartition in `plans/pipeline.py` keeps that true under
+conv_id skew at the 10^12-turn scale.
+""")
+
+
+if __name__ == "__main__":
+    main()
