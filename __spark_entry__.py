@@ -78,7 +78,8 @@ def _q_event_stats(spark, sf_dir):
     from html_parser_spark.config import ParserConfig
     from html_parser_spark.operators.extract import events
 
-    ev = events(_tr(spark, sf_dir), ParserConfig())
+    ev = events(_tr(spark, sf_dir), ParserConfig(),
+                fields=("event", "length"))
     return ev.groupBy("conv_id").agg(
         F.count("*").alias("n_events"),
         F.sum("length").alias("total_len"),
@@ -97,7 +98,7 @@ def _q_reconstruct(spark, sf_dir):
     from html_parser_spark.config import ParserConfig
     from html_parser_spark.operators.extract import events
 
-    ev = events(_tr(spark, sf_dir), ParserConfig())
+    ev = events(_tr(spark, sf_dir), ParserConfig(), fields=("text",))
     return ev.groupBy("conv_id").agg(
         F.array_join(
             F.transform(

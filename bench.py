@@ -105,8 +105,11 @@ def main() -> None:
 
     timed("extract_text", lambda: extract_text(tr, EXTRACT_CONFIG)
           .agg(F.count("*"), F.sum(F.length("extracted_text"))).collect())
-    timed("events", lambda: events(tr, ParserConfig())
+    timed("events", lambda: events(tr, ParserConfig(),
+                                   fields=("event",))
           .groupBy("event").count().collect())
+    timed("events_full", lambda: events(tr, ParserConfig())
+          .groupBy("event").agg(F.sum("length")).collect())
     timed("token_stats", lambda: textstats.token_stats(
         tr.withColumnRenamed("text", "t"), ["conv_id"], "t")
         .agg(F.sum("n_tokens")).collect())

@@ -47,6 +47,10 @@ class ParserConfig:
     # accumulate raw text of unreported events onto the next reported
     # event (hparser.c:559-563, 650-669)
     track_skipped_text: bool = False
+    # offset/line/column upkeep; the reference enables it lazily when
+    # an argspec asks for positions (hparser.c:724-727, SURVEY.md O5).
+    # Extraction presets turn it off -- nothing downstream reads it.
+    track_positions: bool = True
 
     @property
     def is_case_sensitive(self) -> bool:
@@ -70,5 +74,6 @@ TOKEPARSER_CONFIG = ParserConfig(unbroken_text=True)
 #: main-content extraction preset (eg/htext pattern: drop script/style
 #: subtrees entirely)
 EXTRACT_CONFIG = ParserConfig(
-    unbroken_text=True, ignore_elements=("script", "style")
+    unbroken_text=True, ignore_elements=("script", "style"),
+    track_positions=False,
 )

@@ -78,6 +78,25 @@ _MS_BY_NAME = {
 }
 
 
+import re as _re
+
+# Fast-path regexes for the common non-strict start tag
+# (hparser.c:1267-1438 semantics, loose name classes).  Character
+# classes spell out HSPACE explicitly — Python's \s would also match
+# Unicode whitespace, which the reference's hctype table does not.
+# Anything the fast path cannot prove identical falls back to the
+# character FSM, so these only ever accelerate, never alter, output.
+_SP = " \\t\\n\\r\\f\\x0b"
+_FAST_TAGNAME = _re.compile(f"<[^{_SP}>]+")
+#: one anchored step: either the closing '>' (group 1) or one
+#: attribute: name (group 2) + optional value (group 3; quoted,
+#: unquoted not starting with a quote, or empty right before '>')
+_FAST_STEP = _re.compile(
+    f"[{_SP}]*(?:(>)|([^{_SP}>=]+)(?:[{_SP}]*=[{_SP}]*"
+    f"(\"[^\"]*\"|'[^']*'|[^\"'{_SP}>][^{_SP}>]*|(?=>)))?)"
+)
+
+
 def _is_name_first(ch: str, strict: bool) -> bool:
     if strict:
         return ch in _NAME_FIRST
@@ -101,6 +120,7 @@ class _Emitter:
         "pend_is_cdata", "skipped", "ignoring_element", "ignore_depth",
         "pending_end_tag", "_ignore_tags", "_report_tags",
         "_ignore_elements", "_reported", "_false_events", "_any_filter",
+        "_lower_names",
     )
 
     def __init__(self, doc: str, cfg: ParserConfig):
@@ -127,6 +147,7 @@ class _Emitter:
         self._any_filter = bool(
             self._ignore_tags or self._report_tags or self._ignore_elements
         )
+        self._lower_names = not cfg.is_case_sensitive
         self._reported = (
             None if cfg.reported_events is None
             else frozenset(cfg.reported_events)
@@ -145,7 +166,7 @@ class _Emitter:
     def _tagname_of(self, tokens) -> str:
         t0 = tokens[0]
         name = t0 if isinstance(t0, str) else self.doc[t0[0]:t0[1]]
-        if not self.cfg.is_case_sensitive:
+        if self._lower_names:
             name = name.lower()
         return name
 
@@ -191,8 +212,9 @@ class _Emitter:
 
         offset, line, column = self.offset, self.line, self.column
 
-        # advance position counters (hparser.c:198-214)
-        if end > beg:
+        # advance position counters (hparser.c:198-214); lazily
+        # enabled like the reference (hparser.c:724-727, SURVEY.md O5)
+        if end > beg and cfg.track_positions:
             self.offset = offset + (end - beg)
             nl = self.doc.rfind("\n", beg, end)
             if nl >= 0:
@@ -281,7 +303,7 @@ class _Parser:
 
     __slots__ = ("doc", "end", "cfg", "em", "literal_mode", "is_cdata",
                  "ms_stack", "ms", "no_dash_dash_comment_end", "strict",
-                 "allow_empty")
+                 "allow_empty", "fast_start")
 
     def __init__(self, doc: str, cfg: ParserConfig, em: _Emitter):
         self.doc = doc
@@ -295,6 +317,10 @@ class _Parser:
         self.no_dash_dash_comment_end = False
         self.strict = cfg.is_strict_names
         self.allow_empty = cfg.allow_empty_tag
+        # regex fast path only covers the loose default tag grammar;
+        # any option that changes name/quote classes disables it
+        self.fast_start = not (self.strict or self.allow_empty
+                               or cfg.backquote)
 
     # -- helpers -------------------------------------------------------
 
@@ -340,8 +366,45 @@ class _Parser:
 
     # -- sub-parsers; return new position, beg (premature) or None ------
 
+    def _fast_parse_start(self, beg: int) -> int | None:
+        """Regex fast path for the default tag grammar; returns the
+        position after '>' on success, -1 to defer to the FSM (any
+        ambiguous/premature/unsupported shape)."""
+        doc = self.doc
+        m = _FAST_TAGNAME.match(doc, beg, self.end)
+        if m is None:
+            return -1
+        s = m.end()
+        tokens: list = [(beg + 1, s)]
+        step = _FAST_STEP.match
+        end = self.end
+        while True:
+            m = step(doc, s, end)
+            if m is None:
+                return -1  # premature or '=' in name position etc.
+            if m.start(1) >= 0:
+                s = m.end()
+                break
+            tokens.append(m.span(2))
+            v = m.start(3)
+            tokens.append(None if v < 0 else m.span(3))
+            s = m.end()
+        self._report(EV_START, beg, s, tokens)
+        if not self.cfg.xml_mode:
+            tb, te = tokens[0]
+            tag = doc[tb:te].lower()
+            cdata = LITERAL_MODE_ELEMS.get(tag)
+            if cdata is not None:
+                self.literal_mode = tag
+                self.is_cdata = cdata
+        return s
+
     def _parse_start(self, beg: int) -> int | None:
         # hparser.c:1267-1438
+        if self.fast_start:
+            pos = self._fast_parse_start(beg)
+            if pos >= 0:
+                return pos
         doc, end = self.doc, self.end
         cfg = self.cfg
         strict, allow_empty = self.strict, self.allow_empty

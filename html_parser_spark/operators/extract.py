@@ -100,50 +100,85 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 
+#: per-field builders — the engine's analogue of the reference's
+#: compiled argspec projection (`hparser.c:675-795`): consumers name
+#: the fields they want and only those are materialized per event.
+def _mk_field_builders():
+    from html_parser_spark.functions import project as prj
+
+    return {
+        "event": lambda doc, row, cfg: row[0],
+        "text": lambda doc, row, cfg: prj.raw_text(doc, row),
+        "dtext": lambda doc, row, cfg: prj.dtext(doc, row),
+        "tagname": lambda doc, row, cfg: prj.tagname(doc, row, cfg),
+        "token0": lambda doc, row, cfg: prj.token0(doc, row),
+        "attrs": lambda doc, row, cfg:
+            (lambda a: a[0] if a else None)(prj.attrs(doc, row, cfg)),
+        "attrseq": lambda doc, row, cfg:
+            (lambda a: a[1] if a else None)(prj.attrs(doc, row, cfg)),
+        "tokens": lambda doc, row, cfg:
+            prj.token_strings(doc, row, cfg),
+        "tokenpos": lambda doc, row, cfg: prj.tokenpos(doc, row),
+        "is_cdata": lambda doc, row, cfg:
+            row[4] if row[0] == "text" else None,
+        "offset": lambda doc, row, cfg: row[5],
+        "length": lambda doc, row, cfg: len(prj.raw_text(doc, row)),
+        "line": lambda doc, row, cfg: row[6],
+        "column": lambda doc, row, cfg: row[7],
+        "skipped_text": lambda doc, row, cfg: row[8],
+    }
+
+
+_FIELD_BUILDERS = _mk_field_builders()
+
+
 def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
-           text_col: str = "text") -> DataFrame:
+           text_col: str = "text",
+           fields: tuple[str, ...] | None = None) -> DataFrame:
     """transcripts -> one row per tokenizer event (SURVEY.md §1.3).
 
     The per-turn event fan-out happens inside the Arrow batch (the UDF
     yields the exploded frame directly), so there is no separate
     explode/shuffle stage; ``seq`` is the in-turn ordinal, making
     ``(conv_id, turn_idx, seq)`` a stable total order.
+
+    ``fields`` is the argspec (SURVEY.md P1): name only the event
+    fields you need — unreferenced projections (attr maps, tokenpos
+    arrays...) are never computed, mirroring the reference's compiled
+    argspec and keeping the Arrow payload minimal. None = all fields.
     """
-    from html_parser_spark.functions import project
+    key_fields = ["conv_id", "turn_idx", "seq"]
+    sel = [f for f in (fields or
+                       [x for x in EVENTS_SCHEMA.fieldNames()
+                        if x not in key_fields])]
+    schema = T.StructType(
+        [EVENTS_SCHEMA[k] for k in key_fields]
+        + [EVENTS_SCHEMA[f] for f in sel])
+    builders = [(f, _FIELD_BUILDERS[f]) for f in sel]
+    if cfg.track_positions and not {"offset", "line", "column"} & set(sel):
+        # lazy position tracking (SURVEY.md O5): nothing selected
+        # reads positions, so skip the per-event line/column upkeep
+        cfg = cfg.with_(track_positions=False)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in EVENTS_SCHEMA.fieldNames()}
+            out = {k: [] for k in schema.fieldNames()}
             for conv_id, turn_idx, doc in zip(
                 pdf["conv_id"].astype(str), pdf["turn_idx"],
                 pdf[text_col]
             ):
                 doc = doc if isinstance(doc, str) else ""
                 for seq, row in enumerate(tokenize(doc, cfg)):
-                    p = project.project(doc, row, cfg)
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
                     out["seq"].append(seq)
-                    out["event"].append(p["event"])
-                    out["text"].append(p["text"])
-                    out["dtext"].append(p["dtext"])
-                    out["tagname"].append(p["tagname"])
-                    out["token0"].append(p["token0"])
-                    out["attrs"].append(p["attr"])
-                    out["attrseq"].append(p["attrseq"])
-                    out["tokens"].append(p["tokens"])
-                    out["tokenpos"].append(p["tokenpos"])
-                    out["is_cdata"].append(p["is_cdata"])
-                    out["offset"].append(p["offset"])
-                    out["length"].append(p["length"])
-                    out["line"].append(p["line"])
-                    out["column"].append(p["column"])
-                    out["skipped_text"].append(p["skipped_text"])
+                    for name, fn in builders:
+                        out[name].append(fn(doc, row, cfg))
             if out["conv_id"]:
                 yield pd.DataFrame(out)
 
     return df.select("conv_id", F.col("turn_idx").cast("int"),
-                     text_col).mapInPandas(run, EVENTS_SCHEMA)
+                     text_col).mapInPandas(run, schema)
 
 
 HEADERS_SCHEMA = T.StructType([
