@@ -203,6 +203,27 @@ def _q_lsh_ann(spark, sf_dir):
     return lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2)
 
 
+def _q_anchors(spark, sf_dir):
+    from html_parser_spark.operators.extract import anchors
+    return anchors(_tr(spark, sf_dir))
+
+
+def _q_rewrite_links(spark, sf_dir):
+    from urllib.parse import urljoin
+
+    from html_parser_spark.operators.extract import rewrite_links
+
+    def rw(tag, name, raw):
+        return urljoin("https://ex.com/", raw.strip())
+
+    return rewrite_links(_tr(spark, sf_dir), rw)
+
+
+def _q_strip_markup(spark, sf_dir):
+    from html_parser_spark.operators.extract import strip_markup
+    return strip_markup(_tr(spark, sf_dir))
+
+
 def _q_media_meta(spark, sf_dir):
     from html_parser_spark.operators.media import (
         decode_image_meta, with_binary)
@@ -235,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_knn": _q_cosine_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_ann": _q_lsh_ann,
+        "anchors": _q_anchors,
+        "rewrite_links": _q_rewrite_links,
+        "strip_markup": _q_strip_markup,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
     }
@@ -263,6 +287,25 @@ _COS = ("round(CAST(list_cosine_similarity("
         "CAST(embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
         "WHERE vec_id = 0)) AS DOUBLE), 3)")
+
+
+def _rewritten_wrap_expr() -> str:
+    """WRAP_SQL_EXPR with link values absolutized against
+    https://ex.com/ — the closed form of the hrefsub rewrite."""
+    w = _wrap_expr()
+    w = w.replace('<a href=" /d/', '<a href="https://ex.com/d/')
+    w = w.replace("' \">&lt;link&gt;</a>", "'\">&lt;link&gt;</a>")
+    w = w.replace('<img src="i\'', '<img src="https://ex.com/i\'')
+    return w
+
+
+def _stripped_wrap_expr() -> str:
+    """WRAP_SQL_EXPR minus the style and script elements — the closed
+    form of the hstrip recipe on the template."""
+    w = _wrap_expr()
+    w = w.replace("<style>p {color: red}</style>", "")
+    w = w.replace('<script>if (x < y) { alert("&amp;"); }</script>', "")
+    return w
 
 
 def oracle_sql() -> dict[str, str]:
@@ -425,6 +468,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) >= 0.3""",
+        "anchors": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx, 0 AS anchor_seq,
+                   ' /d/' || {_ID} || ' ' AS href,
+                   '<link>' AS anchor_text
+            FROM documents""",
+        "rewrite_links": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx,
+                   {_rewritten_wrap_expr()} AS doc
+            FROM documents""",
+        "strip_markup": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx,
+                   {_stripped_wrap_expr()} AS doc
+            FROM documents""",
         "media_meta": """
             SELECT doc_id,
                    CAST(length(text) AS INTEGER) AS n_bytes,

@@ -238,6 +238,99 @@ def head_headers(doc: str, rows, cfg: ParserConfig) -> list[tuple[str, str]]:
     return headers
 
 
+def anchors(doc: str, rows, cfg: ParserConfig,
+            textify=DEFAULT_TEXTIFY) -> list[tuple[int, str | None, str]]:
+    """eg/hanchors pattern (`/root/reference/eg/hanchors:17-46`):
+    (anchor_seq, href, trimmed anchor text) per ``<a>`` element."""
+    out: list[tuple[int, str | None, str]] = []
+    i = 0
+    seq = 0
+    while True:
+        t = get_tag(doc, rows, cfg, ("a",), i)
+        if t is None:
+            break
+        _, idx = t
+        a = project.attrs(doc, rows[idx], cfg)
+        href = (a[0].get("href") if a else None)
+        txt, j = get_trimmed_text(doc, rows, cfg, ("/a",), textify,
+                                  idx + 1)
+        out.append((seq, href, txt))
+        seq += 1
+        i = j + 1
+    return out
+
+
+def _unquote_span(doc: str, beg: int, end: int) -> tuple[int, int]:
+    if end - beg >= 2 and doc[beg] in "\"'`" and doc[end - 1] == doc[beg]:
+        return beg + 1, end - 1
+    return beg, end
+
+
+def rewrite_links(doc: str, rows, cfg: ParserConfig, rewrite) -> str:
+    """eg/hrefsub pattern (`/root/reference/eg/hrefsub`): rewrite link
+    attribute values in place via token-span surgery on the raw
+    document — everything outside the rewritten value spans is
+    byte-identical to the input.
+
+    ``rewrite(tag, attr_name, raw_value) -> new_raw_value``.
+    """
+    edits: list[tuple[int, int, str]] = []
+    for row in rows:
+        if row[0] is not EV_START:
+            continue
+        tag = project.tagname(doc, row, cfg)
+        want = LINK_ELEMENTS.get(tag)
+        if not want:
+            continue
+        toks = row[3]
+        k = 1
+        while k + 1 < len(toks):
+            name_t, val_t = toks[k], toks[k + 1]
+            k += 2
+            if val_t is None or not isinstance(name_t, tuple):
+                continue
+            name = doc[name_t[0]:name_t[1]].lower()
+            if name not in want:
+                continue
+            vb, ve = _unquote_span(doc, val_t[0], val_t[1])
+            new = rewrite(tag, name, doc[vb:ve])
+            if new != doc[vb:ve]:
+                edits.append((vb, ve, new))
+    if not edits:
+        return doc
+    parts: list[str] = []
+    pos = 0
+    for beg, end, new in sorted(edits):
+        parts.append(doc[pos:beg])
+        parts.append(new)
+        pos = end
+    parts.append(doc[pos:])
+    return "".join(parts)
+
+
+#: default styling tags for the hstrip recipe (`eg/hstrip:20-63`
+#: pattern; the tag list is configuration, not parity)
+STRIP_TAGS = ("font", "b", "i", "u", "tt", "big", "small", "center",
+              "blink", "s", "strike")
+
+
+def strip_markup(doc: str, rows_unused, cfg: ParserConfig,
+                 strip_tags=STRIP_TAGS,
+                 strip_elements=("style", "script")) -> str:
+    """eg/hstrip pattern: reconstruct the document with styling tags
+    dropped and style/script subtrees removed, using the engine's own
+    tag filters (F1/F3) + the Filter.pm identity rewrite (Q9)."""
+    from html_parser_spark.functions.tokenizer import tokenize
+
+    cfg2 = cfg.with_(ignore_tags=tuple(strip_tags),
+                     ignore_elements=tuple(strip_elements),
+                     unbroken_text=False)
+    out: list[str] = []
+    for row in tokenize(doc, cfg2):
+        out.append(project.raw_text(doc, row))
+    return "".join(out)
+
+
 def extract_links(doc: str, rows, cfg: ParserConfig,
                   base: str | None = None
                   ) -> list[tuple[int, str, str, str]]:

