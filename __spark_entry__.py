@@ -224,6 +224,11 @@ def _q_strip_markup(spark, sf_dir):
     return strip_markup(_tr(spark, sf_dir))
 
 
+def _q_bom_stats(spark, sf_dir):
+    from html_parser_spark.operators.extract import bom_stats
+    return bom_stats(_tr(spark, sf_dir))
+
+
 def _q_media_meta(spark, sf_dir):
     from html_parser_spark.operators.media import (
         decode_image_meta, with_binary)
@@ -259,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchors": _q_anchors,
         "rewrite_links": _q_rewrite_links,
         "strip_markup": _q_strip_markup,
+        "bom_stats": _q_bom_stats,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
     }
@@ -480,6 +486,11 @@ def oracle_sql() -> dict[str, str]:
         "strip_markup": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
                    {_stripped_wrap_expr()} AS doc
+            FROM documents""",
+        "bom_stats": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx,
+                   false AS utf8_bom, false AS utf16_bom,
+                   false AS maybe_undecoded_utf8
             FROM documents""",
         "media_meta": """
             SELECT doc_id,

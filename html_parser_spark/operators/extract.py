@@ -334,6 +334,26 @@ def strip_markup(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                                             strip_elements), text_col)
 
 
+def bom_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-sniff warnings (SURVEY.md P12; `hparser.c:1839-1870`,
+    `util.c:276-310`): per-turn flags for BOMs and
+    probably-undecoded-UTF-8, as pure JVM expressions — at corpus
+    scale these feed the metrics table, not per-row warnings."""
+    t = F.col(text_col)
+    # probable undecoded UTF-8: a Latin-1-decoded lead byte C2-F4
+    # followed by a continuation byte 80-BF (util.c:289-302 heuristic)
+    utf8ish = t.rlike("[\u00C2-\u00F4][\u0080-\u00BF]")
+    bom_utf8 = t.startswith("\ufeff") | t.startswith("\u00ef\u00bb\u00bf")
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        bom_utf8.alias("utf8_bom"),
+        (t.startswith("\u00ff\u00fe") | t.startswith("\u00fe\u00ff"))
+        .alias("utf16_bom"),
+        (utf8ish & ~bom_utf8).alias("maybe_undecoded_utf8"),
+    )
+
+
 def decode_entities_col(col, expand_prefix: bool = False):
     """Vectorized entity decode as a scalar pandas UDF (SURVEY.md P5).
 

@@ -1,0 +1,124 @@
+"""Physical-plan regression tests (the plan IS the product at 100 TB),
+stable-ordering invariants under salting, the watermarked streaming
+rollup, and the encoding-sniff operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from html_parser_spark.config import EXTRACT_CONFIG
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_plan_is_shuffle_free_and_pruned(spark, tmp_path):
+    """The flagship stage must stay scan -> project -> MapInPandas:
+    no Exchange node, and the parquet scan pruned to (key, text)."""
+    from html_parser_spark.operators.extract import extract_text
+
+    src = str(tmp_path / "tr")
+    spark.createDataFrame(
+        [("c", 0, "u", "<p>x</p>", None, 0.0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, extra double",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    plan = _plan(extract_text(df, EXTRACT_CONFIG))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    # column pruning: the unused role/tool/extra never reach the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    struct = read_schema[0].split("ReadSchema:")[1]
+    assert "role" not in struct
+    assert "extra" not in struct
+    assert "conv_id" in struct and "text" in struct
+
+
+def test_events_argspec_plan_shuffle_free(spark):
+    from html_parser_spark.operators.extract import events
+
+    df = spark.createDataFrame([("c", 0, "<p>x</p>")],
+                               "conv_id string, turn_idx int, text string")
+    plan = _plan(events(df, fields=("event",)))
+    assert "Exchange" not in plan
+
+
+def test_minhash_signature_plan_shuffle_free(spark):
+    from html_parser_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(0, "a b c d")],
+                               "doc_id long, text string")
+    plan = _plan(minhash_signatures(df))
+    assert "Exchange" not in plan
+
+
+def test_stable_sort_invariant_under_salting(spark):
+    """north rule: stable (conv_id, turn_idx) output order must not
+    depend on the salt bucket count."""
+    from html_parser_spark.plans import pipeline
+
+    tr = spark.createDataFrame(
+        [(f"c{i % 5}", i, f"<p>{i}</p>") for i in range(100)],
+        "conv_id string, turn_idx int, text string")
+    outs = []
+    for buckets in (1, 4, 16):
+        salted = pipeline.salted_repartition(tr, 8, salt_buckets=buckets)
+        outs.append([(r.conv_id, r.turn_idx) for r in
+                     pipeline.stable_sorted(salted).collect()])
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == sorted(outs[0])
+
+
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    from html_parser_spark.streaming import extract_stream as es
+
+    rows = [("c1", i, "u", f"<p>{i}</p>", None,
+             f"2026-01-01 00:{i // 10:02d}:{(7 * i) % 60:02d}")
+            for i in range(40)]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "src")
+    tr.write.parquet(src)
+
+    stream = es.read_transcript_stream(spark, src, tr.schema)
+    q = (es.turns_per_conv_windowed(stream, window="1 minute",
+                                    watermark="2 minutes")
+         .writeStream.format("memory").queryName("rollup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.conv_id, r.window_start.minute): (r.n_turns, r.n_chars)
+           for r in spark.sql("SELECT * FROM rollup").collect()}
+    exp = {(r.conv_id, r.ws.minute): (r.n_turns, r.n_chars)
+           for r in tr.groupBy(
+               F.window("ts", "1 minute").alias("w"), "conv_id")
+           .agg(F.count("*").alias("n_turns"),
+                F.sum(F.length("text")).alias("n_chars"))
+           .select("conv_id", F.col("w.start").alias("ws"),
+                   "n_turns", "n_chars").collect()}
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch rollup exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_bom_stats_flags(spark):
+    from html_parser_spark.operators.extract import bom_stats
+
+    df = spark.createDataFrame(
+        [("a", 0, "﻿doc with bom"),
+         ("b", 0, "plain ascii"),
+         ("c", 0, "latin cafÃ© mojibake"),  # UTF-8 as Latin-1
+         ("d", 0, "ÿþ utf16le-ish")],
+        "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in bom_stats(df).collect()}
+    assert out["a"].utf8_bom and not out["a"].maybe_undecoded_utf8
+    assert not any([out["b"].utf8_bom, out["b"].utf16_bom,
+                    out["b"].maybe_undecoded_utf8])
+    assert out["c"].maybe_undecoded_utf8 and not out["c"].utf8_bom
+    assert out["d"].utf16_bom
