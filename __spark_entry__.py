@@ -194,13 +194,18 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_lsh_ann(spark, sf_dir):
-    """Scale-path ANN (rows-only check: hyperplane sketch is engine-
-    internal). Recall vs the exact query is asserted in tests."""
+    """Scale-path ANN; the DuckDB oracle rebuilds the identical
+    md5-parity hyperplane sketch, so bucketing is verified too."""
     from html_parser_spark.operators.similarity import lsh_neighbors
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from html_parser_spark.operators.dedup import simhash_near_dup_pairs
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def _q_anchors(spark, sf_dir):
@@ -257,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _q_minhash_sigs,
         "lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_knn": _q_cosine_knn,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -293,6 +299,40 @@ _COS = ("round(CAST(list_cosine_similarity("
         "CAST(embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
         "WHERE vec_id = 0)) AS DOUBLE), 3)")
+
+_SIMHASH_CTE = f"""
+    wrds AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS x
+      FROM documents),
+    h AS (SELECT doc_id, {{h16}} AS h FROM wrds),
+    v AS (SELECT doc_id, b,
+                 sum(CASE WHEN ((h >> b) & 1) = 1
+                     THEN 1 ELSE -1 END) AS v
+          FROM h, (SELECT unnest(range(0, 16)) AS b)
+          GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END)
+                        AS INTEGER) AS simhash
+            FROM v GROUP BY doc_id)
+"""
+
+
+def _lsh_bucket_expr(vec_sql: str, n_bits: int = 8, dim: int = 64,
+                     seed: int = 7) -> str:
+    """DuckDB twin of similarity.lsh_sketch_expr: same md5-parity
+    Rademacher hyperplanes, same left-to-right double accumulation."""
+    terms = []
+    for b in range(n_bits):
+        planes = (
+            f"list_transform(range(0, {dim}), j -> CASE WHEN "
+            f"(position(substr(md5('s{seed}b{b}j' || CAST(j AS VARCHAR)),"
+            f" 1, 1) IN '0123456789abcdef') - 1) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        comp = f"list_inner_product({vec_sql}, {planes})"
+        terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _rewritten_wrap_expr() -> str:
@@ -443,6 +483,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END)
                         AS INTEGER) AS simhash
             FROM v GROUP BY doc_id""",
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE.format(h16=_H16)},
+            bands AS (
+              SELECT doc_id, simhash, b AS band,
+                     (simhash >> (4 * b)) & 15 AS nib
+              FROM sig, (SELECT unnest(range(0, 4)) AS b))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash))
+                        AS INTEGER) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.nib = b.nib
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES}),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh
@@ -474,6 +527,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) >= 0.3""",
+        "lsh_ann": f"""
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_lsh_bucket_expr("CAST(embedding AS DOUBLE[])")}
+                       AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                  FROM c WHERE vec_id = 0)
+            SELECT q.query_id, c.vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv)
+                              AS DOUBLE), 3) AS cos_sim
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
+                             AS DOUBLE), 3) >= 0.2""",
         "anchors": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx, 0 AS anchor_seq,
                    ' /d/' || {_ID} || ' ' AS href,
@@ -508,6 +575,4 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(0, CAST(ceil(length(text)/64.0)
                                                AS BIGINT))) AS i
                   FROM documents)""",
-        # lsh_ann: intentionally omitted — engine-internal hyperplane
-        # sketch; driver records rows-only, recall asserted in tests.
     }

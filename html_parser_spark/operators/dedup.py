@@ -163,6 +163,42 @@ def simhash(df: DataFrame, key_col: str = "doc_id",
     return df.selectExpr(key_col, f"cast(({sig}) as int) AS simhash")
 
 
+def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: (id_a, id_b, hamming) for signature pairs
+    within ``max_hamming`` bits.
+
+    Candidate generation is banded (four 4-bit nibbles): any pair
+    within Hamming distance 3 of a 16-bit signature must agree on at
+    least one nibble (pigeonhole), so the join is an equi-join on
+    (band, nibble) — never an all-pairs scan — then the exact
+    ``bit_count(xor)`` filter runs on candidates only.
+    """
+    sigs = simhash(df, key_col, text_col)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.expr(f"(simhash >> {4 * b}) & 15").alias("nib"))
+        for b in range(4)
+    ])
+    exploded = sigs.select(
+        F.col(key_col).alias("key"), "simhash",
+        F.explode(bands).alias("bn"),
+    ).select("key", "simhash", "bn.band", "bn.nib")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.nib") == F.col("b.nib"))
+               & (F.col("a.key") < F.col("b.key")))
+        .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"),
+                F.bit_count(F.expr("a.simhash ^ b.simhash"))
+                .cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.1) -> DataFrame:

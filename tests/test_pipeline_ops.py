@@ -105,6 +105,21 @@ def test_simhash_dup_equal_and_near(spark, docs):
     assert 0 <= sh[0] < 2 ** 16
 
 
+def test_simhash_near_dup_pairs_complete(spark, docs):
+    import itertools
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_near_dup_pairs(
+                 docs, max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0  # exact dup
+    # pigeonhole guarantee: banding must find EVERY pair within 3 bits
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    brute = {(a, b): bin(sh[a] ^ sh[b]).count("1")
+             for a, b in itertools.combinations(sorted(sh), 2)
+             if bin(sh[a] ^ sh[b]).count("1") <= 3}
+    assert pairs == brute
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {(r.id_a, r.id_b): r.jaccard
              for r in dedup.ngram_jaccard_pairs(docs,
