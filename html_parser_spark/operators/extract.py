@@ -160,7 +160,15 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
         # reads positions, so skip the per-event line/column upkeep
         cfg = cfg.with_(track_positions=False)
 
+    # attrs and attrseq share one computation when both are selected
+    pair_attrs = "attrs" in sel and "attrseq" in sel
+    if pair_attrs:
+        builders = [(f, fn) for f, fn in builders
+                    if f not in ("attrs", "attrseq")]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html_parser_spark.functions import project as prj
+
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
             for conv_id, turn_idx, doc in zip(
@@ -174,6 +182,10 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                     out["seq"].append(seq)
                     for name, fn in builders:
                         out[name].append(fn(doc, row, cfg))
+                    if pair_attrs:
+                        a = prj.attrs(doc, row, cfg)
+                        out["attrs"].append(a[0] if a else None)
+                        out["attrseq"].append(a[1] if a else None)
             if out["conv_id"]:
                 yield pd.DataFrame(out)
 
