@@ -28,6 +28,7 @@ from html_parser_spark.functions.tagset import (
     PHRASE_TAGS,
 )
 from html_parser_spark.functions.tokenizer import (
+    ascii_lower,
     EV_END,
     EV_START,
     EV_TEXT,
@@ -289,7 +290,7 @@ def rewrite_links(doc: str, rows, cfg: ParserConfig, rewrite) -> str:
             k += 2
             if val_t is None or not isinstance(name_t, tuple):
                 continue
-            name = doc[name_t[0]:name_t[1]].lower()
+            name = ascii_lower(doc[name_t[0]:name_t[1]])
             if name not in want:
                 continue
             vb, ve = _unquote_span(doc, val_t[0], val_t[1])

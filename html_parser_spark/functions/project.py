@@ -11,6 +11,7 @@ from __future__ import annotations
 from html_parser_spark.config import ParserConfig
 from html_parser_spark.functions.entities import decode_entities
 from html_parser_spark.functions.tokenizer import (
+    ascii_lower,
     EV_DECLARATION,
     EV_END,
     EV_PROCESS,
@@ -81,7 +82,7 @@ def token0(doc: str, row) -> str | None:
 def tagname(doc: str, row, cfg: ParserConfig) -> str | None:
     t = token0(doc, row)
     if t is not None and not cfg.is_case_sensitive:
-        t = t.lower()
+        t = ascii_lower(t)
     return t
 
 
@@ -125,7 +126,8 @@ def attrs(doc: str, row, cfg: ParserConfig):
                    else raw_name)
         else:
             val = _attr_value(doc, vtok, cfg)
-        name = raw_name if cfg.is_case_sensitive else raw_name.lower()
+        name = (raw_name if cfg.is_case_sensitive
+                else ascii_lower(raw_name))
         seq.append(name)
         if name not in out:
             out[name] = val

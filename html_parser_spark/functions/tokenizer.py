@@ -97,6 +97,17 @@ _FAST_STEP = _re.compile(
 )
 
 
+# ASCII-only case folding: the reference's sv_lower (util.c:13-21)
+# folds A-Z only; Python's str.lower would also fold Unicode (and
+# U+212A KELVIN SIGN -> 'k' etc.), changing attr/tag names.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def ascii_lower(s: str) -> str:
+    return s.translate(_ASCII_LOWER)
+
+
 def _is_name_first(ch: str, strict: bool) -> bool:
     if strict:
         return ch in _NAME_FIRST
@@ -167,7 +178,7 @@ class _Emitter:
         t0 = tokens[0]
         name = t0 if isinstance(t0, str) else self.doc[t0[0]:t0[1]]
         if self._lower_names:
-            name = name.lower()
+            name = ascii_lower(name)
         return name
 
     def _flush_pending_text(self) -> None:
@@ -499,7 +510,7 @@ class _Parser:
                 self._report(EV_END, s, s, tokens[:1])
             elif not cfg.xml_mode:
                 tb, te = tokens[0]
-                tag = doc[tb:te].lower()
+                tag = ascii_lower(doc[tb:te])
                 cdata = LITERAL_MODE_ELEMS.get(tag)
                 if cdata is not None:
                     self.literal_mode = tag
@@ -631,7 +642,7 @@ class _Parser:
                 s = self._skip_space(s)
                 if s == end:
                     return beg
-                names.append(doc[name_start:name_end].lower())
+                names.append(ascii_lower(doc[name_start:name_end]))
             if s < end and doc[s] == "-":
                 s += 1
                 if s < end and doc[s] == "-":
@@ -791,7 +802,8 @@ class _Parser:
                     s += 1
                     li = 0
                     llen = len(lit)
-                    while li < llen and s < end and doc[s].lower() == lit[li]:
+                    while (li < llen and s < end
+                           and doc[s].translate(_ASCII_LOWER) == lit[li]):
                         s += 1
                         li += 1
                     if li == llen and (
@@ -823,7 +835,10 @@ class _Parser:
                         s += 2
                         if t != end_text:
                             self._report(EV_TEXT, t, end_text)
-                        self.ms_stack.pop()
+                        # av_pop on an empty stack is a no-op undef in
+                        # the reference; a stray ]]> must not blow up
+                        if self.ms_stack:
+                            self.ms_stack.pop()
                         self._ms_update()
                         self._report(EV_NONE, end_text, s)
                         t = s
@@ -835,7 +850,10 @@ class _Parser:
             # past a lone ']' before rechecking for '<' -- kept as-is
             if self.ms:
                 while s < end and doc[s] != "<":
-                    if doc[s] == "]":
+                    # ms is rechecked per char (hparser.c:1638): the
+                    # ]]> that empties the stack turns later ]]> runs
+                    # back into plain text within the same scan
+                    if doc[s] == "]" and self.ms:
                         end_text = s
                         s += 1
                         if s < end and doc[s] == "]":
@@ -843,7 +861,8 @@ class _Parser:
                             if s < end and doc[s] == ">":
                                 s += 1
                                 self._report(EV_TEXT, t, end_text)
-                                self.ms_stack.pop()
+                                if self.ms_stack:
+                                    self.ms_stack.pop()
                                 self._ms_update()
                                 self._report(EV_NONE, end_text, s)
                                 t = s

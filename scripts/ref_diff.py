@@ -1,0 +1,162 @@
+"""Differential tester: this engine's tokenizer vs the REAL reference
+parser (built from /root/reference source into /tmp/refbuild).
+
+Build the reference once:
+    cp -r /root/reference /tmp/refbuild
+    cd /tmp/refbuild && perl Makefile.PL && make
+
+Then:  python scripts/ref_diff.py [n_docs]
+
+Feeds identical documents (random tag soup + structured templates +
+entity/unicode material) through both parsers across several option
+configurations and compares the full event streams field by field.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from html_parser_spark.config import ParserConfig  # noqa: E402
+from html_parser_spark.functions import project  # noqa: E402
+from html_parser_spark.functions.tokenizer import tokenize  # noqa: E402
+
+PIECES = [
+    "<a>", "</a>", "<a b=c>", '<a b="c d">', "<a b='c'>", "<a b>",
+    "<x ", ">", "<", '"', "'", "=", " ", "text ", "&amp;", "&lt;x",
+    '<p class="x" id=y>', "</p >", '<img src=x.png alt="a b">',
+    "<br/>", "<a =b>", "<a b= >", '<a b="unterm', "`", "/", "\n",
+    "\t", '<a b c=1 d e="2">', "<title>t</title>",
+    "<script>x<y</script>", "<SCRIPT a=1>x</script>", "<a$ b%=^>",
+    "]]>", "<![CDATA[x]]>", "<!-- c -->", "<!-- a -- b -->", "<!>",
+    "<!doctype html>", "<?pi?>", "<?p", "<a b=c=d>", '<a "b"=c>',
+    "<a/>", "<a / >", "<a b=`x`>", "&aring;", "&#229;", "&#xE5;",
+    "&euro;", "&unknown;", "&#x110000;", "&ampx", "café ",
+    "<textarea>a&amp;b</textarea>", "<xmp><p></xmp>", "<plaintext>x",
+    "<style>p{}</style>", "<!--", "<a href=>", "<em>e</em>",
+    "<![INCLUDE[x]]>", "<![IGNORE[y]]>", "<![ CDATA [z]]>",
+    "<iframe>i</iframe>", "<p\x0bq>", "a&#56256;&#56453;b",
+    "&#xFDD0;", "&#0;", "<!ENTITY x 'y'>", "<!DOCTYPE a [ <b> ]>",
+    "<a b = c>", "</ a>", "</a b=c>", "<a\nb\n=\nc>", "&Aring",
+    "naïve Ünïcøde ", "<A HREF=X>", "<t\u00e9>", "&#x10FFFF;",
+]
+
+CONFIGS: list[dict] = [
+    {},
+    {"unbroken_text": 1},
+    {"xml_mode": 1},
+    {"strict_comment": 1},
+    {"case_sensitive": 1},
+    {"attr_encoded": 1},
+    {"empty_element_tags": 1},
+    {"backquote": 1},
+    {"strict_end": 1},
+    {"closing_plaintext": 1},
+    {"strict_names": 1},
+    {"marked_sections": 1},
+    {"strict_comment": 1, "strict_names": 1, "strict_end": 1},
+    {"xml_mode": 1, "case_sensitive": 1},
+    {"unbroken_text": 1, "empty_element_tags": 1},
+]
+
+
+def my_events(doc: str, opts: dict) -> list[dict]:
+    cfg = ParserConfig(**{k: bool(v) for k, v in opts.items()})
+    out = []
+    for row in tokenize(doc, cfg):
+        p = project.project(doc, row, cfg)
+        out.append({
+            "event": p["event"],
+            "text": p["text"],
+            "dtext": p["dtext"],
+            "tagname": p["tagname"],
+            "attr": p["attr"],
+            "attrseq": p["attrseq"],
+            "is_cdata": p["is_cdata"],
+            "offset": p["offset"],
+            "length": p["length"],
+            "line": p["line"],
+            "column": p["column"],
+        })
+    return out
+
+
+def norm_ref(ev: dict) -> dict:
+    if ev.get("is_cdata") is not None:
+        ev["is_cdata"] = bool(ev["is_cdata"])
+    return ev
+
+
+def compare(mine: list[dict], ref: list[dict], doc: str, opts: dict,
+            verbose: bool) -> list[str]:
+    errs = []
+    if len(mine) != len(ref):
+        errs.append(f"event count {len(mine)} vs {len(ref)}")
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        r = norm_ref(r)
+        for f in ("event", "text", "offset", "length", "line", "column"):
+            if m[f] != r[f]:
+                errs.append(f"ev{i} {f}: {m[f]!r} vs {r[f]!r}")
+        if r["event"] == "text":
+            if m["dtext"] != r["dtext"]:
+                errs.append(f"ev{i} dtext: {m['dtext']!r} vs {r['dtext']!r}")
+            if bool(m["is_cdata"]) != bool(r["is_cdata"]):
+                errs.append(f"ev{i} is_cdata: {m['is_cdata']} vs "
+                            f"{r['is_cdata']}")
+        if r["event"] in ("start", "end"):
+            if m["tagname"] != r["tagname"]:
+                errs.append(f"ev{i} tagname: {m['tagname']!r} vs "
+                            f"{r['tagname']!r}")
+        if r["event"] == "start":
+            if (m["attr"] or {}) != (r["attr"] or {}):
+                errs.append(f"ev{i} attr: {m['attr']!r} vs {r['attr']!r}")
+            if (m["attrseq"] or []) != (r["attrseq"] or []):
+                errs.append(f"ev{i} attrseq: {m['attrseq']!r} vs "
+                            f"{r['attrseq']!r}")
+        if errs and not verbose:
+            break
+    return errs
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    verbose = os.environ.get("REF_DIFF_VERBOSE", "") == "1"
+    rng = random.Random(20260817)
+    cases: list[tuple[str, dict]] = []
+    for t in range(n_docs):
+        doc = "".join(rng.choice(PIECES)
+                      for _ in range(rng.randint(1, 25)))
+        cases.append((doc, CONFIGS[t % len(CONFIGS)]))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.Popen(
+        ["perl", os.path.join(here, "ref_dump.pl")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
+    payload = "".join(
+        json.dumps({"doc": d, "opts": o}) + "\n" for d, o in cases)
+    out, _ = proc.communicate(payload, timeout=600)
+    ref_all = [json.loads(l) for l in out.splitlines() if l.strip()]
+    assert len(ref_all) == len(cases), (len(ref_all), len(cases))
+
+    n_fail = 0
+    for (doc, opts), ref in zip(cases, ref_all):
+        mine = my_events(doc, opts)
+        errs = compare(mine, ref, doc, opts, verbose)
+        if errs:
+            n_fail += 1
+            if n_fail <= 10:
+                print(f"DIFF opts={opts} doc={doc!r}")
+                for e in errs[:4]:
+                    print("   ", e)
+    print(f"{len(cases) - n_fail}/{len(cases)} identical event streams "
+          f"({n_fail} diffs)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
