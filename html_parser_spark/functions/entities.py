@@ -119,6 +119,17 @@ _DEC_RE = re.compile(r"[0-9]+")
 _HEX_RE = re.compile(r"[0-9A-Fa-f]+")
 
 
+def _chop_utf8_bytes(out: list[str], nbytes: int) -> None:
+    """Remove the last ``nbytes`` UTF-8 bytes from the accumulated
+    output parts (the reference decoder works on the raw byte buffer,
+    so its back-up is byte-granular, not char-granular)."""
+    tail = ""
+    while out and len(tail.encode("utf-8", "surrogatepass")) < nbytes:
+        tail = out.pop() + tail
+    b = tail.encode("utf-8", "surrogatepass")
+    out.append(b[:-nbytes].decode("utf-8", "surrogateescape"))
+
+
 def decode_entities(s: str, expand_prefix: bool = False) -> str:
     """Decode HTML entities exactly like the reference C decoder.
 
@@ -173,12 +184,14 @@ def decode_entities(s: str, expand_prefix: bool = False) -> str:
                     pass  # illegal; leave intact (util.c:137-139)
                 elif (num & 0xFFFFFC00) == 0xDC00:  # low surrogate
                     if high_surrogate:
-                        # back up past the U+FFFD emitted for the high
-                        # surrogate (util.c:144 "t -= 3")
-                        while out and not out[-1]:
-                            out.pop()
-                        if out:
-                            out[-1] = out[-1][:-1]
+                        # back up 3 BYTES (util.c:144 "t -= 3"): the C
+                        # assumes they are the U+FFFD emitted for the
+                        # high surrogate, but a failed numeric entity
+                        # in between leaves high_surrogate set and the
+                        # chop then eats whatever 3 bytes precede —
+                        # replicated bug-for-bug (verified against the
+                        # compiled reference by scripts/ref_diff.py)
+                        _chop_utf8_bytes(out, 3)
                         num = (
                             ((high_surrogate - 0xD800) << 10)
                             + (num - 0xDC00)

@@ -36,3 +36,14 @@ def test_event_streams_match_reference():
         capture_output=True, text=True, timeout=500)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "(0 diffs)" in out.stdout, out.stdout
+
+
+@pytest.mark.skipif(not have_ref, reason="built reference not present")
+def test_entity_codec_matches_reference():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "ent_diff.py"),
+         "5000"],
+        capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "decode diffs: 0/" in out.stdout, out.stdout
+    assert "encode diffs: 0/" in out.stdout, out.stdout
