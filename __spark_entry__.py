@@ -203,6 +203,15 @@ def _q_lsh_ann(spark, sf_dir):
     return lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2)
 
 
+def _q_dedup_components(spark, sf_dir):
+    from html_parser_spark.operators.dedup import (
+        connected_components, lsh_candidate_pairs, minhash_signatures)
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
+                                max_bucket=1_000_000)
+    return connected_components(pairs)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from html_parser_spark.operators.dedup import simhash_near_dup_pairs
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -261,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_pairs": _q_lsh_pairs,
+        "dedup_components": _q_dedup_components,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -483,6 +493,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END)
                         AS INTEGER) AS simhash
             FROM v GROUP BY doc_id""",
+        "dedup_components": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id, {_MINHASH_AGGS}
+              FROM ({_SHINGLES}) GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
+                FROM sig
+              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            edges AS (SELECT u, v FROM pairs
+                      UNION SELECT v, u FROM pairs),
+            reach(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r
+                ON e.v = r.u)
+            SELECT u AS id, min(label) AS component
+            FROM reach GROUP BY u""",
         "simhash_pairs": f"""
             WITH {_SIMHASH_CTE.format(h16=_H16)},
             bands AS (

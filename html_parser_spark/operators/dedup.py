@@ -233,6 +233,62 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, component) with
+    component = min reachable id.
+
+    Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors; converges in <= graph
+    diameter rounds (near-dup clusters are shallow). Each round is
+    one equi-join + hash-aggregate, so the per-round shuffle is O(E).
+    At extreme scale swap in the alternating large-star/small-star
+    variant — same driver loop, skew-resistant star contraction; the
+    sandbox-scale diameter here doesn't need it.
+
+    Composes the dedup pipeline end-to-end:
+    minhash/simhash/jaccard pairs -> components -> keep min id per
+    component (``dedup_canonical``).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (e.union(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+             .distinct().cache())
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    labels = labels.cache()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("u", "v"), "v")
+               .groupBy("u").agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least(
+                F.col("label"),
+                F.coalesce("nbr_label", F.col("label"))).alias("label"))
+            .cache())
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "u")
+                   .filter(F.col("new_label") != F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("id"),
+                         F.col("label").alias("component"))
+
+
+def dedup_canonical(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """(id, component, is_canonical): keep rows where is_canonical to
+    retain exactly one representative per near-dup cluster."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.select(
+        "id", "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"))
+
+
 def embedding_near_dup(df: DataFrame, key_col: str = "vec_id",
                        vec_col: str = "embedding",
                        threshold: float = 0.35) -> DataFrame:

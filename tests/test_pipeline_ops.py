@@ -129,6 +129,18 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) not in pairs
 
 
+def test_connected_components_and_canonical(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "id_a long, id_b long")
+    comp = {r.id: r.component
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    keep = {r.id: r.is_canonical
+            for r in dedup.dedup_canonical(pairs).collect()}
+    assert keep == {1: True, 2: False, 3: False, 9: False,
+                    5: True, 6: False}
+
+
 def test_embedding_near_dup(spark, vecs):
     pairs = {(r.id_a, r.id_b): r.cos_sim
              for r in dedup.embedding_near_dup(vecs,
