@@ -39,6 +39,16 @@ def test_event_streams_match_reference():
 
 
 @pytest.mark.skipif(not have_ref, reason="built reference not present")
+def test_extraction_traces_match_reference_tokeparser():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "toke_diff.py"),
+         "1000"],
+        capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "(0 diffs)" in out.stdout, out.stdout
+
+
+@pytest.mark.skipif(not have_ref, reason="built reference not present")
 def test_entity_codec_matches_reference():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "ent_diff.py"),
