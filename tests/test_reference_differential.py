@@ -49,6 +49,17 @@ def test_extraction_traces_match_reference_tokeparser():
 
 
 @pytest.mark.skipif(not have_ref, reason="built reference not present")
+def test_headparser_linkextor_match_reference():
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "headlink_diff.py"), "1000"],
+        capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "headers: 1000/1000" in out.stdout, out.stdout
+    assert "links: 1000/1000" in out.stdout, out.stdout
+
+
+@pytest.mark.skipif(not have_ref, reason="built reference not present")
 def test_entity_codec_matches_reference():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "ent_diff.py"),
