@@ -895,10 +895,14 @@ class _Parser:
             if end - s < 3:
                 return s
 
-            # dispatch on char after '<' (hparser.c:1687-1700, mkpfunc)
+            # dispatch on char after '<' (hparser.c:1687-1700): the
+            # compiled reference uses isHNAME_FIRST here — letters
+            # plus '_' and ':' — not bare letters (mkpfunc's table is
+            # the USE_PFUNC variant with [A-Za-z] only; the shipped
+            # build takes the isHNAME_FIRST branch)
             s += 1
             c = doc[s]
-            if c in _LETTERS:
+            if c in _NAME_FIRST:
                 new_pos = self._parse_start(t)
             elif c == "/":
                 new_pos = self._parse_end(t)

@@ -127,10 +127,19 @@ def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     verbose = os.environ.get("REF_DIFF_VERBOSE", "") == "1"
     rng = random.Random(20260817)
+    # crashme-style raw-character soup (t/crashme.t pattern) mixed in
+    # with the structured pieces: every 4th document is random chars
+    byte_alphabet = ([chr(i) for i in range(1, 256)]
+                     + list("<>&;=\"'!-#[]/?") * 20
+                     + ["<a ", "</", "<!", "&#"] * 5)
     cases: list[tuple[str, dict]] = []
     for t in range(n_docs):
-        doc = "".join(rng.choice(PIECES)
-                      for _ in range(rng.randint(1, 25)))
+        if t % 4 == 3:
+            doc = "".join(rng.choice(byte_alphabet)
+                          for _ in range(rng.randint(1, 120)))
+        else:
+            doc = "".join(rng.choice(PIECES)
+                          for _ in range(rng.randint(1, 25)))
         cases.append((doc, CONFIGS[t % len(CONFIGS)]))
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -140,7 +149,8 @@ def main() -> int:
     payload = "".join(
         json.dumps({"doc": d, "opts": o}) + "\n" for d, o in cases)
     out, _ = proc.communicate(payload, timeout=600)
-    ref_all = [json.loads(l) for l in out.splitlines() if l.strip()]
+    # split on \n only: decoded docs may contain NEL/U+2028 etc.
+    ref_all = [json.loads(l) for l in out.split("\n") if l.strip()]
     assert len(ref_all) == len(cases), (len(ref_all), len(cases))
 
     n_fail = 0
