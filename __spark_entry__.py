@@ -157,6 +157,11 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir), ["doc_id"])
 
 
+def _q_normalize_text(spark, sf_dir):
+    from html_parser_spark.operators.textstats import normalize_text
+    return normalize_text(_docs(spark, sf_dir), ["doc_id"])
+
+
 def _q_minhash_sigs(spark, sf_dir):
     from html_parser_spark.operators.dedup import minhash_signatures
     return minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
@@ -268,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "normalize_text": _q_normalize_text,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
@@ -461,6 +467,12 @@ def oracle_sql() -> dict[str, str]:
                                regexp_split_to_array(trim(text), '\\s+')
                                  AS w
                         FROM documents))""",
+        "normalize_text": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(nfc_normalize(text),
+                                             '\\s+', ' ', 'g')))
+                     AS norm_text
+            FROM documents""",
         "minhash_sigs": f"""
             SELECT doc_id, {_MINHASH_AGGS}
             FROM ({_SHINGLES}) GROUP BY doc_id""",

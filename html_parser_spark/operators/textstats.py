@@ -95,6 +95,28 @@ def lang_id(df: DataFrame, key_cols: list[str],
     )
 
 
+def normalize_text(df: DataFrame, key_cols: list[str],
+                   text_col: str = "text",
+                   form: str = "NFC") -> DataFrame:
+    """Unicode normalization + whitespace/case canonicalization — the
+    standard pre-dedup text canonicalizer.
+
+    Unicode normalization has no JVM built-in, so this is one of the
+    few legitimately Pandas-UDF-backed operators (Arrow-batched,
+    SURVEY.md §2.6); the ws/case steps stay in JVM expressions.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda x: unicodedata.normalize(form, x)
+                     if isinstance(x, str) else x)
+
+    canon = F.lower(F.trim(F.regexp_replace(
+        _norm(F.col(text_col)), r"\s+", " ")))
+    return df.select(*key_cols, canon.alias("norm_text"))
+
+
 def fingerprint(df: DataFrame, key_cols: list[str],
                 text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over the whitespace- and

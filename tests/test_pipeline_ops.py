@@ -61,6 +61,18 @@ def test_quality_and_lang(spark, docs):
     assert li[4] == "other"
 
 
+def test_normalize_text_unicode(spark):
+    df = spark.createDataFrame(
+        [(0, "Cafe\u0301  X"),     # combining accent -> NFC e-acute
+         (1, "caf\u00e9 x"),
+         (2, "A\u00a0B")],         # NBSP is NOT whitespace here
+        "doc_id long, text string")
+    out = {r.doc_id: r.norm_text for r in
+           textstats.normalize_text(df, ["doc_id"]).collect()}
+    assert out[0] == out[1] == "caf\u00e9 x"
+    assert out[2] == "a\u00a0b"
+
+
 def test_fingerprint_normalizes_ws_case(spark):
     df = spark.createDataFrame(
         [(0, "Hello  World"), (1, "hello world"), (2, "other text")],
