@@ -62,11 +62,25 @@ CONFIGS: list[dict] = [
     {"strict_comment": 1, "strict_names": 1, "strict_end": 1},
     {"xml_mode": 1, "case_sensitive": 1},
     {"unbroken_text": 1, "empty_element_tags": 1},
+    {"ignore_tags": ["b", "i", "a"]},
+    {"ignore_elements": ["div", "script", "title"]},
+    {"report_tags": ["a", "p", "img"]},
+    {"ignore_tags": ["a"], "report_tags": ["a", "p"],
+     "unbroken_text": 1},
+    {"boolean_attribute_value": "__BOOL__"},
 ]
 
 
 def my_events(doc: str, opts: dict) -> list[dict]:
-    cfg = ParserConfig(**{k: bool(v) for k, v in opts.items()})
+    kw = {}
+    for k, v in opts.items():
+        if k == "boolean_attribute_value":  # reference setter name
+            kw["bool_attr_val"] = v
+        elif isinstance(v, list):
+            kw[k] = tuple(v)
+        else:
+            kw[k] = bool(v)
+    cfg = ParserConfig(**kw)
     out = []
     for row in tokenize(doc, cfg):
         p = project.project(doc, row, cfg)

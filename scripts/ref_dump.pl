@@ -46,7 +46,9 @@ while (my $line = <STDIN>) {
       . "offset, length, line, column"
     );
     for my $o (sort keys %$opts) {
-        $p->$o($opts->{$o});
+        my $v = $opts->{$o};
+        if (ref $v eq 'ARRAY') { $p->$o(@$v); }
+        else                   { $p->$o($v); }
     }
     $p->parse($doc);
     $p->eof;
