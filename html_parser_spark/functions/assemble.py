@@ -261,10 +261,19 @@ def anchors(doc: str, rows, cfg: ParserConfig,
     return out
 
 
-def _unquote_span(doc: str, beg: int, end: int) -> tuple[int, int]:
-    if end - beg >= 2 and doc[beg] in "\"'`" and doc[end - 1] == doc[beg]:
+def _unquote_span(doc: str, beg: int, end: int,
+                  cfg: ParserConfig) -> tuple[int, int]:
+    # '`' is a quote only when the backquote option is on, matching
+    # the tokenizer's _attr_value (hparser.c:456-461)
+    quotes = "\"'`" if cfg.backquote else "\"'"
+    if end - beg >= 2 and doc[beg] in quotes and doc[end - 1] == doc[beg]:
         return beg + 1, end - 1
     return beg, end
+
+
+#: entity escape for the active quote char when splicing a rewritten
+#: value back into a quoted span (eg/hrefsub re-quotes with &quot;)
+_QUOTE_ESCAPE = {'"': "&quot;", "'": "&#39;", "`": "&#96;"}
 
 
 def rewrite_links(doc: str, rows, cfg: ParserConfig, rewrite) -> str:
@@ -293,9 +302,15 @@ def rewrite_links(doc: str, rows, cfg: ParserConfig, rewrite) -> str:
             name = ascii_lower(doc[name_t[0]:name_t[1]])
             if name not in want:
                 continue
-            vb, ve = _unquote_span(doc, val_t[0], val_t[1])
+            vb, ve = _unquote_span(doc, val_t[0], val_t[1], cfg)
             new = rewrite(tag, name, doc[vb:ve])
             if new != doc[vb:ve]:
+                if vb > val_t[0]:
+                    # splicing into a quoted span: entity-encode the
+                    # active quote so the value cannot break out of it
+                    # (the reference's eg/hrefsub re-quotes likewise)
+                    q = doc[val_t[0]]
+                    new = new.replace(q, _QUOTE_ESCAPE[q])
                 edits.append((vb, ve, new))
     if not edits:
         return doc

@@ -403,7 +403,7 @@ class _Parser:
         self._report(EV_START, beg, s, tokens)
         if not self.cfg.xml_mode:
             tb, te = tokens[0]
-            tag = doc[tb:te].lower()
+            tag = ascii_lower(doc[tb:te])
             cdata = LITERAL_MODE_ELEMS.get(tag)
             if cdata is not None:
                 self.literal_mode = tag

@@ -86,6 +86,7 @@ EVENTS_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("dtext", T.StringType()),
     T.StructField("tagname", T.StringType()),
+    T.StructField("tag", T.StringType()),
     T.StructField("token0", T.StringType()),
     T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
     T.StructField("attrseq", T.ArrayType(T.StringType())),
@@ -93,6 +94,7 @@ EVENTS_SCHEMA = T.StructType([
     T.StructField("tokenpos", T.ArrayType(T.IntegerType())),
     T.StructField("is_cdata", T.BooleanType()),
     T.StructField("offset", T.IntegerType()),
+    T.StructField("offset_end", T.IntegerType()),
     T.StructField("length", T.IntegerType()),
     T.StructField("line", T.IntegerType()),
     T.StructField("column", T.IntegerType()),
@@ -111,6 +113,7 @@ def _mk_field_builders():
         "text": lambda doc, row, cfg: prj.raw_text(doc, row),
         "dtext": lambda doc, row, cfg: prj.dtext(doc, row),
         "tagname": lambda doc, row, cfg: prj.tagname(doc, row, cfg),
+        "tag": lambda doc, row, cfg: prj.tag(doc, row, cfg),
         "token0": lambda doc, row, cfg: prj.token0(doc, row),
         "attrs": lambda doc, row, cfg:
             (lambda a: a[0] if a else None)(prj.attrs(doc, row, cfg)),
@@ -122,6 +125,8 @@ def _mk_field_builders():
         "is_cdata": lambda doc, row, cfg:
             row[4] if row[0] == "text" else None,
         "offset": lambda doc, row, cfg: row[5],
+        "offset_end": lambda doc, row, cfg:
+            row[5] + len(prj.raw_text(doc, row)),
         "length": lambda doc, row, cfg: len(prj.raw_text(doc, row)),
         "line": lambda doc, row, cfg: row[6],
         "column": lambda doc, row, cfg: row[7],
@@ -155,10 +160,16 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
         [EVENTS_SCHEMA[k] for k in key_fields]
         + [EVENTS_SCHEMA[f] for f in sel])
     builders = [(f, _FIELD_BUILDERS[f]) for f in sel]
-    if cfg.track_positions and not {"offset", "line", "column"} & set(sel):
+    pos_fields = {"offset", "offset_end", "line", "column"} & set(sel)
+    if cfg.track_positions and not pos_fields:
         # lazy position tracking (SURVEY.md O5): nothing selected
         # reads positions, so skip the per-event line/column upkeep
         cfg = cfg.with_(track_positions=False)
+    elif not cfg.track_positions and pos_fields:
+        # mirror the reference's lazy ENABLE (hparser.c:724-727): an
+        # argspec asking for positions turns tracking on even if the
+        # preset (e.g. EXTRACT_CONFIG) switched it off
+        cfg = cfg.with_(track_positions=True)
 
     # attrs and attrseq share one computation when both are selected
     pair_attrs = "attrs" in sel and "attrseq" in sel

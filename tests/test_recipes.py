@@ -51,6 +51,29 @@ class TestRewriteLinks:
         got = assemble.rewrite_links(doc, _rows(doc), CFG, rw)
         assert got == "<a href><area nohref href='/Q'>"
 
+    def test_quote_char_escaped_in_replacement(self):
+        # a rewritten URL containing the active quote char must not
+        # break out of the quoted span (eg/hrefsub re-quotes likewise)
+        doc = '<a href="/a">x</a><img src=\'/b\'>'
+        rw = lambda tag, name, raw: raw + '?q="v"&s=\'w\''
+        got = assemble.rewrite_links(doc, _rows(doc), CFG, rw)
+        assert got == ('<a href="/a?q=&quot;v&quot;&s=\'w\'">x</a>'
+                       "<img src='/b?q=\"v\"&s=&#39;w&#39;'>")
+        # and the result must re-parse with the full value intact
+        links = assemble.extract_links(got, _rows(got), CFG)
+        assert [u for _, _, _, u in links] == [
+            '/a?q="v"&s=\'w\'', "/b?q=\"v\"&s='w'"]
+
+    def test_backquote_unquote_only_when_enabled(self):
+        doc = "<a href=`/q`>"
+        rw = lambda tag, name, raw: raw.upper()
+        # backquote off: '`' is part of the raw value, not a quote
+        got = assemble.rewrite_links(doc, _rows(doc), CFG, rw)
+        assert got == "<a href=`/Q`>"
+        bq = ParserConfig(backquote=True)
+        got = assemble.rewrite_links(doc, _rows(doc, bq), bq, rw)
+        assert got == "<a href=`/Q`>"
+
 
 class TestStripMarkup:
     def test_drops_styling_tags_keeps_text(self):

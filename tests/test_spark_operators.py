@@ -74,6 +74,35 @@ def test_events_df(spark, transcripts):
     assert by[("c1", 1)]["sum_len"] == len("plain text &aring; here")
 
 
+def test_events_tag_offset_end_fields(spark, transcripts):
+    """`tag` (event-code prefix, hparser.c:424-427) and `offset_end`
+    (hparser.c:564-574) exposed through the events() argspec."""
+    ev = ops.events(transcripts, ParserConfig(),
+                    fields=("event", "tag", "offset", "offset_end",
+                            "length"))
+    rows = ev.filter("conv_id = 'c1' AND turn_idx = 0") \
+        .orderBy("seq").collect()
+    tags = [r["tag"] for r in rows if r["tag"] is not None]
+    assert tags[:3] == ["html", "head", "title"]
+    assert "/title" in tags  # end tags prefixed '/'
+    for r in rows:
+        assert r["offset_end"] == r["offset"] + r["length"]
+
+
+def test_events_positions_auto_enabled(spark, transcripts):
+    """A cfg with track_positions=False still yields real offsets when
+    the argspec selects them (reference lazily ENABLES tracking)."""
+    cfg = ParserConfig(track_positions=False)
+    ev = ops.events(transcripts, cfg, fields=("event", "offset", "length"))
+    rows = ev.filter("conv_id = 'c1' AND turn_idx = 0") \
+        .orderBy("seq").collect()
+    # events tile the document: each offset equals the running sum
+    pos = 0
+    for r in rows:
+        assert r["offset"] == pos
+        pos += r["length"]
+
+
 def test_headers_df(spark, transcripts):
     rows = ops.head_headers(transcripts).collect()
     got = {(r["conv_id"], r["turn_idx"], r["header_name"]): r["header_value"]
