@@ -181,8 +181,16 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from html_parser_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+    """Scale-default composition: exact Jaccard scored only on
+    MinHash-LSH candidate pairs (the operator's ``candidates``
+    path), never the corpus cross-product."""
+    from html_parser_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs)
+    docs = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=8),
+        num_hashes=8, band_size=2, max_bucket=1_000_000)
+    return ngram_jaccard_pairs(docs, threshold=0.1, candidates=cand)
 
 
 def _q_cosine_knn(spark, sf_dir):
@@ -194,8 +202,11 @@ def _q_cosine_knn(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    """Default (bucketed) path: same-sketch-bucket candidates, exact
+    cosine on candidates only; the oracle rebuilds the sketch."""
     from html_parser_spark.operators.dedup import embedding_near_dup
-    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.3)
+    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.3,
+                              dim=64, n_bits=8)
 
 
 def _q_lsh_ann(spark, sf_dir):
@@ -307,32 +318,34 @@ _MINHASH_AGGS = ", ".join(
 _STOPLIST = ("['the','a','of','and','to','in','is','it','that','for',"
              "'on','with','as','was','at','by','an','be','this','are']")
 
-_HEXPOS = "position(substr(md5(x), {p}, 1) IN '0123456789abcdef')-1"
-_H16 = " + ".join(f"({_HEXPOS.format(p=p)})*{m}"
-                  for p, m in ((1, 4096), (2, 256), (3, 16), (4, 1)))
+#: DuckDB twin of dedup.simhash's 64-bit construction: bit b of a
+#: word hash = bit (b%4) of hex nibble (b//4) of md5(word); the
+#: signature is the two's-complement signed-bigint reading of the 64
+#: vote-sign bits (bit 63 contributes -2^63).
+_SIMHASH64_CTE = """
+    wrds AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS x
+      FROM documents),
+    m AS (SELECT doc_id, md5(x) AS m FROM wrds),
+    v AS (SELECT doc_id, b,
+                 sum(2 * (((position(substr(m, CAST(b // 4 AS INT) + 1,
+                        1) IN '0123456789abcdef') - 1)
+                        >> (b % 4)) & 1) - 1) AS v
+          FROM m, (SELECT unnest(range(0, 64)) AS b)
+          GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN
+                        (CASE WHEN b = 63 THEN -9223372036854775808
+                         ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)
+                        ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id)
+"""
 
 _COS = ("round(CAST(list_cosine_similarity("
         "CAST(embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
         "WHERE vec_id = 0)) AS DOUBLE), 3)")
-
-_SIMHASH_CTE = f"""
-    wrds AS (
-      SELECT doc_id,
-             unnest(regexp_split_to_array(trim(text), '\\s+')) AS x
-      FROM documents),
-    h AS (SELECT doc_id, {{h16}} AS h FROM wrds),
-    v AS (SELECT doc_id, b,
-                 sum(CASE WHEN ((h >> b) & 1) = 1
-                     THEN 1 ELSE -1 END) AS v
-          FROM h, (SELECT unnest(range(0, 16)) AS b)
-          GROUP BY doc_id, b),
-    sig AS (SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END)
-                        AS INTEGER) AS simhash
-            FROM v GROUP BY doc_id)
-"""
-
 
 def _lsh_bucket_expr(vec_sql: str, n_bits: int = 8, dim: int = 64,
                      seed: int = 7) -> str:
@@ -491,20 +504,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id""",
         "simhash": f"""
-            WITH wrds AS (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS x
-              FROM documents),
-            h AS (SELECT doc_id, {_H16} AS h FROM wrds),
-            v AS (SELECT doc_id, b,
-                         sum(CASE WHEN ((h >> b) & 1) = 1
-                             THEN 1 ELSE -1 END) AS v
-                  FROM h, (SELECT unnest(range(0, 16)) AS b)
-                  GROUP BY doc_id, b)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END)
-                        AS INTEGER) AS simhash
-            FROM v GROUP BY doc_id""",
+            WITH {_SIMHASH64_CTE}
+            SELECT doc_id, simhash FROM sig""",
         "dedup_components": f"""
             WITH RECURSIVE sig AS (
               SELECT doc_id, {_MINHASH_AGGS}
@@ -530,26 +531,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS id, min(label) AS component
             FROM reach GROUP BY u""",
         "simhash_pairs": f"""
-            WITH {_SIMHASH_CTE.format(h16=_H16)},
+            WITH {_SIMHASH64_CTE},
             bands AS (
               SELECT doc_id, simhash, b AS band,
-                     (simhash >> (4 * b)) & 15 AS nib
+                     (simhash >> CAST(16 * b AS INT)) & 65535 AS bv
               FROM sig, (SELECT unnest(range(0, 4)) AS b))
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash))
                         AS INTEGER) AS hamming
             FROM bands a JOIN bands b
-              ON a.band = b.band AND a.nib = b.nib
+              ON a.band = b.band AND a.bv = b.bv
              AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard": f"""
-            WITH sh AS ({_SHINGLES}),
+            WITH sig AS (
+              SELECT doc_id, {_MINHASH_AGGS}
+              FROM ({_SHINGLES}) GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
+                FROM sig
+              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            sh AS ({_SHINGLES}),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh
                       GROUP BY doc_id),
-            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                             count(*) AS inter
-                      FROM sh a JOIN sh b
-                        ON a.s = b.s AND a.doc_id < b.doc_id
+            pairs AS (SELECT c.id_a, c.id_b, count(*) AS inter
+                      FROM cand c
+                      JOIN sh a ON a.doc_id = c.id_a
+                      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
                       GROUP BY 1, 2)
             SELECT id_a, id_b, jaccard FROM (
               SELECT id_a, id_b,
@@ -563,16 +578,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
                    {_COS} AS cos_sim
             FROM embeddings WHERE {_COS} >= 0.2""",
-        "embedding_near_dup": """
+        "embedding_near_dup": f"""
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_lsh_bucket_expr("CAST(embedding AS DOUBLE[])")}
+                       AS bucket
+              FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(CAST(list_cosine_similarity(
-                       CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3)
-                     AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(CAST(list_cosine_similarity(
-                      CAST(a.embedding AS DOUBLE[]),
-                      CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 3) >= 0.3""",
+                   round(CAST(list_cosine_similarity(a.v, b.v)
+                              AS DOUBLE), 3) AS cos_sim
+            FROM c a JOIN c b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.v, b.v)
+                             AS DOUBLE), 3) >= 0.3""",
         "lsh_ann": f"""
             WITH c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -14,9 +14,10 @@ Scale notes (the whole point of these designs):
   (the classic MinHash-LSH trick: no O(n²) compare). A hot bucket
   (degenerate band) would explode quadratically — ``max_bucket`` caps
   it, the standard guard at corpus scale.
-* **simhash** — md5-derived 16-bit signature entirely in JVM
+* **simhash** — md5-derived 64-bit signature entirely in JVM
   expressions; near-dup = signatures at small Hamming distance,
-  found via exact-match on rotated/banded pieces if needed.
+  found via exact-match on four 16-bit bands (65,536 bucket values
+  per band keeps candidate generation output-bounded at scale).
 * **ngram_jaccard_pairs** — shingle-join computes exact Jaccard but
   only over docs that share ≥1 shingle; at corpus scale you run it
   on LSH candidates only (compose the two operators).
@@ -138,29 +139,51 @@ def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
 
 def simhash(df: DataFrame, key_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over whitespace words, md5-derived, pure JVM.
+    """64-bit SimHash over whitespace words, md5-derived, pure JVM.
 
-    Per word: h = first 4 hex nibbles of md5(word) as an int; per bit
-    b: vote +1 if set else -1 summed over words; signature bit b = 1
-    iff vote > 0. Near-duplicates have small Hamming distance.
+    Per word: the first 16 hex nibbles of md5(word) give a 64-bit
+    hash (bit b lives in nibble b//4, bit position b%4); per bit b:
+    vote +1 if set else -1 summed over words; signature bit b = 1 iff
+    vote > 0. Near-duplicates have small Hamming distance. The value
+    is the signed-bigint (two's-complement) reading of the 64 bits,
+    reproducible in any engine with md5 + 64-bit ints.
 
-    Shuffle-free: per-word hashes and per-bit votes are computed with
-    array expressions inside one codegen stage — the corpus never
-    leaves its input partitioning.
+    64 bits (not 16) so that banding into four 16-bit bands gives
+    65,536 distinct bucket values per band — bucket cardinality
+    ~n/65536, keeping the near-dup candidate join output-bounded at
+    corpus scale instead of the ~n²/64 a narrow signature produces.
+
+    Shuffle-free: md5 runs once per word, the 64 per-bit votes
+    accumulate in one ``aggregate`` over the word array inside a
+    single codegen stage — the corpus never leaves its input
+    partitioning.
     """
-    hexpos = "(position(substr(md5(x), {p}, 1) IN '0123456789abcdef')-1)"
-    h16 = (f"{hexpos.format(p=1)}*4096 + {hexpos.format(p=2)}*256 + "
-           f"{hexpos.format(p=3)}*16 + {hexpos.format(p=4)}")
-    # words -> per-word 16-bit hashes (md5 computed once per word)
-    hs = (f"transform(split(trim({text_col}), '\\\\s+'), "
-          f"x -> {h16})")
-    vote = (f"aggregate({hs}, cast(0 as bigint), "
-            "(acc, h) -> acc + (CASE WHEN ((h >> {b}) & 1) = 1 "
-            "THEN 1 ELSE -1 END))")
-    sig = " + ".join(
-        f"(CASE WHEN ({vote.format(b=b)}) > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(16))
-    return df.selectExpr(key_col, f"cast(({sig}) as int) AS simhash")
+    nib = ("(position(substr(m, CAST(b div 4 AS INT) + 1, 1) "
+           "IN '0123456789abcdef') - 1)")
+    bit = f"(shiftright({nib}, CAST(b % 4 AS INT)) & 1)"
+    votes = (
+        f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
+        f"x -> md5(x)), array_repeat(CAST(0 AS BIGINT), 64), "
+        f"(acc, m) -> zip_with(acc, transform(sequence(0, 63), "
+        f"b -> CAST(2 * {bit} - 1 AS BIGINT)), (a, v) -> a + v))"
+    )
+
+    def band(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN element_at(_v, {16 * b + j + 1}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(16))
+
+    with_bands = df.selectExpr(key_col, f"{votes} AS _v").selectExpr(
+        key_col,
+        *[f"CAST({band(b)} AS BIGINT) AS _h{b}" for b in range(4)])
+    # two's-complement assembly: band 3 holds bits 48-63, so read it
+    # as a signed 16-bit value before scaling — no 64-bit overflow
+    return with_bands.selectExpr(
+        key_col,
+        "CAST(_h0 + _h1 * 65536 + _h2 * 4294967296 + "
+        "(_h3 - CASE WHEN _h3 >= 32768 THEN 65536 ELSE 0 END) "
+        "* 281474976710656 AS BIGINT) AS simhash")
 
 
 def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
@@ -169,27 +192,31 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
     """SimHash near-dup: (id_a, id_b, hamming) for signature pairs
     within ``max_hamming`` bits.
 
-    Candidate generation is banded (four 4-bit nibbles): any pair
-    within Hamming distance 3 of a 16-bit signature must agree on at
-    least one nibble (pigeonhole), so the join is an equi-join on
-    (band, nibble) — never an all-pairs scan — then the exact
-    ``bit_count(xor)`` filter runs on candidates only.
+    Candidate generation is banded (four 16-bit bands of the 64-bit
+    signature): any pair within Hamming distance 3 must agree on at
+    least one band (pigeonhole), so the join is an equi-join on
+    (band_idx, band_value) — never an all-pairs scan — then the exact
+    ``bit_count(xor)`` filter runs on candidates only. With 65,536
+    values per band, buckets hold ~n/65536 non-near-dup rows, so the
+    candidate set stays close to the true near-dup count at scale.
     """
     sigs = simhash(df, key_col, text_col)
     bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.expr(f"(simhash >> {4 * b}) & 15").alias("nib"))
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {16 * b}) & 65535").alias("bv"),
+        )
         for b in range(4)
     ])
     exploded = sigs.select(
         F.col(key_col).alias("key"), "simhash",
         F.explode(bands).alias("bn"),
-    ).select("key", "simhash", "bn.band", "bn.nib")
+    ).select("key", "simhash", "bn.band", "bn.bv")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.nib") == F.col("b.nib"))
+               & (F.col("a.bv") == F.col("b.bv"))
                & (F.col("a.key") < F.col("b.key")))
         .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"),
                 F.bit_count(F.expr("a.simhash ^ b.simhash"))
@@ -201,28 +228,52 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.1) -> DataFrame:
-    """Exact n-gram Jaccard over co-shingled pairs: (id_a, id_b,
-    jaccard) with jaccard >= threshold, id_a < id_b.
+                        threshold: float = 0.1,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard: (id_a, id_b, jaccard) with jaccard >=
+    threshold, id_a < id_b.
 
-    The shingle equi-join only materializes pairs sharing a shingle;
-    at full scale feed it LSH candidates instead of the raw corpus.
+    ``candidates`` is the scale path and the intended default usage:
+    pass the (id_a, id_b) output of :func:`lsh_candidate_pairs` and
+    only those pairs are scored — the shuffle is bounded by the
+    candidate set, never the corpus cross-product. Without
+    ``candidates`` the co-shingle equi-join scores every pair sharing
+    at least one shingle — exact, but its join fan-out grows with
+    shingle-frequency skew; reserve it for bounded corpora.
+
+    All joins here are plain shuffle joins — no broadcast of any
+    corpus-derived table (the per-doc ``sizes`` table is O(corpus)
+    rows and must never be collected to the driver). Small-side
+    broadcasting at runtime is left to AQE, which sees actual sizes.
     """
     sh = shingle_rows(df, key_col, text_col, n)
     sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle"))
-              & (F.col("a.key") < F.col("b.key")))
-        .groupBy(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+        inter = (
+            cand
+            .join(sh.withColumnRenamed("key", "id_a"), "id_a")
+            .join(sh.withColumnRenamed("key", "id_b"),
+                  ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.key") < F.col("b.key")))
+            .groupBy(F.col("a.key").alias("id_a"),
+                     F.col("b.key").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     j = (
         inter
-        .join(F.broadcast(sizes.withColumnRenamed("key", "id_a")
-                          .withColumnRenamed("n_sh", "na")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("key", "id_b")
-                          .withColumnRenamed("n_sh", "nb")), "id_b")
+        .join(sizes.select(F.col("key").alias("id_a"),
+                           F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("key").alias("id_b"),
+                           F.col("n_sh").alias("nb")), "id_b")
         .select(
             "id_a", "id_b",
             F.round(F.col("inter").cast("double")
@@ -291,22 +342,44 @@ def dedup_canonical(pairs: DataFrame, id_a: str = "id_a",
 
 def embedding_near_dup(df: DataFrame, key_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       threshold: float = 0.35) -> DataFrame:
-    """All-pairs cosine near-dup: (id_a, id_b, cos_sim) above
+                       threshold: float = 0.35, dim: int = 64,
+                       n_bits: int = 8, seed: int = 7,
+                       exhaustive: bool = False) -> DataFrame:
+    """Embedding-cosine near-dup: (id_a, id_b, cos_sim) above
     threshold, id_a < id_b, rounded to 3 decimals.
 
-    The right side is broadcast when it fits (the common case for a
-    dedup *reference* set); full corpus×corpus runs go through the
-    LSH bucketing in similarity.py instead.
+    Default path (the 100 TB one): both sides bucketed by the
+    deterministic hyperplane sketch (similarity.lsh_sketch_expr),
+    candidate pairs = same-bucket rows only, then exact cosine. The
+    equi-join on the bucket key is output-bounded — the corpus is
+    never crossed with itself and nothing corpus-sized is broadcast.
+    Recall is bounded by bucket collisions (raise it with fewer bits
+    or by unioning seeds); the oracle rebuilds the identical sketch,
+    so the bucketed contract is itself verified.
+
+    ``exhaustive=True`` is the small-REFERENCE-set escape hatch: an
+    all-pairs cosine with the right side broadcast. Only use it when
+    one side is known-small; it is deliberately not the default.
     """
-    from html_parser_spark.operators.similarity import cosine_expr
+    from html_parser_spark.operators.similarity import (
+        cosine_expr, lsh_sketch_expr)
 
     norm = df.select(F.col(key_col).alias("key"), F.col(vec_col).alias("v"))
-    a = norm.alias("a")
-    b = norm.alias("b")
     sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+    if exhaustive:
+        a = norm.alias("a")
+        b = norm.alias("b")
+        joined = a.join(F.broadcast(b), F.col("a.key") < F.col("b.key"))
+    else:
+        bucketed = norm.withColumn(
+            "_bucket", lsh_sketch_expr("v", dim, n_bits, seed))
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        joined = a.join(
+            b, (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a.key") < F.col("b.key")))
     return (
-        a.join(F.broadcast(b), F.col("a.key") < F.col("b.key"))
+        joined
         .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"),
                 F.round(sim, 3).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -109,12 +109,18 @@ def test_lsh_pairs_find_dup_and_near_dup(spark, docs):
     assert all(a < b for a, b in pairs)
 
 
+def _ham64(a: int, b: int) -> int:
+    # signatures are signed-bigint readings of 64 bits; mask before
+    # popcount so Python's infinite-precision ints match bit_count
+    return bin((a ^ b) & (2 ** 64 - 1)).count("1")
+
+
 def test_simhash_dup_equal_and_near(spark, docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert sh[0] == sh[3]
-    ham = bin(sh[0] ^ sh[1]).count("1")
-    assert ham <= 6          # one-word diff -> small hamming distance
-    assert 0 <= sh[0] < 2 ** 16
+    ham = _ham64(sh[0], sh[1])
+    assert ham <= 24         # one-word diff -> small hamming distance
+    assert -(2 ** 63) <= sh[0] < 2 ** 63
 
 
 def test_simhash_near_dup_pairs_complete(spark, docs):
@@ -126,9 +132,9 @@ def test_simhash_near_dup_pairs_complete(spark, docs):
     assert pairs[(0, 3)] == 0  # exact dup
     # pigeonhole guarantee: banding must find EVERY pair within 3 bits
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
-    brute = {(a, b): bin(sh[a] ^ sh[b]).count("1")
+    brute = {(a, b): _ham64(sh[a], sh[b])
              for a, b in itertools.combinations(sorted(sh), 2)
-             if bin(sh[a] ^ sh[b]).count("1") <= 3}
+             if _ham64(sh[a], sh[b]) <= 3}
     assert pairs == brute
 
 
@@ -139,6 +145,63 @@ def test_ngram_jaccard(spark, docs):
     assert pairs[(0, 3)] == 1.0
     assert 0.1 <= pairs[(0, 1)] < 1.0
     assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_candidates_path(spark, docs):
+    """The scale-default composition: score only LSH candidates; the
+    scores must equal the exhaustive path's on those pairs."""
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(
+               docs, threshold=0.1, candidates=cand).collect()}
+    assert got[(0, 3)] == 1.0
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.1).collect()}
+    for k, v in got.items():
+        assert full[k] == v
+
+
+def _plan_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+def test_dedup_plans_no_corpus_broadcast(spark, docs, vecs):
+    """Scale guards: no corpus-derived table is planned for broadcast
+    and nothing degenerates into a cartesian/nested-loop product.
+    (AQE may still broadcast at RUNTIME once it sees actual sizes —
+    that is the adaptive behavior we want; the static plan must not
+    assume it fits.)"""
+    for df in (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.1),
+        dedup.embedding_near_dup(vecs, threshold=0.3, dim=4, n_bits=4),
+        dedup.simhash_near_dup_pairs(docs),
+    ):
+        plan = _plan_str(df)
+        assert "BroadcastExchange" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_near_dup_bucketed_matches_exhaustive_subset(
+        spark, vecs):
+    """Bucketed pairs are a subset of exhaustive pairs with identical
+    scores, and the clear near-dup (colliding bucket) is found."""
+    got = {(r.id_a, r.id_b): r.cos_sim
+           for r in dedup.embedding_near_dup(
+               vecs, threshold=0.3, dim=4, n_bits=4).collect()}
+    full = {(r.id_a, r.id_b): r.cos_sim
+            for r in dedup.embedding_near_dup(
+                vecs, threshold=0.3, exhaustive=True).collect()}
+    assert (0, 1) in got           # same sketch bucket -> found
+    for k, v in got.items():
+        assert full[k] == v
 
 
 def test_connected_components_and_canonical(spark):
