@@ -102,39 +102,12 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 
-#: per-field builders — the engine's analogue of the reference's
-#: compiled argspec projection (`hparser.c:675-795`): consumers name
-#: the fields they want and only those are materialized per event.
-def _mk_field_builders():
-    from html_parser_spark.functions import project as prj
-
-    return {
-        "event": lambda doc, row, cfg: row[0],
-        "text": lambda doc, row, cfg: prj.raw_text(doc, row),
-        "dtext": lambda doc, row, cfg: prj.dtext(doc, row),
-        "tagname": lambda doc, row, cfg: prj.tagname(doc, row, cfg),
-        "tag": lambda doc, row, cfg: prj.tag(doc, row, cfg),
-        "token0": lambda doc, row, cfg: prj.token0(doc, row),
-        "attrs": lambda doc, row, cfg:
-            (lambda a: a[0] if a else None)(prj.attrs(doc, row, cfg)),
-        "attrseq": lambda doc, row, cfg:
-            (lambda a: a[1] if a else None)(prj.attrs(doc, row, cfg)),
-        "tokens": lambda doc, row, cfg:
-            prj.token_strings(doc, row, cfg),
-        "tokenpos": lambda doc, row, cfg: prj.tokenpos(doc, row),
-        "is_cdata": lambda doc, row, cfg:
-            row[4] if row[0] == "text" else None,
-        "offset": lambda doc, row, cfg: row[5],
-        "offset_end": lambda doc, row, cfg:
-            row[5] + len(prj.raw_text(doc, row)),
-        "length": lambda doc, row, cfg: len(prj.raw_text(doc, row)),
-        "line": lambda doc, row, cfg: row[6],
-        "column": lambda doc, row, cfg: row[7],
-        "skipped_text": lambda doc, row, cfg: row[8],
-    }
-
-
-_FIELD_BUILDERS = _mk_field_builders()
+#: the projectable event fields — the engine's analogue of the
+#: reference's compiled argspec names (`hparser.c:62-86`); the
+#: materialization itself is the fused loop in events() below.
+EVENT_FIELDS = tuple(
+    f for f in EVENTS_SCHEMA.fieldNames()
+    if f not in ("conv_id", "turn_idx", "seq"))
 
 
 def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
@@ -153,13 +126,13 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
     argspec and keeping the Arrow payload minimal. None = all fields.
     """
     key_fields = ["conv_id", "turn_idx", "seq"]
-    sel = [f for f in (fields or
-                       [x for x in EVENTS_SCHEMA.fieldNames()
-                        if x not in key_fields])]
+    sel = list(fields) if fields is not None else list(EVENT_FIELDS)
+    for f in sel:
+        if f not in EVENT_FIELDS:
+            raise KeyError(f"unknown event field: {f!r}")
     schema = T.StructType(
         [EVENTS_SCHEMA[k] for k in key_fields]
         + [EVENTS_SCHEMA[f] for f in sel])
-    builders = [(f, _FIELD_BUILDERS[f]) for f in sel]
     pos_fields = {"offset", "offset_end", "line", "column"} & set(sel)
     if cfg.track_positions and not pos_fields:
         # lazy position tracking (SURVEY.md O5): nothing selected
@@ -171,34 +144,133 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
         # preset (e.g. EXTRACT_CONFIG) switched it off
         cfg = cfg.with_(track_positions=True)
 
-    # attrs and attrseq share one computation when both are selected
-    pair_attrs = "attrs" in sel and "attrseq" in sel
-    if pair_attrs:
-        builders = [(f, fn) for f, fn in builders
-                    if f not in ("attrs", "attrseq")]
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One fused loop materializes all selected fields per event:
+        # raw text / token0 / attrs are computed at most once each and
+        # shared between the fields that need them — no per-field
+        # dispatch in the hot path (this loop runs once per event of
+        # every document in the corpus).
         from html_parser_spark.functions import project as prj
+        from html_parser_spark.functions.entities import decode_entities
+        from html_parser_spark.functions.project import _TAG_PREFIX
+        from html_parser_spark.functions.tokenizer import ascii_lower
+
+        need = set(sel)
+        w_event = "event" in need
+        w_text = "text" in need
+        w_dtext = "dtext" in need
+        w_tagname = "tagname" in need
+        w_tag = "tag" in need
+        w_token0 = "token0" in need
+        w_name = w_tagname or w_tag or w_token0
+        w_attrs = "attrs" in need
+        w_attrseq = "attrseq" in need
+        w_tokens = "tokens" in need
+        w_tokenpos = "tokenpos" in need
+        w_cdata = "is_cdata" in need
+        w_off = "offset" in need
+        w_offend = "offset_end" in need
+        w_len = "length" in need
+        w_line = "line" in need
+        w_col = "column" in need
+        w_skip = "skipped_text" in need
+        need_txt = w_text or w_dtext or w_len or w_offend
+        lower = not cfg.is_case_sensitive
 
         for pdf in batches:
-            out = {k: [] for k in schema.fieldNames()}
+            cols: dict[str, list] = {k: [] for k in schema.fieldNames()}
+            a_conv = cols["conv_id"].append
+            a_turn = cols["turn_idx"].append
+            a_seq = cols["seq"].append
+            ap = {k: cols[k].append for k in sel}
+            a_event = ap.get("event")
+            a_text = ap.get("text")
+            a_dtext = ap.get("dtext")
+            a_tagname = ap.get("tagname")
+            a_tag = ap.get("tag")
+            a_token0 = ap.get("token0")
+            a_attrs = ap.get("attrs")
+            a_attrseq = ap.get("attrseq")
+            a_tokens = ap.get("tokens")
+            a_tokenpos = ap.get("tokenpos")
+            a_cdata = ap.get("is_cdata")
+            a_off = ap.get("offset")
+            a_offend = ap.get("offset_end")
+            a_len = ap.get("length")
+            a_line = ap.get("line")
+            a_col = ap.get("column")
+            a_skip = ap.get("skipped_text")
             for conv_id, turn_idx, doc in zip(
                 pdf["conv_id"].astype(str), pdf["turn_idx"],
                 pdf[text_col]
             ):
                 doc = doc if isinstance(doc, str) else ""
                 for seq, row in enumerate(tokenize(doc, cfg)):
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(turn_idx)
-                    out["seq"].append(seq)
-                    for name, fn in builders:
-                        out[name].append(fn(doc, row, cfg))
-                    if pair_attrs:
-                        a = prj.attrs(doc, row, cfg)
-                        out["attrs"].append(a[0] if a else None)
-                        out["attrseq"].append(a[1] if a else None)
-            if out["conv_id"]:
-                yield pd.DataFrame(out)
+                    ev = row[0]
+                    toks = row[3]
+                    a_conv(conv_id)
+                    a_turn(turn_idx)
+                    a_seq(seq)
+                    if need_txt:
+                        txt = (row[9] if row[9] is not None
+                               else doc[row[1]:row[2]])
+                    if w_event:
+                        a_event(ev)
+                    if w_text:
+                        a_text(txt)
+                    if w_dtext:
+                        if ev != "text":
+                            a_dtext(None)
+                        elif row[4]:  # is_cdata: no decode
+                            a_dtext(txt)
+                        else:
+                            a_dtext(decode_entities(txt, True))
+                    if w_name:
+                        if toks:
+                            t0 = toks[0]
+                            t0s = (t0 if isinstance(t0, str)
+                                   else doc[t0[0]:t0[1]])
+                        else:
+                            t0s = None
+                        if w_token0:
+                            a_token0(t0s)
+                        if w_tagname or w_tag:
+                            tn = (ascii_lower(t0s)
+                                  if t0s is not None and lower else t0s)
+                            if w_tagname:
+                                a_tagname(tn)
+                            if w_tag:
+                                a_tag(None if tn is None
+                                      else _TAG_PREFIX.get(ev, "") + tn)
+                    if w_attrs or w_attrseq:
+                        a = (prj.attrs(doc, row, cfg)
+                             if toks and ev == "start" else None)
+                        if w_attrs:
+                            a_attrs(a[0] if a else None)
+                        if w_attrseq:
+                            a_attrseq(a[1] if a else None)
+                    if w_tokens:
+                        a_tokens(prj.token_strings(doc, row, cfg)
+                                 if toks else None)
+                    if w_tokenpos:
+                        a_tokenpos(prj.tokenpos(doc, row)
+                                   if toks else None)
+                    if w_cdata:
+                        a_cdata(row[4] if ev == "text" else None)
+                    if w_off:
+                        a_off(row[5])
+                    if w_offend:
+                        a_offend(row[5] + len(txt))
+                    if w_len:
+                        a_len(len(txt))
+                    if w_line:
+                        a_line(row[6])
+                    if w_col:
+                        a_col(row[7])
+                    if w_skip:
+                        a_skip(row[8])
+            if cols["conv_id"]:
+                yield pd.DataFrame(cols)
 
     return df.select("conv_id", F.col("turn_idx").cast("int"),
                      text_col).mapInPandas(run, schema)
