@@ -228,9 +228,162 @@ def _q_dedup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _q_dedup_components_star(spark, sf_dir):
+    """Large-star/small-star variant over the same LSH pairs — same
+    recursive-CTE oracle as dedup_components; O(log n) rounds, the
+    giant-component-safe path."""
+    from html_parser_spark.operators.dedup import (
+        connected_components_star, lsh_candidate_pairs,
+        minhash_signatures)
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
+                                max_bucket=1_000_000)
+    return connected_components_star(pairs)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from html_parser_spark.operators.dedup import simhash_near_dup_pairs
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _tmpl(spark, sf_dir, sql_expr: str):
+    """Transcripts-shaped DF whose text is a custom SQL template over
+    documents — the option-variant analogue of wrap_documents, so each
+    filter/option query gets a closed-form DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.expr(sql_expr.replace("AS VARCHAR", "AS STRING"))
+        .alias("text"),
+    )
+
+
+def _ordered_concat(ev, val_col, sep=""):
+    """Per-turn ordered concatenation of one event column."""
+    return ev.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", val_col))),
+                lambda s: s[val_col]),
+            sep).alias("doc"))
+
+
+#: option-variant wrap templates (DuckDB spelling; _tmpl converts)
+_T_MARKED = ("'pre ' || text || ' <![CDATA[ a<b>&amp; ' || "
+             "CAST(doc_id AS VARCHAR) || ' ]]>mid<![ INCLUDE [ ok ]]>"
+             "post'")
+_T_IGNORE_MS = ("'A<![ IGNORE [ secret <b>x</b> ]]>B' || "
+                "CAST(doc_id AS VARCHAR)")
+_T_EMPTY = ("'<r' || CAST(doc_id AS VARCHAR) || '/><p a=\"1\"/>t'")
+_T_SKIPPED = ("'t0 ' || text || ' <b>mid</b> <a href=\"/l' || "
+              "CAST(doc_id AS VARCHAR) || '\">end'")
+_T_FALSE = ("'<!-- c' || CAST(doc_id AS VARCHAR) || ' -->A<b>B</b>'")
+_T_PHRASE = ("'P1 <b>bold</b> &amp; ' || text || "
+             "' <br> tail<table><td>stop'")
+
+
+def _q_marked_sections(spark, sf_dir):
+    """T8: CDATA section text reported raw (no entity decode), INCLUDE
+    section text reported normally, section delimiters suppressed."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    ev = events(_tmpl(spark, sf_dir, _T_MARKED),
+                ParserConfig(marked_sections=True),
+                fields=("event", "text", "dtext", "is_cdata"))
+    txt = ev.filter(F.col("event") == "text").withColumn(
+        "val", F.when(F.col("is_cdata"), F.col("text"))
+        .otherwise(F.col("dtext")))
+    return _ordered_concat(txt, "val")
+
+
+def _q_ms_ignore(spark, sf_dir):
+    """F6: MS_IGNORE swallows every event inside the section."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    ev = events(_tmpl(spark, sf_dir, _T_IGNORE_MS),
+                ParserConfig(marked_sections=True),
+                fields=("event", "text"))
+    return ev.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "text"))),
+                lambda s: s.text), "").alias("doc"))
+
+
+def _q_empty_element_tags(spark, sf_dir):
+    """T11: <x/> emits start + artificial end when empty_element_tags
+    is on (hparser.c:1383-1396)."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    ev = events(_tmpl(spark, sf_dir, _T_EMPTY),
+                ParserConfig(empty_element_tags=True), fields=("tag",))
+    ev = ev.withColumn("tag", F.coalesce("tag", F.lit("~")))
+    return _ordered_concat(ev, "tag", ",").withColumnRenamed(
+        "doc", "tags")
+
+
+def _q_encode_numeric(spark, sf_dir):
+    """P8: encode_entities_numeric — always &#xHEX;."""
+    from html_parser_spark.operators.extract import (
+        encode_entities_numeric_col)
+
+    raw = F.expr("'<' || text || '> & \"q\" ' || CAST(doc_id AS STRING)")
+    return _docs(spark, sf_dir).select(
+        "doc_id", encode_entities_numeric_col(raw).alias("encoded"))
+
+
+def _q_skipped_text(spark, sf_dir):
+    """P10: raw source of unreported events accumulates onto the next
+    reported event; reading resets the accumulator."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    cfg = ParserConfig(track_skipped_text=True,
+                       reported_events=("start",))
+    ev = events(_tmpl(spark, sf_dir, _T_SKIPPED), cfg,
+                fields=("tagname", "skipped_text"))
+    return ev.select("conv_id", "seq", "tagname", "skipped_text")
+
+
+def _q_report_tags(spark, sf_dir):
+    """F2 (+F1 composition): report_tags suppresses all other tags;
+    ignore_tags wins over report_tags for 'br'."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    cfg = ParserConfig(report_tags=("a", "img", "br"),
+                       ignore_tags=("br",))
+    ev = events(_tr(spark, sf_dir), cfg, fields=("event", "tag"))
+    ev = ev.filter(F.col("event").isin("start", "end"))
+    return _ordered_concat(ev, "tag", ",").withColumnRenamed(
+        "doc", "tags")
+
+
+def _q_false_handler(spark, sf_dir):
+    """F4: a ''-handler drops the event WITHOUT feeding skipped_text
+    (comments vanish; unreported text still accumulates)."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+
+    cfg = ParserConfig(track_skipped_text=True,
+                       reported_events=("start", "end"),
+                       false_handler_events=("comment",))
+    ev = events(_tmpl(spark, sf_dir, _T_FALSE), cfg,
+                fields=("tag", "skipped_text"))
+    return ev.select("conv_id", "seq", "tag", "skipped_text")
+
+
+def _q_get_phrase(spark, sf_dir):
+    """Q8: get_phrase — collapse-ws text up to the first
+    non-phrase-markup tag."""
+    from html_parser_spark.operators.extract import phrase_text
+    return phrase_text(_tmpl(spark, sf_dir, _T_PHRASE)).select(
+        "conv_id", "phrase")
 
 
 def _q_anchors(spark, sf_dir):
@@ -288,12 +441,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _q_minhash_sigs,
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_knn": _q_cosine_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_ann": _q_lsh_ann,
+        "marked_sections": _q_marked_sections,
+        "ms_ignore": _q_ms_ignore,
+        "empty_element_tags": _q_empty_element_tags,
+        "encode_numeric": _q_encode_numeric,
+        "skipped_text": _q_skipped_text,
+        "report_tags": _q_report_tags,
+        "false_handler": _q_false_handler,
+        "get_phrase": _q_get_phrase,
         "anchors": _q_anchors,
         "rewrite_links": _q_rewrite_links,
         "strip_markup": _q_strip_markup,
@@ -530,6 +692,30 @@ def oracle_sql() -> dict[str, str]:
                 ON e.v = r.u)
             SELECT u AS id, min(label) AS component
             FROM reach GROUP BY u""",
+        "dedup_components_star": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc_id, {_MINHASH_AGGS}
+              FROM ({_SHINGLES}) GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
+                FROM sig
+              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            edges AS (SELECT u, v FROM pairs
+                      UNION SELECT v, u FROM pairs),
+            reach(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r
+                ON e.v = r.u)
+            SELECT u AS id, min(label) AS component
+            FROM reach GROUP BY u""",
         "simhash_pairs": f"""
             WITH {_SIMHASH64_CTE},
             bands AS (
@@ -605,6 +791,44 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN q ON c.bucket = q.bucket
             WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
                              AS DOUBLE), 3) >= 0.2""",
+        "marked_sections": f"""
+            SELECT {_ID} AS conv_id,
+                   'pre ' || text || '  a<b>&amp; ' || {_ID} ||
+                   ' mid ok post' AS doc
+            FROM documents""",
+        "ms_ignore": f"""
+            SELECT {_ID} AS conv_id,
+                   CAST(2 AS BIGINT) AS n_events,
+                   'AB' || {_ID} AS doc
+            FROM documents""",
+        "empty_element_tags": f"""
+            SELECT {_ID} AS conv_id,
+                   'r' || {_ID} || ',/r' || {_ID} || ',p,/p,~' AS tags
+            FROM documents""",
+        "encode_numeric": f"""
+            SELECT doc_id,
+                   '&#x3C;' || text || '&#x3E; &#x26; &#x22;q&#x22; '
+                   || {_ID} AS encoded
+            FROM documents""",
+        "skipped_text": f"""
+            SELECT {_ID} AS conv_id, 0 AS seq, 'b' AS tagname,
+                   't0 ' || text || ' ' AS skipped_text FROM documents
+            UNION ALL
+            SELECT {_ID}, 1, 'a', 'mid</b> ' FROM documents""",
+        "report_tags": f"""
+            SELECT {_ID} AS conv_id, 'a,/a,img' AS tags
+            FROM documents""",
+        "false_handler": f"""
+            SELECT {_ID} AS conv_id, 0 AS seq, 'b' AS tag,
+                   'A' AS skipped_text FROM documents
+            UNION ALL
+            SELECT {_ID}, 1, '/b', 'B' FROM documents""",
+        "get_phrase": f"""
+            SELECT {_ID} AS conv_id,
+                   'P1 bold & ' ||
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                   ' tail' AS phrase
+            FROM documents""",
         "anchors": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx, 0 AS anchor_seq,
                    ' /d/' || {_ID} || ' ' AS href,

@@ -285,8 +285,8 @@ def ngram_jaccard_pairs(df: DataFrame, key_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         on_nonconverged: str = "warn") -> DataFrame:
     """Cluster near-dup pairs into components: (id, component) with
     component = min reachable id.
 
@@ -294,9 +294,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     label among itself and its neighbors; converges in <= graph
     diameter rounds (near-dup clusters are shallow). Each round is
     one equi-join + hash-aggregate, so the per-round shuffle is O(E).
-    At extreme scale swap in the alternating large-star/small-star
-    variant — same driver loop, skew-resistant star contraction; the
-    sandbox-scale diameter here doesn't need it.
+    For giant / long-chain components (diameter > ``max_iter``) use
+    :func:`connected_components_star` — O(log n) rounds and
+    skew-resistant; this function refuses to return silently-wrong
+    labels: ``on_nonconverged`` = 'warn' (log + warn) or 'error'
+    (raise) when the loop exits by max_iter while labels were still
+    changing.
 
     Composes the dedup pipeline end-to-end:
     minhash/simhash/jaccard pairs -> components -> keep min id per
@@ -306,28 +309,110 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = (e.union(e.select(F.col("v").alias("u"),
                               F.col("u").alias("v")))
              .distinct().cache())
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
-    labels = labels.cache()
-    labels.count()
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u")).localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                .groupBy("u").agg(F.min("label").alias("nbr_label")))
+        # localCheckpoint truncates the per-round plan growth (see
+        # connected_components_star)
         new_labels = (
             labels.join(nbr, "u", "left")
             .select("u", F.least(
                 F.col("label"),
                 F.coalesce("nbr_label", F.col("label"))).alias("label"))
-            .cache())
+            .localCheckpoint())
         changed = (new_labels.withColumnRenamed("label", "new_label")
                    .join(labels, "u")
                    .filter(F.col("new_label") != F.col("label")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"rounds ({changed} labels still changing) — component "
+               f"diameter exceeds max_iter; use "
+               f"connected_components_star for long chains")
+        if on_nonconverged == "error":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("u").alias("id"),
                          F.col("label").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): (id, component), component = min id.
+
+    Converges in O(log n) rounds regardless of component diameter —
+    the scale path for giant or long-chain duplicate clusters where
+    min-label propagation needs O(diameter) rounds. Each round is two
+    hash-aggregates + two equi-joins, shuffle O(E); no step ever
+    groups a whole component onto one task (the star operations only
+    touch direct neighborhoods), so skewed mega-components cannot
+    hot-spot a reducer the way naive label broadcast does.
+
+    * large-star: every node links its larger neighbors to the min of
+      its neighborhood (incl. itself).
+    * small-star: every node links its smaller-or-equal neighbors and
+      itself to the neighborhood min.
+
+    Fixpoint = edge set stable; at that point edges form stars rooted
+    at component minima.
+    """
+    # localCheckpoint truncates the logical plan each round — an
+    # iterative self-referencing plan otherwise grows exponentially
+    # (each round embeds the previous one several times) and OOMs the
+    # driver's analyzer long before any data moves
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint())
+    nodes = (edges.select("u").union(edges.select(F.col("v").alias("u")))
+             .distinct().localCheckpoint())
+    cur = edges
+    for _ in range(max_iter):
+        # large-star
+        sym = cur.union(cur.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (sym.filter(F.col("v") > F.col("u"))
+                 .join(mins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star on the large-star output
+        d = large.select(F.greatest("u", "v").alias("hi"),
+                         F.least("u", "v").alias("lo"))
+        smins = d.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            d.join(smins, "hi")
+            .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("hi").alias("u"),
+                                F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint())
+        stable = (small.exceptAll(cur).limit(1).count() == 0
+                  and cur.exceptAll(small).limit(1).count() == 0)
+        cur = small
+        if stable:
+            break
+    # star edges point non-roots at their component min; roots map to
+    # themselves (isolated nodes cannot occur: every input row is an
+    # edge between two distinct ids)
+    labels = (nodes.join(cur.withColumnRenamed("v", "component"), "u",
+                         "left")
+              .select(F.col("u").alias("id"),
+                      F.coalesce("component", F.col("u"))
+                      .alias("component")))
+    return labels
 
 
 def dedup_canonical(pairs: DataFrame, id_a: str = "id_a",

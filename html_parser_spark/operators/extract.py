@@ -386,6 +386,38 @@ def anchors(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                      text_col).mapInPandas(run, ANCHORS_SCHEMA)
 
 
+PHRASE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("phrase", T.StringType()),
+])
+
+
+def phrase_text(df: DataFrame, cfg: ParserConfig = ParserConfig(),
+                textify: dict[str, str] = DEFAULT_TEXTIFY,
+                text_col: str = "text") -> DataFrame:
+    """TokeParser::get_phrase per turn (SURVEY.md Q8;
+    `/root/reference/lib/HTML/TokeParser.pm:123-150`): whitespace-
+    collapsed text up to the first non-phrase-markup tag."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [d if isinstance(d, str) else ""
+                    for d in pdf[text_col]]
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].astype(str),
+                "turn_idx": pdf["turn_idx"],
+                "phrase": [
+                    assemble.get_phrase(d, tokenize(d, cfg), cfg,
+                                        textify)[0]
+                    for d in docs
+                ],
+            })
+
+    return df.select("conv_id", F.col("turn_idx").cast("int"),
+                     text_col).mapInPandas(run, PHRASE_SCHEMA)
+
+
 REWRITE_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
     T.StructField("turn_idx", T.IntegerType()),
@@ -478,6 +510,20 @@ def encode_entities_col(col, unsafe_chars: str | None = None):
     @F.pandas_udf(T.StringType())
     def _encode(s: pd.Series) -> pd.Series:
         return s.map(lambda x: encode_entities(x, unsafe_chars)
+                     if isinstance(x, str) else x)
+
+    return _encode(col)
+
+
+def encode_entities_numeric_col(col, unsafe_chars: str | None = None):
+    """Always-numeric entity encode (SURVEY.md P8;
+    `/root/reference/lib/HTML/Entities.pm:467-470`)."""
+    from html_parser_spark.functions.entities import (
+        encode_entities_numeric)
+
+    @F.pandas_udf(T.StringType())
+    def _encode(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: encode_entities_numeric(x, unsafe_chars)
                      if isinstance(x, str) else x)
 
     return _encode(col)

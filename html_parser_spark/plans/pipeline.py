@@ -98,18 +98,30 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
     """Process only batches absent from the checkpoint table; write
     output + lineage per batch. Returns number of batches executed.
 
+    Exactly-once contract: each batch writes its own partition
+    subdirectory ``out_dir/<batch_col>=<b>`` in OVERWRITE mode, and
+    the lineage row commits only afterwards. A crash between the two
+    steps re-runs the batch on resume, and the overwrite makes the
+    re-run idempotent — ``spark.read.parquet(out_dir)`` yields
+    exactly the rows of one uninterrupted run, never duplicates. (On
+    Iceberg both steps fold into a single atomic append commit; the
+    two-step parquet protocol is the sandbox equivalent.)
+
+    Batch = input file group: when ``df`` scans a parquet/Iceberg
+    source partitioned by ``batch_col``, the per-batch filter is a
+    partition filter — each batch re-scans only its own files, not
+    the whole input (asserted by the plan test in test_pipeline_ops).
     The anti-join against completed batch ids happens on the (tiny)
-    checkpoint table — broadcast, no shuffle of the main input. Batch
-    = input split (for Iceberg: a snapshot/file group); here: a
-    ``batch_col`` value.
+    checkpoint table, never shuffling the main input.
     """
     done = completed_batches(spark, checkpoint_dir)
     todo = [r[0] for r in
             df.select(batch_col).distinct().collect() if r[0] not in done]
     for b in sorted(todo):
-        part = df.filter(F.col(batch_col) == b)
-        (part.write.mode("append").parquet(out_dir))
-        (partition_metrics(part.drop(batch_col), batch_id=b,
+        part = df.filter(F.col(batch_col) == b).drop(batch_col)
+        sub = os.path.join(out_dir, f"{batch_col}={b}")
+        part.write.mode("overwrite").parquet(sub)
+        (partition_metrics(part, batch_id=b,
                            text_col="extracted_text")
          .write.mode("append").parquet(checkpoint_dir))
     return len(todo)

@@ -204,6 +204,31 @@ def test_embedding_near_dup_bucketed_matches_exhaustive_subset(
         assert full[k] == v
 
 
+def test_connected_components_star_long_chain(spark):
+    """Star contraction must label a long-chain component (diameter >>
+    min-label's max_iter) identically to ground truth, where the
+    min-label loop would need O(diameter) rounds."""
+    import warnings
+
+    n = 60
+    chain = [(i, i + 1) for i in range(n)]          # one 61-node chain
+    extra = [(100, 101), (103, 101)]                # plus a small comp
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {r.id: r.component
+           for r in dedup.connected_components_star(pairs).collect()}
+    assert got == {**{i: 0 for i in range(n + 1)},
+                   **{100: 100, 101: 100, 103: 100}}
+    # min-label with too-few rounds must refuse to be silently wrong
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.connected_components(pairs, max_iter=3).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        dedup.connected_components(pairs, max_iter=3,
+                                   on_nonconverged="error")
+
+
 def test_connected_components_and_canonical(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (9, 1)], "id_a long, id_b long")
@@ -305,6 +330,55 @@ def test_salted_repartition_and_resume(spark, tmp_path):
     lineage = spark.read.parquet(ckpt)
     assert set(r.batch_id for r in lineage.collect()) == {0, 1}
     assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 41
+
+
+def test_resume_partition_pruned_and_idempotent(spark, tmp_path):
+    """File-group-granular resume: batches are partition directories,
+    per-batch scans are partition-PRUNED, and a crash between the
+    output write and the lineage commit cannot duplicate rows."""
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators.extract import extract_text
+    from html_parser_spark.plans import pipeline
+
+    tr = spark.createDataFrame(
+        [("c", i, f"<p>row &amp; {i}</p>") for i in range(30)],
+        "conv_id string, turn_idx int, text string")
+    ex = extract_text(tr, EXTRACT_CONFIG).withColumn(
+        "batch_id", (F.col("turn_idx") % 3).cast("int"))
+    src = str(tmp_path / "staged")
+    ex.write.partitionBy("batch_id").parquet(src)
+    staged = spark.read.parquet(src)
+
+    # per-batch filter reaches the scan as a partition filter — each
+    # batch re-reads only its own file group
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        staged.filter(F.col("batch_id") == 1).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "batch_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # simulate a crash AFTER batch 1's output write but BEFORE its
+    # lineage commit: pre-write the batch subdirectory, no checkpoint
+    (staged.filter(F.col("batch_id") == 1).drop("batch_id")
+     .write.parquet(out_dir + "/batch_id=1"))
+
+    n = pipeline.run_resumable(spark, staged, out_dir, ckpt)
+    assert n == 3  # the half-written batch re-ran (not checkpointed)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 30  # overwrite made the re-run idempotent
+    assert got.select("turn_idx").distinct().count() == 30
+
+    # resume with complete checkpoint: nothing re-runs
+    assert pipeline.run_resumable(spark, staged, out_dir, ckpt) == 0
+    lineage = spark.read.parquet(ckpt)
+    assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 30
 
 
 # ------------------------------------------------------------- streaming
