@@ -413,9 +413,12 @@ def _q_bom_stats(spark, sf_dir):
 
 
 def _q_media_meta(spark, sf_dir):
+    """Real container-header decode over blobs with genuine PNG/JPEG/
+    GIF headers; the oracle recomputes the embedded dims in closed
+    form, so the byte-level parser is verified against real bytes."""
     from html_parser_spark.operators.media import (
-        decode_image_meta, with_binary)
-    return decode_image_meta(with_binary(_docs(spark, sf_dir)))
+        decode_image_meta, synth_image_payloads)
+    return decode_image_meta(synth_image_payloads(_docs(spark, sf_dir)))
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -849,11 +852,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "media_meta": """
             SELECT doc_id,
-                   CAST(length(text) AS INTEGER) AS n_bytes,
-                   CASE length(text) % 3 WHEN 0 THEN 'png'
-                        WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-                   CAST(64 + length(text) % 640 AS INTEGER) AS width,
-                   CAST(64 + length(text) % 480 AS INTEGER) AS height
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END
+                        + length(text) AS INTEGER) AS n_bytes,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+                   CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS width,
+                   CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS height
             FROM documents""",
         "frame_sample": """
             SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,

@@ -1,29 +1,30 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode kernels are STUBS: this container has no image/audio
-libraries, so ``_decode_image_stub`` derives deterministic fake
-metadata from the bytes. The Spark-side contract — schema, UDF
-signature, Arrow batch shape, partitioning — is real and tested; a
-deployment swaps the stub body for PIL/libav calls behind the same
-`mapInPandas` signature (the batch iterator shape does not change).
+The metadata decode is REAL: :func:`decode_image_meta` parses actual
+PNG / JPEG / GIF container headers byte-by-byte (signature sniff +
+IHDR / SOF segment walk / logical screen descriptor) — no imaging
+library needed for format/width/height, which is exactly the
+metadata a 100 TB curation pipeline filters on before ever paying
+for pixel decode. Full pixel decode (PIL/libav) stays a deployment
+concern behind the identical ``mapInPandas`` signature; the batch
+iterator shape does not change.
+
+``synth_image_payloads`` builds deterministic fixture blobs with
+genuine headers (the driver oracle recomputes the embedded
+dimensions in closed form, so the parser is verified against real
+bytes, not against itself).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # real decoder path, if ever available
-    import PIL.Image  # noqa: F401
-    HAVE_PIL = True
-except Exception:  # pragma: no cover - this container has no PIL
-    HAVE_PIL = False
-
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -33,51 +34,142 @@ MEDIA_META_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType()),
 ])
 
-_FORMATS = ("png", "jpeg", "webp")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def with_binary(df: DataFrame, key_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """(key, payload binary): stands in for an image/audio blob
-    column; at 100 TB this is the `binary` column of the media table
-    (never decoded during scans that don't ask for it — column
-    pruning keeps blob I/O out of metadata-only queries)."""
+    """(key, payload binary): stands in for an opaque blob column; at
+    100 TB this is the `binary` column of the media table (never
+    decoded during scans that don't ask for it — column pruning keeps
+    blob I/O out of metadata-only queries)."""
     return df.select(
         F.col(key_col),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[str, int, int]:
-    """Deterministic fake decode: metadata as a pure function of the
-    byte length. Replace with a real decoder (PIL etc.) in deployment;
-    the surrounding batch plumbing is identical."""
-    n = len(payload)
-    return (_FORMATS[n % 3], 64 + n % 640, 64 + n % 480)
+def _png_header(w: int, h: int) -> bytes:
+    """Real PNG signature + IHDR chunk (33 bytes; CRC left zeroed —
+    irrelevant for header parsing)."""
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (_PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")
+
+
+def _jpeg_header(w: int, h: int) -> bytes:
+    """Real JPEG SOI + SOF0 segment (21 bytes): the marker walk a
+    parser performs is genuine even without APPn segments."""
+    sof0 = (struct.pack(">H", 8 + 3 * 3) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03"
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8\xff\xc0" + sof0
+
+
+def _gif_header(w: int, h: int) -> bytes:
+    """Real GIF89a signature + logical screen descriptor (13 bytes;
+    dimensions little-endian)."""
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+#: header builders + per-format fixed header size, keyed doc_id % 3
+_HEADERS = ((_png_header, 33), (_jpeg_header, 21), (_gif_header, 13))
+
+
+def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic fixture blobs with REAL image headers: format =
+    doc_id % 3 (png/jpeg/gif), width = 16 + (doc_id*7) % 624,
+    height = 16 + (doc_id*13) % 464, body = the document text bytes.
+    Closed-form, so a SQL oracle can predict every parsed field."""
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                k = int(key)
+                build, _ = _HEADERS[k % 3]
+                w = 16 + (k * 7) % 624
+                h = 16 + (k * 13) % 464
+                body = (text if isinstance(text, str) else "").encode()
+                payloads.append(build(w, h) + body)
+            yield pd.DataFrame({"doc_id": pdf[key_col],
+                                "payload": payloads})
+
+    return df.select(key_col, text_col).mapInPandas(run, schema)
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int | None,
+                                                int | None]:
+    """Hand-rolled container-header parse: (format, width, height).
+
+    * PNG: 8-byte signature, then the IHDR chunk's big-endian
+      width/height (PNG spec 1.2 §11.2.2 layout).
+    * JPEG: SOI then a marker-segment walk to the first SOFn frame
+      header (skipping APPn/COM/DQT/DHT...), big-endian
+      height/width at offsets +5/+7 into the segment.
+    * GIF: 'GIF87a'/'GIF89a', little-endian logical-screen
+      width/height.
+    * anything else: ('unknown', None, None) — never raises.
+    """
+    if payload.startswith(_PNG_SIG) and len(payload) >= 24 \
+            and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers, no length
+                continue
+            seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                if pos + 9 <= n:
+                    h, w = struct.unpack(
+                        ">HH", payload[pos + 5:pos + 9])
+                    return "jpeg", w, h
+                break
+            pos += 2 + seg_len
+        return "jpeg", None, None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    return "unknown", None, None
 
 
 def decode_image_meta(df: DataFrame, key_col: str = "doc_id",
                       payload_col: str = "payload") -> DataFrame:
     """binary payloads -> typed metadata via Arrow-batched UDF.
 
-    One pass per Arrow batch; no shuffle. With a real decoder this is
-    the CPU-bound stage you size executors for — keep
+    One pass per Arrow batch; no shuffle. Metadata-only decode is the
+    cheap pre-filter stage; full pixel decode is the CPU-bound stage
+    you size executors for — keep
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` low enough that
     a batch of decoded frames fits in worker memory.
     """
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError(
-            "real decoder wiring intentionally left to deployment")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_image_stub(p) for p in pdf[payload_col]]
+            metas = [parse_image_header(bytes(p))
+                     for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[key_col],
                 "n_bytes": [len(p) for p in pdf[payload_col]],
                 "format": [m[0] for m in metas],
-                "width": [m[1] for m in metas],
-                "height": [m[2] for m in metas],
+                "width": pd.array([m[1] for m in metas],
+                                  dtype="Int64"),
+                "height": pd.array([m[2] for m in metas],
+                                   dtype="Int64"),
             })
 
     return df.select(key_col, payload_col).mapInPandas(
@@ -95,7 +187,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
                   key_col: str = "doc_id",
                   payload_col: str = "payload") -> DataFrame:
     """Frame-sampling plumbing: 1→N fan-out inside the Arrow batch
-    (video → sampled frames). The stub 'frame' is a byte-slice hash;
+    (video → sampled frames). The 'frame' here is a byte-slice hash;
     a real build emits decoded frame tensors with the same shape."""
     import hashlib
 

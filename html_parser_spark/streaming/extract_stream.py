@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from html_parser_spark.config import EXTRACT_CONFIG, ParserConfig
-from html_parser_spark.operators.extract import extract_text
+from html_parser_spark.operators.extract import (
+    extract_text,
+    head_headers,
+    links,
+)
 
 
 def read_transcript_stream(spark: SparkSession, path: str,
@@ -39,6 +43,23 @@ def extract_text_stream(stream_df: DataFrame,
     """Streaming flagship: identical operator, streaming input.
     Stateless ⇒ append output mode, no watermark required."""
     return extract_text(stream_df, cfg)
+
+
+def head_headers_stream(stream_df: DataFrame,
+                        cfg: ParserConfig | None = None) -> DataFrame:
+    """HeadParser metadata capture over a stream — the batch operator
+    verbatim (per-turn, stateless, append mode)."""
+    if cfg is None:
+        return head_headers(stream_df)
+    return head_headers(stream_df, cfg)
+
+
+def links_stream(stream_df: DataFrame,
+                 cfg: ParserConfig = ParserConfig(),
+                 base: str | None = None) -> DataFrame:
+    """LinkExtor link extraction over a stream — the batch operator
+    verbatim (per-turn, stateless, append mode)."""
+    return links(stream_df, cfg, base)
 
 
 def turns_per_conv_windowed(stream_df: DataFrame,

@@ -276,15 +276,42 @@ def test_lsh_ann_recall_vs_exact(spark, vecs):
 
 # ----------------------------------------------------------------- media
 
-def test_media_meta_deterministic(spark, docs):
-    out = media.decode_image_meta(media.with_binary(docs))
+def test_parse_image_header_golden_bytes():
+    """Byte-level golden vectors: the parser reads real container
+    headers, including a JPEG whose SOF0 sits behind an APP0 segment
+    (exercises the marker-segment walk)."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 800, 600) + b"\x08\x02\x00\x00\x00"
+           + b"\x00\x00\x00\x00tail")
+    assert media.parse_image_header(png) == ("png", 800, 600)
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03"
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    assert media.parse_image_header(
+        b"\xff\xd8" + app0 + sof0) == ("jpeg", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00\x00\x00"
+    assert media.parse_image_header(gif) == ("gif", 320, 240)
+    assert media.parse_image_header(b"not an image") == \
+        ("unknown", None, None)
+    assert media.parse_image_header(b"\xff\xd8trunc")[0] == "jpeg"
+
+
+def test_media_meta_real_headers(spark, docs):
+    out = media.decode_image_meta(media.synth_image_payloads(docs))
     a = sorted(out.collect())
-    b = sorted(out.collect())
-    assert a == b
-    r0 = [r for r in a if r.doc_id == 0][0]
+    assert a == sorted(out.collect())
+    by = {r.doc_id: r for r in a}
     n = len("the quick brown fox jumps over the lazy dog")
-    assert r0.n_bytes == n
-    assert r0.width == 64 + n % 640 and r0.height == 64 + n % 480
+    assert (by[0].format, by[0].width, by[0].height) == ("png", 16, 16)
+    assert by[0].n_bytes == 33 + n
+    assert (by[1].format, by[1].width, by[1].height) == \
+        ("jpeg", 16 + 7, 16 + 13)
+    assert by[2].format == "gif"
 
 
 def test_frame_sample_fanout(spark, docs):
@@ -407,3 +434,42 @@ def test_extract_text_stream_matches_batch(spark, tmp_path):
            for r in extract_text(tr, EXTRACT_CONFIG).collect()}
     assert got == exp
     assert got[("c1", 3)] == "turn & 3"
+
+
+def test_headers_links_stream_match_batch(spark, tmp_path):
+    """Stream==batch parity for the HeadParser and LinkExtor
+    operators (VERDICT r01 item 10): same rows either way."""
+    from html_parser_spark.operators.extract import head_headers, links
+    from html_parser_spark.streaming import extract_stream as es
+
+    tr = spark.createDataFrame(
+        [("c1", i, "user",
+          f'<html><head><title>T&amp;{i}</title>'
+          f'<meta http-equiv="Expires" content="E{i}"></head>'
+          f'<body><a href="/x{i}">t</a><img src="i{i}.png"></body>'
+          f"</html>", None)
+         for i in range(12)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    src = str(tmp_path / "hl_src")
+    tr.write.parquet(src)
+    stream = es.read_transcript_stream(spark, src, tr.schema)
+
+    qh = (es.head_headers_stream(stream)
+          .writeStream.format("memory").queryName("hdr_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    ql = (es.links_stream(stream)
+          .writeStream.format("memory").queryName("lnk_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qh.awaitTermination(120)
+    ql.awaitTermination(120)
+
+    got_h = sorted(map(tuple, spark.sql(
+        "SELECT * FROM hdr_stream").collect()))
+    exp_h = sorted(map(tuple, head_headers(tr).collect()))
+    assert got_h == exp_h and len(got_h) == 24  # Title + Expires / turn
+
+    got_l = sorted(map(tuple, spark.sql(
+        "SELECT * FROM lnk_stream").collect()))
+    exp_l = sorted(map(tuple, links(tr).collect()))
+    assert got_l == exp_l and len(got_l) == 24  # a.href + img.src / turn
