@@ -121,8 +121,10 @@ def main() -> None:
             sigs.unpersist()
 
     timed("minhash_lsh", run_minhash_lsh)
+    # bit_count: forces the full signature computation without the
+    # long-overflow a plain sum of signed 64-bit signatures hits
     timed("simhash", lambda: dedup.simhash(docs)
-          .agg(F.sum("simhash")).collect())
+          .agg(F.sum(F.bit_count("simhash"))).collect())
     timed("cosine_knn", lambda: similarity.cosine_neighbors(
         emb, emb.limit(8).select(F.col("vec_id").alias("query_id"),
                                  "embedding"),
