@@ -162,6 +162,33 @@ def _q_normalize_text(spark, sf_dir):
     return normalize_text(_docs(spark, sf_dir), ["doc_id"])
 
 
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub over text with planted email/IP/phone; the oracle
+    knows the closed-form redacted string."""
+    from html_parser_spark.operators.textstats import redact_pii
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "text || ' mail a' || CAST(doc_id AS STRING) || "
+            "'@ex.com ip 10.1.2.' || CAST(doc_id % 250 AS STRING) || "
+            "' tel +1 (555) 010-' || CAST(doc_id AS STRING)"
+        ).alias("text"))
+    return redact_pii(planted, ["doc_id"])
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition features over text with planted
+    duplicate lines/words."""
+    from html_parser_spark.operators.textstats import repetition_stats
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("text || chr(10) || 'L1' || chr(10) || 'L1' || chr(10)"
+               " || 'w w w ' || CAST(doc_id AS STRING)").alias("text"))
+    return repetition_stats(planted, ["doc_id"])
+
+
 def _q_minhash_sigs(spark, sf_dir):
     from html_parser_spark.operators.dedup import minhash_signatures
     return minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
@@ -441,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
@@ -651,6 +680,32 @@ def oracle_sql() -> dict[str, str]:
                                              '\\s+', ' ', 'g')))
                      AS norm_text
             FROM documents""",
+        "redact_pii": f"""
+            SELECT doc_id,
+                   CAST(1 AS INT) AS n_email,
+                   CAST(1 AS INT) AS n_ipv4,
+                   CAST(1 AS INT) AS n_phone,
+                   text || ' mail <EMAIL> ip <IP> tel <PHONE>'
+                     AS redacted
+            FROM documents""",
+        "repetition_stats": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) || 'L1' || chr(10) || 'L1' ||
+                     chr(10) || 'w w w ' || {_ID} AS t
+              FROM documents),
+            s AS (SELECT doc_id,
+                         string_split(t, chr(10)) AS lines,
+                         regexp_split_to_array(trim(t), '\\s+') AS words
+                  FROM d)
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                         / len(lines), 3) AS dup_line_ratio,
+                   CAST(len(words) AS INT) AS n_words,
+                   round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                         / len(words), 3) AS dup_word_ratio
+            FROM s""",
         "minhash_sigs": f"""
             SELECT doc_id, {_MINHASH_AGGS}
             FROM ({_SHINGLES}) GROUP BY doc_id""",

@@ -117,6 +117,67 @@ def normalize_text(df: DataFrame, key_cols: list[str],
     return df.select(*key_cols, canon.alias("norm_text"))
 
 
+#: PII patterns, shared verbatim with the DuckDB oracle. RE2-safe
+#: (no lookaround/backreference) so Java regex and DuckDB's RE2 agree
+#: on every match; replacement order is part of the contract (email
+#: first, else the phone pattern would eat digit runs inside one).
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IP>"),
+    ("phone", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, key_cols: list[str],
+               text_col: str = "text") -> DataFrame:
+    """Training-pipeline PII scrub: replace emails / IPv4 addresses /
+    international-format phone numbers with typed placeholders, plus
+    per-row match counts for audit metrics.
+
+    Pure JVM: a chain of ``regexp_replace`` inside one codegen stage;
+    at 100 TB this is a narrow map over the text column, no shuffle,
+    no Python. The patterns are deliberately conservative (precision
+    over recall — a curation pass must not mangle clean text);
+    deployments extend PII_PATTERNS per policy.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), 0)).alias(f"n_{name}")
+        for name, rx, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, rx, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, rx, repl)
+    return df.select(*key_cols, *counts, red.alias("redacted"))
+
+
+def repetition_stats(df: DataFrame, key_cols: list[str],
+                     text_col: str = "text") -> DataFrame:
+    """Repetition features for boilerplate/spam filtering (the cheap
+    tier of the Gopher-style repetition rules): duplicate-line ratio
+    and duplicate-word ratio, computed as 1 - distinct/total.
+
+    Shuffle-free: ``array_distinct`` over per-row splits inside one
+    codegen stage — unlike a (doc, line) groupBy formulation, nothing
+    leaves the row, so the operator is skew-immune at corpus scale.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    words = words_col(t)
+    dup_ratio = lambda arr: F.round(
+        1.0 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr),
+        3)
+    return df.select(
+        *key_cols,
+        F.size(lines).alias("n_lines"),
+        dup_ratio(lines).alias("dup_line_ratio"),
+        F.size(words).alias("n_words"),
+        dup_ratio(words).alias("dup_word_ratio"),
+    )
+
+
 def fingerprint(df: DataFrame, key_cols: list[str],
                 text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over the whitespace- and

@@ -73,6 +73,38 @@ def test_normalize_text_unicode(spark):
     assert out[2] == "a\u00a0b"
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@ex-amp.le.org or call +44 20 7946 0958"),
+         (1, "server at 192.168.0.1 port 80"),
+         (2, "clean text, no pii; version 1.2 stays"),
+         (3, "a@b.co and c@d.io twice")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textstats.redact_pii(df, ["doc_id"]).collect()}
+    assert out[0].redacted == "mail <EMAIL> or call <PHONE>"
+    assert out[0].n_email == 1 and out[0].n_phone == 1
+    assert out[1].redacted == "server at <IP> port 80"
+    # conservative: version numbers / bare text untouched
+    assert out[2].redacted == df.collect()[2].text
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == 0
+    assert out[3].redacted == "<EMAIL> and <EMAIL> twice"
+    assert out[3].n_email == 2
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "a\nb\na\nc"),            # 4 lines, 1 dup
+         (1, "x x x x y"),             # 5 words, 3 dup
+         (2, "all distinct words")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textstats.repetition_stats(df, ["doc_id"]).collect()}
+    assert out[0].n_lines == 4 and out[0].dup_line_ratio == 0.25
+    assert out[1].n_words == 5 and out[1].dup_word_ratio == 0.6
+    assert out[2].dup_line_ratio == 0.0 and out[2].dup_word_ratio == 0.0
+
+
 def test_fingerprint_normalizes_ws_case(spark):
     df = spark.createDataFrame(
         [(0, "Hello  World"), (1, "hello world"), (2, "other text")],
