@@ -103,9 +103,18 @@ _FAST_STEP = _re.compile(
 _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
+# Tag/attr names repeat massively across a corpus; memoize the fold
+# for short strings (size-capped so adversarial input can't grow it).
+_LOWER_MEMO: dict[str, str] = {}
+
 
 def ascii_lower(s: str) -> str:
-    return s.translate(_ASCII_LOWER)
+    r = _LOWER_MEMO.get(s)
+    if r is None:
+        r = s.translate(_ASCII_LOWER)
+        if len(s) <= 32 and len(_LOWER_MEMO) < 4096:
+            _LOWER_MEMO[s] = r
+    return r
 
 
 def _is_name_first(ch: str, strict: bool) -> bool:
@@ -800,12 +809,16 @@ class _Parser:
                 s = lt + 1
                 if s < end and doc[s] == "/":
                     s += 1
-                    li = 0
                     llen = len(lit)
-                    while (li < llen and s < end
-                           and doc[s].translate(_ASCII_LOWER) == lit[li]):
-                        s += 1
-                        li += 1
+                    # slice-compare instead of the per-char scan: on a
+                    # partial match the chars skipped are letters of
+                    # `lit`, never '<', so resuming the '<' search from
+                    # here is equivalent to the reference's char loop
+                    if doc[s:s + llen].translate(_ASCII_LOWER) == lit:
+                        li = llen
+                        s += llen
+                    else:
+                        li = 0
                     if li == llen and (
                         lit != "plaintext" or self.cfg.closing_plaintext
                     ):
