@@ -509,6 +509,25 @@ _SHINGLES = (
 _MINHASH_AGGS = ", ".join(
     f"min(md5(s || '#{i}')) AS h{i}" for i in range(8))
 
+#: shared MinHash sig -> 4x2 bands -> candidate-pairs CTE body, used
+#: by the lsh_pairs / dedup_components(+_star) / ngram_jaccard
+#: oracles so the band construction is defined exactly once
+_LSH_BANDS_CTE = f"""sig AS (
+              SELECT doc_id, {_MINHASH_AGGS}
+              FROM ({_SHINGLES}) GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
+                FROM sig
+              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)"""
+
+
 _STOPLIST = ("['the','a','of','and','to','in','is','it','that','for',"
              "'on','with','as','was','at','by','an','be','this','are']")
 
@@ -579,7 +598,7 @@ def _stripped_wrap_expr() -> str:
 
 def oracle_sql() -> dict[str, str]:
     wrap = _wrap_expr()
-    return {
+    out = {
         "extract_text": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
               '   Doc & ' || {_ID} || '     ' || text ||
@@ -710,63 +729,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_MINHASH_AGGS}
             FROM ({_SHINGLES}) GROUP BY doc_id""",
         "lsh_pairs": f"""
-            WITH sig AS (
-              SELECT doc_id, {_MINHASH_AGGS}
-              FROM ({_SHINGLES}) GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
-                FROM sig
-              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
-              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
-              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id""",
+            WITH {_LSH_BANDS_CTE}
+            SELECT id_a, id_b FROM cand""",
         "simhash": f"""
             WITH {_SIMHASH64_CTE}
             SELECT doc_id, simhash FROM sig""",
         "dedup_components": f"""
-            WITH RECURSIVE sig AS (
-              SELECT doc_id, {_MINHASH_AGGS}
-              FROM ({_SHINGLES}) GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
-                FROM sig
-              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
-              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
-              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id),
-            edges AS (SELECT u, v FROM pairs
-                      UNION SELECT v, u FROM pairs),
-            reach(u, label) AS (
-              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-              UNION
-              SELECT e.u, r.label FROM edges e JOIN reach r
-                ON e.v = r.u)
-            SELECT u AS id, min(label) AS component
-            FROM reach GROUP BY u""",
-        "dedup_components_star": f"""
-            WITH RECURSIVE sig AS (
-              SELECT doc_id, {_MINHASH_AGGS}
-              FROM ({_SHINGLES}) GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
-                FROM sig
-              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
-              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
-              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id),
-            edges AS (SELECT u, v FROM pairs
-                      UNION SELECT v, u FROM pairs),
+            WITH RECURSIVE {_LSH_BANDS_CTE},
+            edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
             reach(u, label) AS (
               SELECT u, u FROM (SELECT DISTINCT u FROM edges)
               UNION
@@ -788,20 +759,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard": f"""
-            WITH sig AS (
-              SELECT doc_id, {_MINHASH_AGGS}
-              FROM ({_SHINGLES}) GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
-                FROM sig
-              UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
-              UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
-              UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id),
+            WITH {_LSH_BANDS_CTE},
             sh AS ({_SHINGLES}),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh
                       GROUP BY doc_id),
@@ -924,3 +882,6 @@ def oracle_sql() -> dict[str, str]:
                                                AS BIGINT))) AS i
                   FROM documents)""",
     }
+    # the star variant must satisfy the identical contract
+    out["dedup_components_star"] = out["dedup_components"]
+    return out

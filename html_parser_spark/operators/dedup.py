@@ -18,11 +18,13 @@ Scale notes (the whole point of these designs):
   expressions; near-dup = signatures at small Hamming distance,
   found via exact-match on four 16-bit bands (65,536 bucket values
   per band keeps candidate generation output-bounded at scale).
-* **ngram_jaccard_pairs** — shingle-join computes exact Jaccard but
-  only over docs that share ≥1 shingle; at corpus scale you run it
-  on LSH candidates only (compose the two operators).
-* **embedding_near_dup** — all-pairs cosine over a broadcastable
-  side; at 100 TB you bucket by a coarse LSH first (similarity.py).
+* **ngram_jaccard_pairs** — exact Jaccard; the scale path (and the
+  driver default) scores only an LSH candidate-pairs DataFrame, so
+  the shuffle is bounded by the candidate set.
+* **embedding_near_dup** — hyperplane-sketch-bucketed by default
+  (same-bucket candidates, exact cosine on candidates only); the
+  all-pairs broadcast join is the opt-in ``exhaustive=True`` escape
+  hatch for small reference sets.
 
 All hashing is md5-based so results are reproducible across engines
 (the DuckDB oracle in ``__spark_entry__`` runs the same formulas).
@@ -344,8 +346,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
-                              id_b: str = "id_b",
-                              max_iter: int = 50) -> DataFrame:
+                              id_b: str = "id_b", max_iter: int = 50,
+                              on_nonconverged: str = "warn") -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC 2014): (id, component), component = min id.
@@ -376,6 +378,7 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     nodes = (edges.select("u").union(edges.select(F.col("v").alias("u")))
              .distinct().localCheckpoint())
     cur = edges
+    stable = False
     for _ in range(max_iter):
         # large-star
         sym = cur.union(cur.select(F.col("v").alias("u"),
@@ -404,6 +407,16 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         cur = small
         if stable:
             break
+    if not stable:
+        # mirror connected_components: never return silently-wrong
+        # labels — a non-star edge set yields conflicting rows per id
+        msg = (f"connected_components_star did not converge in "
+               f"{max_iter} rounds; labels may conflict — raise "
+               f"max_iter (O(log n) rounds normally suffice)")
+        if on_nonconverged == "error":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # star edges point non-roots at their component min; roots map to
     # themselves (isolated nodes cannot occur: every input row is an
     # edge between two distinct ids)
@@ -427,7 +440,7 @@ def dedup_canonical(pairs: DataFrame, id_a: str = "id_a",
 
 def embedding_near_dup(df: DataFrame, key_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       threshold: float = 0.35, dim: int = 64,
+                       threshold: float = 0.35, dim: int | None = None,
                        n_bits: int = 8, seed: int = 7,
                        exhaustive: bool = False) -> DataFrame:
     """Embedding-cosine near-dup: (id_a, id_b, cos_sim) above

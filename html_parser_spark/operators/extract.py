@@ -399,6 +399,9 @@ def phrase_text(df: DataFrame, cfg: ParserConfig = ParserConfig(),
     """TokeParser::get_phrase per turn (SURVEY.md Q8;
     `/root/reference/lib/HTML/TokeParser.pm:123-150`): whitespace-
     collapsed text up to the first non-phrase-markup tag."""
+    if cfg.track_positions:
+        # get_phrase never reads positions — lazy disable (O5)
+        cfg = cfg.with_(track_positions=False)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -120,6 +120,10 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None,
     if payload.startswith(_PNG_SIG) and len(payload) >= 24 \
             and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
+        # PNG spec caps dims at 2^31-1; larger values are corrupt and
+        # would overflow the int32 output columns — report unparsed
+        if w >= 1 << 31 or h >= 1 << 31:
+            return "png", None, None
         return "png", w, h
     if payload[:2] == b"\xff\xd8":
         pos = 2

@@ -74,19 +74,27 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
-def lsh_sketch_expr(vec_col: str, dim: int, n_bits: int = 16,
+def lsh_sketch_expr(vec_col: str, dim: int | None, n_bits: int = 16,
                     seed: int = 7) -> Column:
     """Sign-random-projection sketch via SQL expr (Rademacher ±1
     hyperplanes from md5 parity): bit b = [Σ_j s(b,j)·v_j > 0].
 
+    ``dim=None`` sizes the hyperplane per row from ``size(vec)`` — the
+    safe default: a static ``dim`` shorter/longer than the actual
+    vectors makes ``zip_with`` null-pad, every component sum NULL and
+    every bucket 0, silently collapsing LSH into one giant bucket
+    (i.e. an O(n²) join). Pass a static dim only when you know it and
+    want the constant folded.
+
     Built as a single selectExpr string so the whole sketch stays in
     one codegen stage.
     """
+    upper = f"{dim - 1}" if dim is not None else f"size({vec_col}) - 1"
     terms = []
     for b in range(n_bits):
         comp = (
             f"aggregate(zip_with({vec_col}, "
-            f"transform(sequence(0, {dim - 1}), "
+            f"transform(sequence(0, {upper}), "
             f"j -> CASE WHEN (position(substring(md5(concat('s{seed}b{b}j', "
             f"cast(j as string))), 1, 1) in '0123456789abcdef') - 1) % 2 = 0 "
             f"THEN 1.0D ELSE -1.0D END), "

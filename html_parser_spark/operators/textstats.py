@@ -142,13 +142,16 @@ def redact_pii(df: DataFrame, key_cols: list[str],
     over recall — a curation pass must not mangle clean text);
     deployments extend PII_PATTERNS per policy.
     """
-    t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(rx), 0)).alias(f"n_{name}")
-        for name, rx, _ in PII_PATTERNS
-    ]
-    red = t
-    for _, rx, repl in PII_PATTERNS:
+    # counts are taken on the text as each pattern sees it (i.e. after
+    # the earlier replacements), so n_<kind> equals the number of
+    # substitutions actually performed — a phone-shaped digit run
+    # inside an already-redacted email is not double-counted
+    red = F.col(text_col)
+    counts = []
+    for name, rx, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(rx), 0))
+            .alias(f"n_{name}"))
         red = F.regexp_replace(red, rx, repl)
     return df.select(*key_cols, *counts, red.alias("redacted"))
 

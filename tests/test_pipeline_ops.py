@@ -92,6 +92,17 @@ def test_redact_pii(spark):
     assert out[3].n_email == 2
 
 
+def test_redact_pii_counts_match_replacements(spark):
+    """A phone-shaped digit run inside an email must not inflate
+    n_phone: counts reflect substitutions actually performed."""
+    df = spark.createDataFrame(
+        [(0, "contact j+15551234567@ex.com now")],
+        "doc_id long, text string")
+    r = textstats.redact_pii(df, ["doc_id"]).collect()[0]
+    assert r.redacted == "contact <EMAIL> now"
+    assert r.n_email == 1 and r.n_phone == 0
+
+
 def test_repetition_stats(spark):
     df = spark.createDataFrame(
         [(0, "a\nb\na\nc"),            # 4 lines, 1 dup
@@ -234,6 +245,12 @@ def test_embedding_near_dup_bucketed_matches_exhaustive_subset(
     assert (0, 1) in got           # same sketch bucket -> found
     for k, v in got.items():
         assert full[k] == v
+    # dim=None (default) sizes the hyperplane per row — identical to
+    # the correct static dim, never the all-one-bucket degeneration
+    auto = {(r.id_a, r.id_b): r.cos_sim
+            for r in dedup.embedding_near_dup(
+                vecs, threshold=0.3, n_bits=4).collect()}
+    assert auto == got
 
 
 def test_connected_components_star_long_chain(spark):
@@ -328,6 +345,12 @@ def test_parse_image_header_golden_bytes():
 
     gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00\x00\x00"
     assert media.parse_image_header(gif) == ("gif", 320, 240)
+    # corrupt PNG dims beyond the spec's 2^31-1 cap: unparsed, not
+    # an int32 overflow
+    bad = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + b"\xff\xff\xff\xff" + struct.pack(">I", 10)
+           + b"\x08\x02\x00\x00\x00")
+    assert media.parse_image_header(bad) == ("png", None, None)
     assert media.parse_image_header(b"not an image") == \
         ("unknown", None, None)
     assert media.parse_image_header(b"\xff\xd8trunc")[0] == "jpeg"
