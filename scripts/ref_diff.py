@@ -96,6 +96,10 @@ def my_events(doc: str, opts: dict) -> list[dict]:
             "length": p["length"],
             "line": p["line"],
             "column": p["column"],
+            "tag": p["tag"],
+            "token0": p["token0"],
+            "tokenpos": p["tokenpos"],
+            "offset_end": p["offset_end"],
         })
     return out
 
@@ -113,9 +117,13 @@ def compare(mine: list[dict], ref: list[dict], doc: str, opts: dict,
         errs.append(f"event count {len(mine)} vs {len(ref)}")
     for i, (m, r) in enumerate(zip(mine, ref)):
         r = norm_ref(r)
-        for f in ("event", "text", "offset", "length", "line", "column"):
+        for f in ("event", "text", "offset", "length", "line", "column",
+                  "offset_end"):
             if m[f] != r[f]:
                 errs.append(f"ev{i} {f}: {m[f]!r} vs {r[f]!r}")
+        if m["tokenpos"] != r["tokenpos"]:
+            errs.append(f"ev{i} tokenpos: {m['tokenpos']!r} vs "
+                        f"{r['tokenpos']!r}")
         if r["event"] == "text":
             if m["dtext"] != r["dtext"]:
                 errs.append(f"ev{i} dtext: {m['dtext']!r} vs {r['dtext']!r}")
@@ -126,6 +134,11 @@ def compare(mine: list[dict], ref: list[dict], doc: str, opts: dict,
             if m["tagname"] != r["tagname"]:
                 errs.append(f"ev{i} tagname: {m['tagname']!r} vs "
                             f"{r['tagname']!r}")
+            if m["tag"] != r["tag"]:
+                errs.append(f"ev{i} tag: {m['tag']!r} vs {r['tag']!r}")
+            if m["token0"] != r["token0"]:
+                errs.append(f"ev{i} token0: {m['token0']!r} vs "
+                            f"{r['token0']!r}")
         if r["event"] == "start":
             if (m["attr"] or {}) != (r["attr"] or {}):
                 errs.append(f"ev{i} attr: {m['attr']!r} vs {r['attr']!r}")

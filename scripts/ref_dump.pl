@@ -25,25 +25,31 @@ while (my $line = <STDIN>) {
     $p->handler(
         default => sub {
             my ($event, $text, $dtext, $tagname, $attr, $attrseq,
-                $is_cdata, $offset, $length, $ln, $col) = @_;
+                $is_cdata, $offset, $length, $ln, $col, $tag,
+                $token0, $tokenpos, $offset_end) = @_;
             return if $event eq 'start_document'
                    || $event eq 'end_document';
             push @events, {
-                event    => $event,
-                text     => $text,
-                dtext    => $dtext,
-                tagname  => $tagname,
-                attr     => $attr,
-                attrseq  => $attrseq,
-                is_cdata => ($is_cdata ? 1 : 0),
-                offset   => $offset,
-                length   => $length,
-                line     => $ln,
-                column   => $col,
+                event      => $event,
+                text       => $text,
+                dtext      => $dtext,
+                tagname    => $tagname,
+                attr       => $attr,
+                attrseq    => $attrseq,
+                is_cdata   => ($is_cdata ? 1 : 0),
+                offset     => $offset,
+                length     => $length,
+                line       => $ln,
+                column     => $col,
+                tag        => $tag,
+                token0     => $token0,
+                tokenpos   => $tokenpos,
+                offset_end => $offset_end,
             };
         },
         "event, text, dtext, tagname, attr, attrseq, is_cdata, "
-      . "offset, length, line, column"
+      . "offset, length, line, column, tag, token0, tokenpos, "
+      . "offset_end"
     );
     for my $o (sort keys %$opts) {
         my $v = $opts->{$o};
