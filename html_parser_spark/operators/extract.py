@@ -47,14 +47,21 @@ def extract_text(df: DataFrame, cfg: ParserConfig = EXTRACT_CONFIG,
                  text_col: str = "text") -> DataFrame:
     """transcripts -> (conv_id, turn_idx, extracted_text, trimmed_text,
     n_events, n_chars_in): TokeParser-style main-content assembly
-    (SURVEY.md Q6/Q7) fused with the tokenizer in one Arrow stage."""
+    (SURVEY.md Q6/Q7) fused with the tokenizer in one Arrow stage.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            docs = pdf[text_col].tolist()
+    Arrow-native in and out (mapInArrow) — the flagship stage skips
+    the pandas detour entirely.
+    """
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            docs = rb.column(text_col).to_pylist()
             ex = []
             tr = []
             nev = []
+            nch = []
             for doc in docs:
                 doc = doc if isinstance(doc, str) else ""
                 rows = tokenize(doc, cfg)
@@ -62,20 +69,17 @@ def extract_text(df: DataFrame, cfg: ParserConfig = EXTRACT_CONFIG,
                 ex.append(txt)
                 tr.append(assemble.collapse_ws(txt))
                 nev.append(len(rows))
-            yield pd.DataFrame({
-                "conv_id": pdf["conv_id"].astype(str),
-                "turn_idx": pdf["turn_idx"],
-                "extracted_text": ex,
-                "trimmed_text": tr,
-                "n_events": nev,
-                "n_chars_in": [len(d) if isinstance(d, str) else 0
-                               for d in docs],
-            })
+                nch.append(len(doc))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("conv_id"), rb.column("turn_idx"),
+                 pa.array(ex, pa.string()), pa.array(tr, pa.string()),
+                 pa.array(nev, pa.int32()), pa.array(nch, pa.int32())],
+                names=EXTRACT_SCHEMA.fieldNames())
 
     cols = [F.col("conv_id").cast("string"),
             F.col("turn_idx").cast("int"),
             F.col(text_col)]
-    return df.select(*cols).mapInPandas(run, EXTRACT_SCHEMA)
+    return df.select(*cols).mapInArrow(run, EXTRACT_SCHEMA)
 
 
 EVENTS_SCHEMA = T.StructType([

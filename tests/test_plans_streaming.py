@@ -14,8 +14,9 @@ def _plan(df) -> str:
 
 
 def test_extract_plan_is_shuffle_free_and_pruned(spark, tmp_path):
-    """The flagship stage must stay scan -> project -> MapInPandas:
-    no Exchange node, and the parquet scan pruned to (key, text)."""
+    """The flagship stage must stay scan -> project -> one Arrow map
+    stage: no Exchange node, and the parquet scan pruned to
+    (key, text)."""
     from html_parser_spark.operators.extract import extract_text
 
     src = str(tmp_path / "tr")
@@ -27,7 +28,7 @@ def test_extract_plan_is_shuffle_free_and_pruned(spark, tmp_path):
     df = spark.read.parquet(src)
     plan = _plan(extract_text(df, EXTRACT_CONFIG))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
     # column pruning: the unused role/tool/extra never reach the scan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema, plan
