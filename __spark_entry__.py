@@ -162,6 +162,24 @@ def _q_normalize_text(spark, sf_dir):
     return normalize_text(_docs(spark, sf_dir), ["doc_id"])
 
 
+def _q_sessionize(spark, sf_dir):
+    """Idle-gap sessionization over synthetic per-doc turn times: 5
+    turns per doc, a >300 s gap after the third — two sessions with
+    closed-form bounds."""
+    from html_parser_spark.operators.sessions import sessionize
+
+    turns = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+    ts = F.timestamp_seconds(
+        F.lit(1767225600) + F.pmod(F.col("doc_id"), F.lit(97))
+        + F.when(F.col("j") < 3, F.col("j") * 60)
+        .otherwise(F.lit(3600) + F.col("j") * 60))
+    return sessionize(turns.select("conv_id", ts.alias("ts")),
+                      gap_seconds=300)
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII scrub over text with planted email/IP/phone; the oracle
     knows the closed-form redacted string."""
@@ -468,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
+        "sessionize": _q_sessionize,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "minhash_sigs": _q_minhash_sigs,
@@ -699,6 +718,19 @@ def oracle_sql() -> dict[str, str]:
                                              '\\s+', ' ', 'g')))
                      AS norm_text
             FROM documents""",
+        "sessionize": f"""
+            WITH d AS (SELECT doc_id,
+                              1767225600 + doc_id % 97 AS off
+                       FROM documents)
+            SELECT {_ID} AS conv_id, CAST(1 AS INT) AS session_seq,
+                   off AS session_start_s,
+                   off + 120 AS session_end_s,
+                   CAST(3 AS BIGINT) AS n_turns
+            FROM d
+            UNION ALL
+            SELECT {_ID}, CAST(2 AS INT), off + 3780, off + 3840,
+                   CAST(2 AS BIGINT)
+            FROM d""",
         "redact_pii": f"""
             SELECT doc_id,
                    CAST(1 AS INT) AS n_email,

@@ -81,6 +81,79 @@ def turns_per_conv_windowed(stream_df: DataFrame,
     )
 
 
+SESSION_SCHEMA = ("conv_id string, session_start_s long, "
+                  "session_end_s long, n_turns long")
+_SESSION_STATE = "start_s long, last_s long, n long"
+
+
+def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 300,
+                      watermark: str = "10 seconds") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    continuous sessionization keyed by conv_id.
+
+    State per conversation = (session_start, last_seen, n_turns) —
+    three longs, regardless of how many turns the conversation has,
+    so a hot conv_id costs one state row, not per-turn state. A
+    session row is emitted when the event-time watermark passes
+    ``last_seen + gap_seconds`` (the idle deadline); late turns
+    inside the watermark extend the open session. This is the
+    streaming twin of operators.sessions.sessionize — same session
+    boundaries, incremental emission.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            start_s, last_s, n = state.get
+            state.remove()
+            yield pd.DataFrame({"conv_id": [conv_id],
+                                "session_start_s": [start_s],
+                                "session_end_s": [last_s],
+                                "n_turns": [n]})
+            return
+        ts_min = None
+        ts_max = None
+        n_new = 0
+        for pdf in pdfs:
+            s = pdf["ts"].astype("int64") // 1_000_000_000
+            n_new += len(s)
+            lo, hi = int(s.min()), int(s.max())
+            ts_min = lo if ts_min is None else min(ts_min, lo)
+            ts_max = hi if ts_max is None else max(ts_max, hi)
+        if n_new == 0:
+            return
+        closed = []
+        if state.exists:
+            start_s, last_s, n = state.get
+            if ts_min - last_s > gap_seconds:
+                # idle gap inside the batch window: close the old
+                # session immediately, start a new one
+                closed.append((start_s, last_s, n))
+                start_s, n = ts_min, 0
+            n += n_new
+            last_s = max(last_s, ts_max)
+        else:
+            start_s, last_s, n = ts_min, ts_max, n_new
+        state.update((start_s, last_s, n))
+        state.setTimeoutTimestamp((last_s + gap_seconds) * 1000)
+        if closed:
+            yield pd.DataFrame({
+                "conv_id": [conv_id] * len(closed),
+                "session_start_s": [c[0] for c in closed],
+                "session_end_s": [c[1] for c in closed],
+                "n_turns": [c[2] for c in closed]})
+
+    return (
+        stream_df
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _SESSION_STATE, "append",
+            "EventTimeTimeout")
+    )
+
+
 def write_stream_parquet(df: DataFrame, out_dir: str,
                          checkpoint_dir: str, mode: str = "append"):
     """Sink with exactly-once file semantics via the streaming

@@ -123,3 +123,62 @@ def test_bom_stats_flags(spark):
                     out["b"].maybe_undecoded_utf8])
     assert out["c"].maybe_undecoded_utf8 and not out["c"].utf8_bom
     assert out["d"].utf16_bom
+
+
+def test_sessionize_batch(spark):
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators.sessions import sessionize
+
+    rows = [("c1", s) for s in (0, 60, 120, 4000, 4060)] + [("c2", 50)]
+    df = spark.createDataFrame(rows, "conv_id string, s long").select(
+        "conv_id", F.timestamp_seconds("s").alias("ts"))
+    got = {(r.conv_id, r.session_seq):
+           (r.session_start_s, r.session_end_s, r.n_turns)
+           for r in sessionize(df, gap_seconds=300).collect()}
+    assert got == {
+        ("c1", 1): (0, 120, 3),
+        ("c1", 2): (4000, 4060, 2),
+        ("c2", 1): (50, 50, 1),
+    }
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions emit when the
+    event-time watermark passes their idle deadline; state stays three
+    longs per conversation regardless of turn count."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.streaming.extract_stream import (
+        sessionize_stream)
+
+    base = 1_700_000_000
+    src = str(tmp_path / "sess_src")
+    batches = [
+        [("c1", base + 0), ("c1", base + 60), ("c1", base + 120)],
+        [("c1", base + 4000), ("c1", base + 4060)],
+        [("c1", base + 100_000)],   # closes session B
+        [("c1", base + 200_000)],   # closes session C (the sentinel)
+    ]
+    for rows in batches:
+        (spark.createDataFrame(rows, "conv_id string, s long")
+         .select("conv_id", F.timestamp_seconds("s").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)  # distinct mod-times -> stable file order
+
+    stream = (spark.readStream.schema("conv_id string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream, gap_seconds=300,
+                           watermark="1 second")
+         .writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.conv_id, r.session_start_s):
+           (r.session_end_s, r.n_turns)
+           for r in spark.sql("SELECT * FROM sess_stream").collect()}
+    # sessions A and B must have closed; the final sentinel stays open
+    assert got[("c1", base + 0)] == (base + 120, 3)
+    assert got[("c1", base + 4000)] == (base + 4060, 2)
+    assert ("c1", base + 200_000) not in got
