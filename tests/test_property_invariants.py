@@ -1,0 +1,84 @@
+"""Hypothesis property tests for the tokenizer's structural
+invariants (SURVEY.md §5.4) — shrinking fuzz that complements the
+differential campaigns (which need the compiled reference binary):
+
+* reconstruction: raw event texts tile the document byte-for-byte
+  (`t/offset.t:23-49`, `t/filter.t` identity);
+* offset tiling: offset == running sum of lengths, and
+  `doc[offset:offset+length] == text` per event;
+* determinism: tokenize is a pure function of (doc, cfg).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from html_parser_spark.config import ParserConfig
+from html_parser_spark.functions import project
+from html_parser_spark.functions.tokenizer import tokenize
+
+# markup-ish alphabet plus arbitrary unicode — biased toward the
+# delimiters that drive the FSM
+_soup = st.text(
+    alphabet=st.one_of(
+        st.sampled_from(list("<>&;=\"'`!-#[]/?abAB \t\nå ")),
+        st.characters(max_codepoint=0x2FFF),
+    ),
+    max_size=200,
+)
+
+_configs = st.sampled_from([
+    ParserConfig(),
+    ParserConfig(unbroken_text=True),
+    ParserConfig(strict_comment=True, strict_names=True),
+    ParserConfig(xml_mode=True),
+    ParserConfig(marked_sections=True),
+    ParserConfig(empty_element_tags=True, backquote=True),
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc=_soup, cfg=_configs)
+def test_events_tile_document(doc: str, cfg: ParserConfig):
+    rows = tokenize(doc, cfg)
+    pos = 0
+    parts = []
+    for row in rows:
+        p = project.project(doc, row, cfg)
+        assert p["offset"] == pos
+        assert p["length"] == len(p["text"])
+        assert p["offset_end"] == pos + p["length"]
+        # flushed unbroken-text rows may concatenate non-adjacent
+        # spans only when events in between were filtered — with no
+        # filters configured the slice must match exactly
+        assert doc[pos:pos + p["length"]] == p["text"]
+        pos += p["length"]
+        parts.append(p["text"])
+    assert pos == len(doc)
+    assert "".join(parts) == doc
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=_soup, cfg=_configs)
+def test_tokenize_deterministic(doc: str, cfg: ParserConfig):
+    assert tokenize(doc, cfg) == tokenize(doc, cfg)
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=_soup)
+def test_filtered_reconstruction_with_skipped_text(doc: str):
+    """With only start events reported and skipped_text tracked,
+    interleaving each reported event's accumulated skipped text with
+    its raw source reconstructs the document
+    (t/marked-sect.t:102-110 / t/skipped-text.t pattern)."""
+    cfg = ParserConfig(track_skipped_text=True,
+                       reported_events=("start",))
+    doc2 = doc + "<sentinel>"
+    rows = tokenize(doc2, cfg)
+    if not rows or rows[-1][0] != "start" or \
+            project.tagname(doc2, rows[-1], cfg) != "sentinel":
+        return  # doc swallowed the sentinel (open literal/tag/comment)
+    rebuilt = "".join(
+        (r[8] or "") + project.raw_text(doc2, r) for r in rows)
+    assert rebuilt == doc2
