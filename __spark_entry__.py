@@ -162,6 +162,21 @@ def _q_normalize_text(spark, sf_dir):
     return normalize_text(_docs(spark, sf_dir), ["doc_id"])
 
 
+_T_HOSTS = ("'<a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.ex.com/d/' || CAST(doc_id AS VARCHAR) || '\">x</a>"
+            "<img src=\"https://img.ex.com/i' || "
+            "CAST(doc_id AS VARCHAR) || '.png\">'")
+
+
+def _q_link_hosts(spark, sf_dir):
+    """LinkExtor output -> per-host aggregate (crawl-curation domain
+    stats): planted absolute URLs give closed-form host counts."""
+    from html_parser_spark.operators.extract import links
+    from html_parser_spark.operators.textstats import host_counts
+
+    return host_counts(links(_tmpl(spark, sf_dir, _T_HOSTS)))
+
+
 def _q_sessionize(spark, sf_dir):
     """Idle-gap sessionization over synthetic per-doc turn times: 5
     turns per doc, a >300 s gap after the third — two sessions with
@@ -486,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
+        "link_hosts": _q_link_hosts,
         "sessionize": _q_sessionize,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -718,6 +734,14 @@ def oracle_sql() -> dict[str, str]:
                                              '\\s+', ' ', 'g')))
                      AS norm_text
             FROM documents""",
+        "link_hosts": f"""
+            SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com'
+                     AS host,
+                   count(*) AS n_links,
+                   count(*) AS n_unique_urls
+            FROM documents GROUP BY doc_id % 7
+            UNION ALL
+            SELECT 'img.ex.com', count(*), count(*) FROM documents""",
         "sessionize": f"""
             WITH d AS (SELECT doc_id,
                               1767225600 + doc_id % 97 AS off

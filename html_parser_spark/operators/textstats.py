@@ -181,6 +181,22 @@ def repetition_stats(df: DataFrame, key_cols: list[str],
     )
 
 
+def host_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host link statistics over an extracted-links table:
+    (host, n_links, n_unique_urls), host = authority component via
+    the JVM ``parse_url`` (null for relative URLs).
+
+    One hash aggregate; hosts are Zipf-skewed at crawl scale but both
+    aggregates are partial-aggregatable (count / distinct-within-
+    partition first), so the hot-host reducer receives combined
+    partials, not raw rows.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return (df.groupBy(host.alias("host"))
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct(url_col).alias("n_unique_urls")))
+
+
 def fingerprint(df: DataFrame, key_cols: list[str],
                 text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over the whitespace- and

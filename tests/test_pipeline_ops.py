@@ -528,3 +528,15 @@ def test_headers_links_stream_match_batch(spark, tmp_path):
         "SELECT * FROM lnk_stream").collect()))
     exp_l = sorted(map(tuple, links(tr).collect()))
     assert got_l == exp_l and len(got_l) == 24  # a.href + img.src / turn
+
+
+def test_host_counts(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/x",), ("https://a.com/x",),
+         ("https://a.com/y",), ("http://b.org/z",), ("/relative",)],
+        "url string")
+    got = {r.host: (r.n_links, r.n_unique_urls)
+           for r in textstats.host_counts(df).collect()}
+    assert got["a.com"] == (3, 2)
+    assert got["b.org"] == (1, 1)
+    assert got[None] == (1, 1)  # relative URL -> no authority
