@@ -11,9 +11,10 @@ single-chunk parse followed by the reference's EOF recovery rules
 (`hparser.c:1738-1813`); the reference's own chunking-invariance
 contract (`t/parser.t:102`) guarantees this yields the same events.
 
-This function is the inner loop of a `mapInPandas` UDF: it is called
-once per document inside an Arrow batch (no per-row Python at the
-DataFrame level; Spark hands us whole record batches).
+This function is the inner loop of the Arrow map stage
+(`mapInArrow`): it is called once per document inside an Arrow batch
+(no per-row Python at the DataFrame level; Spark hands us whole
+record batches).
 
 Event tuple layout (kept as a plain tuple for speed)::
 
