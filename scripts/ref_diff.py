@@ -68,6 +68,8 @@ CONFIGS: list[dict] = [
     {"ignore_tags": ["a"], "report_tags": ["a", "p"],
      "unbroken_text": 1},
     {"boolean_attribute_value": "__BOOL__"},
+    {"xml_pic": 1},
+    {"marked_sections": 1, "unbroken_text": 1},
 ]
 
 
