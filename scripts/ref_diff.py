@@ -102,6 +102,7 @@ def my_events(doc: str, opts: dict) -> list[dict]:
             "token0": p["token0"],
             "tokenpos": p["tokenpos"],
             "offset_end": p["offset_end"],
+            "tokens": p["tokens"],
         })
     return out
 
@@ -126,6 +127,9 @@ def compare(mine: list[dict], ref: list[dict], doc: str, opts: dict,
         if m["tokenpos"] != r["tokenpos"]:
             errs.append(f"ev{i} tokenpos: {m['tokenpos']!r} vs "
                         f"{r['tokenpos']!r}")
+        if (m["tokens"] or None) != (r["tokens"] or None):
+            errs.append(f"ev{i} tokens: {m['tokens']!r} vs "
+                        f"{r['tokens']!r}")
         if r["event"] == "text":
             if m["dtext"] != r["dtext"]:
                 errs.append(f"ev{i} dtext: {m['dtext']!r} vs {r['dtext']!r}")

@@ -26,7 +26,7 @@ while (my $line = <STDIN>) {
         default => sub {
             my ($event, $text, $dtext, $tagname, $attr, $attrseq,
                 $is_cdata, $offset, $length, $ln, $col, $tag,
-                $token0, $tokenpos, $offset_end) = @_;
+                $token0, $tokenpos, $offset_end, $tokens) = @_;
             return if $event eq 'start_document'
                    || $event eq 'end_document';
             push @events, {
@@ -45,11 +45,12 @@ while (my $line = <STDIN>) {
                 token0     => $token0,
                 tokenpos   => $tokenpos,
                 offset_end => $offset_end,
+                tokens     => $tokens,
             };
         },
         "event, text, dtext, tagname, attr, attrseq, is_cdata, "
       . "offset, length, line, column, tag, token0, tokenpos, "
-      . "offset_end"
+      . "offset_end, tokens"
     );
     for my $o (sort keys %$opts) {
         my $v = $opts->{$o};
