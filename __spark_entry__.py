@@ -235,6 +235,14 @@ def _q_lsh_pairs(spark, sf_dir):
                                max_bucket=1_000_000)
 
 
+def _q_minhash_sigs_fast(spark, sf_dir):
+    """md5slice family: one md5 per shingle, 8 independent 16-bit
+    slice hashes — the 100 TB hashing-cost default."""
+    from html_parser_spark.operators.dedup import minhash_signatures
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8,
+                              family="md5slice")
+
+
 def _q_simhash(spark, sf_dir):
     from html_parser_spark.operators.dedup import simhash
     return simhash(_docs(spark, sf_dir))
@@ -506,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "minhash_sigs": _q_minhash_sigs,
+        "minhash_sigs_fast": _q_minhash_sigs_fast,
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
@@ -783,6 +792,11 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "minhash_sigs": f"""
             SELECT doc_id, {_MINHASH_AGGS}
+            FROM ({_SHINGLES}) GROUP BY doc_id""",
+        "minhash_sigs_fast": f"""
+            SELECT doc_id, {", ".join(
+                f"min(substr(md5(s), {4 * i + 1}, 4)) AS h{i}"
+                for i in range(8))}
             FROM ({_SHINGLES}) GROUP BY doc_id""",
         "lsh_pairs": f"""
             WITH {_LSH_BANDS_CTE}

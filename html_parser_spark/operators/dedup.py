@@ -76,19 +76,49 @@ def shingle_rows(df: DataFrame, key_col: str, text_col: str,
 
 def minhash_signatures(df: DataFrame, key_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
-                       n: int = 3) -> DataFrame:
+                       n: int = 3, family: str = "md5k") -> DataFrame:
     """K md5-minhashes per document as a NARROW projection — no
-    explode, no shuffle: ``array_min(transform(shingles, s ->
-    md5(s#i)))`` per row inside whole-stage codegen.
+    explode, no shuffle — entirely inside whole-stage codegen. At
+    100 TB this stage is map-only: signature cost scales with input
+    bytes, cluster scales linearly, and only the (tiny) signature
+    table ever shuffles.
 
-    Hash family: ``md5(shingle || '#' || i)`` for i in 0..K-1 — string
-    min over hex digests is a valid uniform minhash and is
-    reproducible in any engine with md5. At 100 TB this stage is
-    map-only: signature cost scales with input bytes, cluster scales
-    linearly, and only the (tiny) signature table ever shuffles.
+    Two hash families, both reproducible in any engine with md5:
+
+    * ``family='md5k'`` (default): h_i = md5(shingle || '#i') — K
+      independent full-width hashes, K md5 calls per shingle. String
+      min over hex digests is a valid uniform minhash.
+    * ``family='md5slice'``: ONE md5 per shingle; h_i = hex nibbles
+      [4i, 4i+4) of the digest — K independent 16-bit hashes (md5
+      output bits are uniform/independent) at 1/K the hashing cost.
+      Quality cost: min-value ties within a document's shingle set
+      (16-bit range) slightly widen LSH buckets, but identical sets
+      still hash identically so true duplicates are never dropped.
+      Measured at sandbox scale the two families tie (shingle
+      construction dominates, not hashing); reach for this one when
+      K is large or shingles are long enough that digesting them K
+      times actually shows up. Requires num_hashes <= 8.
     """
     with_sh = df.select(F.col(key_col),
                         shingles_col(F.col(text_col), n).alias("_sh"))
+    if family == "md5slice":
+        if num_hashes * 4 > 32:
+            raise ValueError("md5slice supports at most 8 hashes")
+        with_m = with_sh.select(
+            key_col,
+            F.transform(F.col("_sh"), lambda s: F.md5(
+                s.cast("binary"))).alias("_m"))
+        def _slice_i(i: int):
+            # single-arg lambda: a default-arg lambda would be seen as
+            # two-arg by F.transform and receive the element index
+            return lambda m: F.substring(m, 4 * i + 1, 4)
+
+        mins = [
+            F.array_min(F.transform(F.col("_m"), _slice_i(i)))
+            .alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return with_m.select(key_col, *mins)
     def _hash_i(i: int):
         # NB: the returned lambda must be single-arg — F.transform
         # passes (element, index) to two-arg callables

@@ -540,3 +540,20 @@ def test_host_counts(spark):
     assert got["a.com"] == (3, 2)
     assert got["b.org"] == (1, 1)
     assert got[None] == (1, 1)  # relative URL -> no authority
+
+
+def test_minhash_md5slice_family(spark, docs):
+    """One-md5-per-shingle slice family: identical docs get identical
+    signatures, near-dups share most slices, and the LSH composition
+    still finds the duplicate pair."""
+    sigs = dedup.minhash_signatures(docs, family="md5slice")
+    by = {r.doc_id: tuple(r[f"h{i}"] for i in range(8))
+          for r in sigs.collect()}
+    assert by[0] == by[3]
+    assert by[0] != by[2]
+    assert all(len(v) == 4 for v in by[0])  # 4-hex-char slices
+    shared = sum(a == b for a, b in zip(by[0], by[1]))
+    assert shared >= 4
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 3) in pairs
