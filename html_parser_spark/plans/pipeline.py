@@ -84,6 +84,26 @@ def partition_metrics(df: DataFrame, batch_id: int = 0,
     return df.mapInPandas(run, LINEAGE_SCHEMA)
 
 
+def write_bucketed(df: DataFrame, table: str, n_buckets: int = 64,
+                   bucket_cols: tuple[str, ...] = ("conv_id",),
+                   sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and sorted) by ``bucket_cols`` so
+    later equi-joins and aggregations on those keys are CO-LOCATED:
+    two tables bucketed the same way join with zero Exchange — at
+    100 TB that deletes the dominant shuffle of
+    extracted-output x metadata joins (asserted by the plan test in
+    test_plans_streaming). Iceberg's bucket partition transform plays
+    this role in deployment; ``bucketBy`` is the warehouse-table
+    equivalent.
+    """
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*sort_cols)
+     .format("parquet")
+     .saveAsTable(table))
+
+
 def completed_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:
     """Batch ids already committed to the checkpoint table."""
     if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):

@@ -182,3 +182,35 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert got[("c1", base + 0)] == (base + 120, 3)
     assert got[("c1", base + 4000)] == (base + 4060, 2)
     assert ("c1", base + 200_000) not in got
+
+
+def test_bucketed_join_is_co_located(spark, tmp_path):
+    """Two tables bucketed on conv_id join WITHOUT any Exchange on
+    either side — the co-located-join strategy for 100 TB
+    extracted-output x metadata joins."""
+    from html_parser_spark.plans.pipeline import write_bucketed
+
+    left = spark.createDataFrame(
+        [(f"c{i}", i, f"text {i}") for i in range(50)],
+        "conv_id string, turn_idx int, extracted_text string")
+    right = spark.createDataFrame(
+        [(f"c{i}", i % 3) for i in range(50)],
+        "conv_id string, quality int")
+    write_bucketed(left, "t_left_bkt", n_buckets=8)
+    write_bucketed(right, "t_right_bkt", n_buckets=8,
+                   sort_cols=("conv_id",))
+    # at test scale the planner would broadcast the tiny side (which
+    # disables bucketing); forbid it to expose the 100 TB plan shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("t_left_bkt")
+             .join(spark.table("t_right_bkt"), "conv_id"))
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == 50
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_right_bkt")
