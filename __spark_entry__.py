@@ -152,9 +152,31 @@ def _q_quality(spark, sf_dir):
         "avg_word_len", "alpha_ratio", "stopword_ratio")
 
 
+#: planted multi-language fixture (one clean sample sentence per
+#: language, doc_id % 5 == 4 rows are digits-only -> 'other')
+_T_LANG = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'the cat and the dog went to the house of the king "
+    "and then the end' "
+    "WHEN 1 THEN 'le chat et le chien sont dans la maison de la "
+    "ville et les portes' "
+    "WHEN 2 THEN 'der hund und die katze sind in der stadt und die "
+    "haus ist offen' "
+    "WHEN 3 THEN 'el perro y el gato estan en la casa de los ninos "
+    "que es blanca' "
+    "ELSE CAST(doc_id AS VARCHAR) END")
+
+
 def _q_lang_id(spark, sf_dir):
+    """Char-trigram-profile language ID over planted en/fr/de/es
+    fixtures; the oracle rebuilds the identical trigram scoring, so
+    the classifier math itself is verified, not just the labels."""
     from html_parser_spark.operators.textstats import lang_id
-    return lang_id(_docs(spark, sf_dir), ["doc_id"])
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_T_LANG.replace("AS VARCHAR", "AS STRING")).alias("text"))
+    return lang_id(planted, ["doc_id"])
 
 
 def _q_normalize_text(spark, sf_dir):
@@ -269,6 +291,17 @@ def _q_cosine_knn(spark, sf_dir):
     return cosine_neighbors(emb, q, threshold=0.2)
 
 
+def _q_cosine_topk(spark, sf_dir):
+    """Multi-query exact top-k: shuffle-bounded two-phase reduction
+    (per-partition top-k before the exchange); DuckDB re-derives it
+    with a window rank over exact scores."""
+    from html_parser_spark.operators.similarity import cosine_topk
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk(emb, q, k=5)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     """Default (bucketed) path: same-sketch-bucket candidates, exact
     cosine on candidates only; the oracle rebuilds the sketch."""
@@ -285,6 +318,49 @@ def _q_lsh_ann(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2)
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """Composed dedup tail on a LONG-CHAIN fixture (edges doc_id ->
+    doc_id+1 within blocks of 100): components of diameter ~100, the
+    case O(diameter) min-label propagation handles worst — exercises
+    the star-CC default of dedup_canonical."""
+    from html_parser_spark.operators.dedup import dedup_canonical
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = (d.filter(F.col("doc_id") % 100 != 99)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    # keep only edges whose endpoint exists in the corpus
+    pairs = pairs.join(d.withColumnRenamed("doc_id", "id_b"), "id_b")
+    return dedup_canonical(pairs.select("id_a", "id_b"))
+
+
+def _q_lineage(spark, sf_dir):
+    """S7 lineage/metrics + resume: stage a batch-partitioned input,
+    run run_resumable twice (second run must be a no-op), and return
+    the deterministic checkpoint-table columns (batch totals —
+    partition_id/wall_sec are environment-dependent by design)."""
+    import tempfile
+
+    from html_parser_spark.plans.pipeline import run_resumable
+
+    tmp = tempfile.mkdtemp(prefix="lineage_q_")
+    src = f"{tmp}/src"
+    (_docs(spark, sf_dir)
+     .select(F.col("doc_id"), F.col("text").alias("extracted_text"),
+             F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+             .alias("batch_id"))
+     .write.partitionBy("batch_id").parquet(src))
+    staged = spark.read.parquet(src)
+    n1 = run_resumable(spark, staged, f"{tmp}/out", f"{tmp}/ckpt")
+    n2 = run_resumable(spark, staged, f"{tmp}/out", f"{tmp}/ckpt")
+    assert n1 == 4 and n2 == 0, (n1, n2)
+    lineage = spark.read.parquet(f"{tmp}/ckpt")
+    return (lineage.groupBy(F.col("batch_id").cast("int")
+                            .alias("batch_id"))
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("n_chars").alias("n_chars")))
 
 
 def _q_dedup_components(spark, sf_dir):
@@ -475,9 +551,21 @@ def _q_strip_markup(spark, sf_dir):
     return strip_markup(_tr(spark, sf_dir))
 
 
+#: BOM-planting template: per-row BOM / mojibake prefixes so the
+#: expected flags VARY by row (doc_id % 5): UTF-8 BOM, UTF-16-LE BOM
+#: (Latin-1-read ÿþ), undecoded-UTF-8 mojibake (Ã© = C3 A9 read as
+#: Latin-1), Latin-1-read UTF-8 BOM bytes (ï»¿), clean
+_T_BOM = ("CASE CAST(doc_id % 5 AS INT) "
+          "WHEN 0 THEN '﻿' || text "
+          "WHEN 1 THEN 'ÿþ' || text "
+          "WHEN 2 THEN 'cafÃ© ' || text "
+          "WHEN 3 THEN 'ï»¿' || text "
+          "ELSE text END")
+
+
 def _q_bom_stats(spark, sf_dir):
     from html_parser_spark.operators.extract import bom_stats
-    return bom_stats(_tr(spark, sf_dir))
+    return bom_stats(_tmpl(spark, sf_dir, _T_BOM))
 
 
 def _q_media_meta(spark, sf_dir):
@@ -487,6 +575,16 @@ def _q_media_meta(spark, sf_dir):
     from html_parser_spark.operators.media import (
         decode_image_meta, synth_image_payloads)
     return decode_image_meta(synth_image_payloads(_docs(spark, sf_dir)))
+
+
+def _q_media_pixels(spark, sf_dir):
+    """Full PNG pixel decode (chunk walk -> zlib -> un-filter) over
+    complete valid PNG fixtures; the oracle recomputes every channel
+    sum from the closed-form pixel function, so the whole decode path
+    — including scanline un-filtering — is verified numerically."""
+    from html_parser_spark.operators.media import (
+        decode_image_pixels, synth_png_images)
+    return decode_image_pixels(synth_png_images(_docs(spark, sf_dir)))
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -518,10 +616,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
+        "dedup_canonical": _q_dedup_canonical,
+        "lineage": _q_lineage,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_knn": _q_cosine_knn,
+        "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_ann": _q_lsh_ann,
         "marked_sections": _q_marked_sections,
@@ -537,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": _q_strip_markup,
         "bom_stats": _q_bom_stats,
         "media_meta": _q_media_meta,
+        "media_pixels": _q_media_pixels,
         "frame_sample": _q_frame_sample,
     }
 
@@ -619,6 +721,34 @@ def _lsh_bucket_expr(vec_sql: str, n_bits: int = 8, dim: int = 64,
         comp = f"list_inner_product({vec_sql}, {planes})"
         terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of textstats.lang_id: identical trigram profiles,
+    identical (len - len(replace))/3 counting, identical argmax +
+    tie-break order — the classifier math is re-derived, not just the
+    expected labels."""
+    from html_parser_spark.operators.textstats import LANG_TRIGRAMS
+
+    score_cols = []
+    for lang, tris in LANG_TRIGRAMS.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{tri}', ''))) / 3"
+            for tri in tris)
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(LANG_TRIGRAMS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+        WITH d AS (SELECT doc_id, lower({_T_LANG}) AS t
+                   FROM documents),
+        s AS (SELECT doc_id, {", ".join(score_cols)} FROM d),
+        b AS (SELECT doc_id, {best} AS best, * FROM s)
+        SELECT doc_id,
+               CASE WHEN best <= 0 THEN 'other' {pred}
+                    ELSE 'other' END AS lang_pred,
+               CAST(best AS BIGINT) AS lang_score
+        FROM b"""
 
 
 def _rewritten_wrap_expr() -> str:
@@ -724,19 +854,7 @@ def oracle_sql() -> dict[str, str]:
                                regexp_split_to_array(trim(text), '\\s+')
                                  AS w
                         FROM documents))""",
-        "lang_id": f"""
-            SELECT doc_id,
-                   round(r, 3) AS stopword_ratio,
-                   CASE WHEN r >= 0.08 THEN 'en' ELSE 'other' END
-                     AS lang_pred
-            FROM (SELECT doc_id,
-                         CAST(len(list_filter(w,
-                              x -> list_contains({_STOPLIST}, x)))
-                              AS DOUBLE) / len(w) AS r
-                  FROM (SELECT doc_id,
-                               regexp_split_to_array(trim(text), '\\s+')
-                                 AS w
-                        FROM documents))""",
+        "lang_id": _lang_id_oracle(),
         "normalize_text": """
             SELECT doc_id,
                    lower(trim(regexp_replace(nfc_normalize(text),
@@ -804,6 +922,25 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {_SIMHASH64_CTE}
             SELECT doc_id, simhash FROM sig""",
+        "dedup_canonical": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+              WHERE doc_id % 100 <> 99
+                AND doc_id + 1 IN (SELECT doc_id FROM documents)),
+            edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            reach(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r
+                ON e.v = r.u)
+            SELECT u AS id, min(label) AS component,
+                   u = min(label) AS is_canonical
+            FROM reach GROUP BY u""",
+        "lineage": """
+            SELECT CAST(doc_id % 4 AS INT) AS batch_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY doc_id % 4""",
         "dedup_components": f"""
             WITH RECURSIVE {_LSH_BANDS_CTE},
             edges AS (SELECT id_a AS u, id_b AS v FROM cand
@@ -850,6 +987,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
                    {_COS} AS cos_sim
             FROM embeddings WHERE {_COS} >= 0.2""",
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id <= 2),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(CAST(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), q.qv)
+                             AS DOUBLE), 3) AS cos_sim
+                  FROM embeddings e, q)
+            SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cos_sim DESC, vec_id) AS rn
+                  FROM s)
+            WHERE rn <= 5""",
         "embedding_near_dup": f"""
             WITH c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -930,8 +1082,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "bom_stats": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
-                   false AS utf8_bom, false AS utf16_bom,
-                   false AS maybe_undecoded_utf8
+                   CAST(doc_id % 5 AS INT) IN (0, 3) AS utf8_bom,
+                   CAST(doc_id % 5 AS INT) = 1 AS utf16_bom,
+                   CAST(doc_id % 5 AS INT) = 2
+                     AS maybe_undecoded_utf8
             FROM documents""",
         "media_meta": """
             SELECT doc_id,
@@ -943,6 +1097,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS width,
                    CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS height
             FROM documents""",
+        "media_pixels": """
+            WITH dims AS (SELECT doc_id,
+                                 CAST(4 + doc_id % 13 AS INT) AS w,
+                                 CAST(4 + doc_id % 7 AS INT) AS h
+                          FROM documents),
+            px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+                   FROM dims,
+                        LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                        LATERAL (SELECT unnest(range(0, h)) AS y) ys)
+            SELECT doc_id, w AS width, h AS height,
+                   CAST(sum((x + doc_id) % 256) AS BIGINT) AS r_sum,
+                   CAST(sum((y + 2 * doc_id) % 256) AS BIGINT) AS g_sum,
+                   CAST(sum((x + y + 3 * doc_id) % 256) AS BIGINT)
+                     AS b_sum
+            FROM px GROUP BY doc_id, w, h""",
         "frame_sample": """
             SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
                    md5(substr(text, CAST(i*64+1 AS INTEGER), 64))

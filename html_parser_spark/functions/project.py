@@ -12,6 +12,7 @@ from html_parser_spark.config import ParserConfig
 from html_parser_spark.functions.entities import decode_entities
 from html_parser_spark.functions.tokenizer import (
     ascii_lower,
+    EV_COMMENT,
     EV_DECLARATION,
     EV_END,
     EV_PROCESS,
@@ -19,8 +20,12 @@ from html_parser_spark.functions.tokenizer import (
     EV_TEXT,
 )
 
-# event-code prefix for the `tag` field ("!##/#?#", hparser.c:424-427)
-_TAG_PREFIX = {EV_DECLARATION: "!", EV_END: "/", EV_PROCESS: "?"}
+# event-code prefix for the `tag` field ("!##/#?#" indexed by event
+# enum, hparser.c:424-427): declaration '!', comment '#', end '/',
+# process '?'; start stays bare (the e_type string's other '#' slots
+# belong to events that never carry tokens)
+_TAG_PREFIX = {EV_DECLARATION: "!", EV_COMMENT: "#", EV_END: "/",
+               EV_PROCESS: "?"}
 
 
 def raw_text(doc: str, row) -> str:

@@ -231,7 +231,16 @@ def simhash_near_dup_pairs(df: DataFrame, key_col: str = "doc_id",
     ``bit_count(xor)`` filter runs on candidates only. With 65,536
     values per band, buckets hold ~n/65536 non-near-dup rows, so the
     candidate set stays close to the true near-dup count at scale.
+
+    The pigeonhole guarantee needs more bands than differing bits, so
+    four bands are complete only for ``max_hamming <= 3``; larger
+    radii would silently drop pairs — rejected instead.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the completeness bound "
+            "of the fixed 4-band candidate generation (pigeonhole needs "
+            "bands > max_hamming); use max_hamming <= 3")
     sigs = simhash(df, key_col, text_col)
     bands = F.array(*[
         F.struct(
@@ -459,10 +468,24 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dedup_canonical(pairs: DataFrame, id_a: str = "id_a",
-                    id_b: str = "id_b") -> DataFrame:
+                    id_b: str = "id_b",
+                    algorithm: str = "star") -> DataFrame:
     """(id, component, is_canonical): keep rows where is_canonical to
-    retain exactly one representative per near-dup cluster."""
-    comp = connected_components(pairs, id_a, id_b)
+    retain exactly one representative per near-dup cluster.
+
+    Defaults to the large-star/small-star components (O(log n)
+    rounds, neighborhood-local, skew-resistant) — near-dup graphs at
+    corpus scale contain giant chain components that make the
+    O(diameter) min-label propagation the wrong default.
+    ``algorithm="minlabel"`` keeps the simple variant for small or
+    known-shallow graphs.
+    """
+    if algorithm == "star":
+        comp = connected_components_star(pairs, id_a, id_b)
+    elif algorithm == "minlabel":
+        comp = connected_components(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     return comp.select(
         "id", "component",
         (F.col("id") == F.col("component")).alias("is_canonical"))

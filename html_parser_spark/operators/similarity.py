@@ -5,9 +5,9 @@ Two tiers, as a 100 TB pipeline needs:
 * **brute-force cosine** (`cosine_topk` / `cosine_neighbors`) — the
   exact baseline: one narrow projection per (row, query); queries are
   broadcast. Linear scan, embarrassingly parallel, zero shuffle for
-  the scoring stage; only the final top-k does a small shuffle
-  (``orderBy ... limit`` → TakeOrderedAndProject, per-partition top-k
-  then driver merge of k·P rows — never a full sort).
+  the scoring stage; `cosine_topk` reduces each partition to
+  queries·k candidates before its single exchange, so the shuffle is
+  O(P·q·k) rows — never the scored corpus and never a global sort.
 * **LSH-bucketed ANN** (`lsh_neighbors`) — the scale path: sign
   random-hyperplane sketch (md5-derived, deterministic) buckets the
   corpus; candidates = same-bucket rows only, then exact re-scoring.
@@ -62,16 +62,59 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
                 key_col: str = "vec_id", vec_col: str = "embedding",
                 query_key: str = "query_id") -> DataFrame:
     """Exact top-k per query by cosine (ties broken by key for
-    determinism). Uses a window rank after broadcast scoring; with a
-    single query Spark plans TakeOrderedAndProject (no full sort)."""
-    from pyspark.sql import Window
+    determinism); output adds a 1-based ``rank``.
+
+    Two-phase, shuffle-bounded: scoring stays JVM-side (broadcast
+    queries, codegen dot products), then a per-partition bounded
+    top-k reduction (vectorized pandas over Arrow batches) cuts each
+    partition to <= queries*k rows BEFORE any exchange. The only
+    shuffle therefore carries <= partitions*queries*k rows — with
+    many queries the global-window formulation instead shuffles and
+    sorts all n*q scored rows, which is the corpus itself. The final
+    merge is an array_sort over <= partitions*k candidates per query
+    (exact: every global top-k row is a top-k row of its partition).
+    """
+    import pandas as pd
 
     scored = cosine_neighbors(df, query_df, key_col, vec_col,
                               query_key, threshold=-1.0)
-    w = (Window.partitionBy(query_key)
-         .orderBy(F.col("cos_sim").desc(), F.col(key_col)))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+
+    def local_topk(pdfs):
+        acc: list[pd.DataFrame] = []
+        n_acc = 0
+        for pdf in pdfs:
+            acc.append(pdf)
+            n_acc += len(pdf)
+            if n_acc > 64 * k:  # re-reduce to bound buffer memory
+                merged = pd.concat(acc, ignore_index=True)
+                merged = (merged.sort_values(
+                    [query_key, "cos_sim", key_col],
+                    ascending=[True, False, True])
+                    .groupby(query_key, sort=False).head(k))
+                acc, n_acc = [merged], len(merged)
+        if acc:
+            merged = pd.concat(acc, ignore_index=True)
+            yield (merged.sort_values(
+                [query_key, "cos_sim", key_col],
+                ascending=[True, False, True])
+                .groupby(query_key, sort=False).head(k))
+
+    partial = scored.mapInPandas(local_topk, scored.schema)
+    # global exact merge: sort each query's <= P*k candidates once
+    # (struct order: -cos asc == cos desc, then key asc for ties)
+    cand = F.struct((-F.col("cos_sim")).alias("nc"),
+                    F.col(key_col).alias("key"),
+                    F.col("cos_sim").alias("cos"))
+    return (
+        partial.groupBy(query_key)
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k)
+             .alias("top"))
+        .select(query_key, F.posexplode("top").alias("_pos", "t"))
+        .select(query_key,
+                F.col("t.key").alias(key_col),
+                F.col("t.cos").alias("cos_sim"),
+                (F.col("_pos") + 1).cast("int").alias("rank"))
+    )
 
 
 def lsh_sketch_expr(vec_col: str, dim: int | None, n_bits: int = 16,

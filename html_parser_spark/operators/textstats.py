@@ -73,25 +73,53 @@ def quality_score(df: DataFrame, key_cols: list[str],
     )
 
 
-def lang_id(df: DataFrame, key_cols: list[str],
-            text_col: str = "text",
-            threshold: float = 0.08) -> DataFrame:
-    """Stopword-ratio language ID: 'en' if the English stopword share
-    of whitespace words clears ``threshold``, else 'other'.
+#: char-trigram language profiles (Cavnar & Trenkle 1994 style:
+#: a language is recognized by its most frequent character n-grams —
+#: here the top function-word trigrams per language, public
+#: linguistic knowledge, stored as module data like the entity
+#: tables). Dict order is the deterministic tie-break order.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "he ", "and", " an", "nd ", " of", "of ",
+           " to", "to "),
+    "fr": ("les", " le", "le ", " la", " et", "et ", " de", "de ",
+           " je", "je ", "ais", "ous", "eur", "ont"),
+    "de": ("der", "er ", "die", " di", "ie ", "und", " un", "ein",
+           "ich", "sch", "ung", "cht"),
+    "es": ("el ", " el", "los", " lo", "que", " qu", "ue ", " la",
+           "la ", "ndo", "ado", " y ", "ar ", "os "),
+}
 
-    A real deployment swaps the word list per language; the operator
-    shape (one narrow projection, no shuffle) is what matters at
-    100 TB.
+
+def lang_id(df: DataFrame, key_cols: list[str],
+            text_col: str = "text") -> DataFrame:
+    """Char-trigram-profile language ID over ``LANG_TRIGRAMS``
+    (en/fr/de/es, 'other' when no profile trigram occurs).
+
+    Per language: score = Σ_trigram occurrences in the lowercased
+    text, each count computed as (len - len(replace(t, tri))) / 3 —
+    plain string ops, no regex, so any engine reproduces it exactly.
+    Prediction = argmax, ties broken by profile order. Pure JVM, one
+    codegen stage, shuffle-free — at 100 TB this is a narrow map over
+    the text column, and extending coverage is adding profile rows,
+    not changing the operator shape.
     """
-    w = words_col(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    ratio = (F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-             .cast("double") / F.size(w))
+    t = F.lower(F.col(text_col))
+    scores: dict[str, Column] = {}
+    for lang, tris in LANG_TRIGRAMS.items():
+        cnt = None
+        for tri in tris:
+            c = (F.length(t) - F.length(F.replace(t, F.lit(tri),
+                                                  F.lit("")))) / 3
+            cnt = c if cnt is None else cnt + c
+        scores[lang] = cnt
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("other"))
+    for lang in LANG_TRIGRAMS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
     return df.select(
         *key_cols,
-        F.round(ratio, 3).alias("stopword_ratio"),
-        F.when(ratio >= threshold, F.lit("en")).otherwise("other")
-        .alias("lang_pred"),
+        pred.otherwise(F.lit("other")).alias("lang_pred"),
+        best.cast("long").alias("lang_score"),
     )
 
 

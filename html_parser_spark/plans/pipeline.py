@@ -104,6 +104,30 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int = 64,
      .saveAsTable(table))
 
 
+def _warn_if_not_pruned(part: DataFrame, batch_col: str) -> None:
+    """Enforce the resume contract at runtime: the per-batch filter
+    must reach the scan as a PARTITION filter (input partitioned by
+    ``batch_col``), otherwise every resume pays a full corpus re-scan
+    per batch. Inspected once per run on the first batch; a violation
+    warns loudly instead of silently degrading to O(batches × corpus)
+    scan cost."""
+    try:
+        plan = part._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # non-JVM plans (mocks) — nothing to inspect
+        return
+    for seg in plan.split("PartitionFilters: [")[1:]:
+        if batch_col in seg.split("]")[0]:
+            return
+    import warnings
+    warnings.warn(
+        f"run_resumable: the filter on {batch_col!r} is not a "
+        "partition filter — the input is not partitioned by "
+        f"{batch_col!r}, so each batch re-scans the whole source. "
+        f"Stage the input with .write.partitionBy({batch_col!r}) "
+        "(Iceberg: a partition transform on it) before resuming at "
+        "scale.", RuntimeWarning, stacklevel=3)
+
+
 def completed_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:
     """Batch ids already committed to the checkpoint table."""
     if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
@@ -137,8 +161,10 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
     done = completed_batches(spark, checkpoint_dir)
     todo = [r[0] for r in
             df.select(batch_col).distinct().collect() if r[0] not in done]
-    for b in sorted(todo):
+    for i, b in enumerate(sorted(todo)):
         part = df.filter(F.col(batch_col) == b).drop(batch_col)
+        if i == 0:
+            _warn_if_not_pruned(part, batch_col)
         sub = os.path.join(out_dir, f"{batch_col}={b}")
         part.write.mode("overwrite").parquet(sub)
         (partition_metrics(part, batch_id=b,

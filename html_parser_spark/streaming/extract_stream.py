@@ -112,29 +112,43 @@ def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 300,
                                 "session_end_s": [last_s],
                                 "n_turns": [n]})
             return
-        ts_min = None
-        ts_max = None
-        n_new = 0
+        ts_all: list[int] = []
         for pdf in pdfs:
             s = pdf["ts"].astype("int64") // 1_000_000_000
-            n_new += len(s)
-            lo, hi = int(s.min()), int(s.max())
-            ts_min = lo if ts_min is None else min(ts_min, lo)
-            ts_max = hi if ts_max is None else max(ts_max, hi)
-        if n_new == 0:
+            if len(s) == 0:
+                continue  # empty chunks occur; min() would be NaN
+            ts_all.extend(int(v) for v in s)
+        if not ts_all:
             return
+        # A single micro-batch (backfill, replay, large trigger) may
+        # itself span idle gaps > gap_seconds: sort the batch and
+        # split into session runs FIRST, so boundaries match
+        # operators.sessions.sessionize regardless of batch sizing.
+        ts_all.sort()
+        runs: list[tuple[int, int, int]] = []
+        rs = re_ = ts_all[0]
+        n_run = 1
+        for t in ts_all[1:]:
+            if t - re_ > gap_seconds:
+                runs.append((rs, re_, n_run))
+                rs, n_run = t, 0
+            n_run += 1
+            re_ = t
+        runs.append((rs, re_, n_run))
         closed = []
         if state.exists:
             start_s, last_s, n = state.get
-            if ts_min - last_s > gap_seconds:
-                # idle gap inside the batch window: close the old
-                # session immediately, start a new one
+            r0, r1, rn = runs[0]
+            if r0 - last_s > gap_seconds:
+                # idle gap before the batch's first run: close the
+                # stored session, the first run starts a new one
                 closed.append((start_s, last_s, n))
-                start_s, n = ts_min, 0
-            n += n_new
-            last_s = max(last_s, ts_max)
-        else:
-            start_s, last_s, n = ts_min, ts_max, n_new
+            else:
+                # merge (min handles late rows inside the watermark)
+                runs[0] = (min(start_s, r0), max(last_s, r1), n + rn)
+        # every run but the last is followed by an in-batch idle gap
+        closed.extend(runs[:-1])
+        start_s, last_s, n = runs[-1]
         state.update((start_s, last_s, n))
         state.setTimeoutTimestamp((last_s + gap_seconds) * 1000)
         if closed:

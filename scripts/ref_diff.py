@@ -136,15 +136,18 @@ def compare(mine: list[dict], ref: list[dict], doc: str, opts: dict,
             if bool(m["is_cdata"]) != bool(r["is_cdata"]):
                 errs.append(f"ev{i} is_cdata: {m['is_cdata']} vs "
                             f"{r['is_cdata']}")
-        if r["event"] in ("start", "end"):
-            if m["tagname"] != r["tagname"]:
-                errs.append(f"ev{i} tagname: {m['tagname']!r} vs "
-                            f"{r['tagname']!r}")
-            if m["tag"] != r["tag"]:
-                errs.append(f"ev{i} tag: {m['tag']!r} vs {r['tag']!r}")
-            if m["token0"] != r["token0"]:
-                errs.append(f"ev{i} token0: {m['token0']!r} vs "
-                            f"{r['token0']!r}")
+        # tag/tagname/token0 are defined for EVERY tokened event
+        # (comments get '#'+content, declarations '!'+name, ...), so
+        # compare them unconditionally — a start/end-only comparison
+        # would miss prefix bugs on comment/declaration/pi events
+        if m["tagname"] != r["tagname"]:
+            errs.append(f"ev{i} tagname: {m['tagname']!r} vs "
+                        f"{r['tagname']!r}")
+        if m["tag"] != r["tag"]:
+            errs.append(f"ev{i} tag: {m['tag']!r} vs {r['tag']!r}")
+        if m["token0"] != r["token0"]:
+            errs.append(f"ev{i} token0: {m['token0']!r} vs "
+                        f"{r['token0']!r}")
         if r["event"] == "start":
             if (m["attr"] or {}) != (r["attr"] or {}):
                 errs.append(f"ev{i} attr: {m['attr']!r} vs {r['attr']!r}")

@@ -557,3 +557,145 @@ def test_minhash_md5slice_family(spark, docs):
     pairs = {(r.id_a, r.id_b)
              for r in dedup.lsh_candidate_pairs(sigs).collect()}
     assert (0, 3) in pairs
+
+
+# --------------------------------------------------- round-3 additions
+
+def test_simhash_pairs_rejects_incomplete_radius(spark, docs):
+    """4 fixed bands guarantee pigeonhole completeness only for
+    hamming <= 3; a larger radius must be rejected, not silently
+    under-reported."""
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=4)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2: optional 0xFF fill bytes may precede any
+    marker; the segment walk must skip them instead of reading a fill
+    byte as the marker code."""
+    import struct
+
+    sof0 = (struct.pack(">H", 8 + 3 * 3) + b"\x08"
+            + struct.pack(">HH", 31, 57) + b"\x03"
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    # SOI, then APP0 with 2 fill bytes before it, then SOF0 with 3
+    app0 = struct.pack(">H", 4) + b"\x00\x00"
+    payload = (b"\xff\xd8"
+               + b"\xff\xff\xff\xe0" + app0
+               + b"\xff\xff\xff\xff\xc0" + sof0)
+    assert media.parse_image_header(payload) == ("jpeg", 57, 31)
+
+
+def test_lang_id_trigram_profiles(spark):
+    """Char-trigram profile classifier: one clean sentence per
+    language + a no-letter row -> 'other'."""
+    rows = [
+        (0, "the cat and the dog went to the house of the king"),
+        (1, "le chat et le chien sont dans la maison de la ville"),
+        (2, "der hund und die katze sind in der stadt und die haus"),
+        (3, "el perro y el gato estan en la casa de los ninos"),
+        (4, "12345 67890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in
+           textstats.lang_id(df, ["doc_id"]).collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "es", 4: "other"}
+
+
+def test_dedup_canonical_star_long_chain(spark):
+    """dedup_canonical defaults to star CC: a 120-long chain (diameter
+    far beyond min-label's comfortable round budget) must resolve to
+    one component with exactly one canonical row, in O(log n) rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long")
+    out = dedup.dedup_canonical(pairs).collect()
+    assert len(out) == 121
+    assert all(r.component == 0 for r in out)
+    assert [r.id for r in out if r.is_canonical] == [0]
+
+
+def test_cosine_topk_bounded_plan_and_values(spark, vecs):
+    """Multi-query top-k: no Window/global sort of the scored corpus —
+    the per-partition reduction bounds the exchange; values exact."""
+    q = vecs.filter(F.col("vec_id") <= 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.cosine_topk(vecs, q, k=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "window" not in plan
+    got = {(r.query_id, r.rank): r.vec_id for r in top.collect()}
+    # query 0: itself then its near-dup 1; query 1: itself then 0
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 0
+
+
+def test_resume_prune_contract_warning(spark, tmp_path):
+    """run_resumable warns when the per-batch filter is NOT a
+    partition filter (unpartitioned staging) and stays silent on a
+    properly partitioned source."""
+    import warnings as w
+
+    from html_parser_spark.plans import pipeline
+
+    df = spark.createDataFrame(
+        [(i % 2, i, f"t{i}") for i in range(10)],
+        "batch_id int, doc_id long, extracted_text string")
+    flat = str(tmp_path / "flat")
+    df.write.parquet(flat)                      # NOT partitioned
+    part = str(tmp_path / "part")
+    df.write.partitionBy("batch_id").parquet(part)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pipeline.run_resumable(spark, spark.read.parquet(flat),
+                               str(tmp_path / "o1"),
+                               str(tmp_path / "c1"))
+    assert any("partition filter" in str(x.message) for x in rec)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pipeline.run_resumable(spark, spark.read.parquet(part),
+                               str(tmp_path / "o2"),
+                               str(tmp_path / "c2"))
+    assert not any("partition filter" in str(x.message) for x in rec)
+
+
+def test_png_pixel_decode_full(spark, docs):
+    """Complete PNG decode path: valid fixture PNGs (real CRCs, zlib
+    IDAT, mixed None/Sub/Up row filters) -> chunk walk -> inflate ->
+    un-filter -> channel sums matching the closed-form pixels."""
+    out = {r.doc_id: r for r in
+           media.decode_image_pixels(
+               media.synth_png_images(docs)).collect()}
+    for d in (0, 1, 4):
+        w, h = 4 + d % 13, 4 + d % 7
+        r = out[d]
+        assert (r.width, r.height) == (w, h)
+        assert r.r_sum == sum((x + d) % 256
+                              for y in range(h) for x in range(w))
+        assert r.g_sum == sum((y + 2 * d) % 256
+                              for y in range(h) for x in range(w))
+        assert r.b_sum == sum((x + y + 3 * d) % 256
+                              for y in range(h) for x in range(w))
+
+
+def test_png_unfilter_average_paeth():
+    """The decoder handles the full PNG filter set, not just the
+    fixture's: Average and Paeth rows reconstruct exactly."""
+    raw0 = bytes((10, 20, 30, 40, 50, 60))
+    raw1 = bytes((15, 25, 35, 45, 55, 65))
+    f0 = bytearray()
+    for i, v in enumerate(raw0):
+        a = raw0[i - 3] if i >= 3 else 0
+        f0.append((v - ((a + 0) >> 1)) & 0xFF)      # Average, prev=0
+    f1 = bytearray()
+    for i, v in enumerate(raw1):
+        a = raw1[i - 3] if i >= 3 else 0
+        b = raw0[i]
+        c = raw0[i - 3] if i >= 3 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        f1.append((v - pr) & 0xFF)                   # Paeth
+    buf = bytes([3]) + bytes(f0) + bytes([4]) + bytes(f1)
+    assert bytes(media._png_unfilter(buf, 2, 2)) == raw0 + raw1

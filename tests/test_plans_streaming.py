@@ -214,3 +214,49 @@ def test_bucketed_join_is_co_located(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_left_bkt")
         spark.sql("DROP TABLE IF EXISTS t_right_bkt")
+
+
+def test_sessionize_stream_intra_batch_gap(spark, tmp_path):
+    """A single micro-batch whose rows span an idle gap (backfill /
+    replay / large trigger) must produce the SAME session boundaries
+    as the batch operator — the batch is split on intra-batch gaps,
+    not collapsed into one session."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.streaming.extract_stream import (
+        sessionize_stream)
+
+    base = 1_700_000_000
+    src = str(tmp_path / "sess_gap_src")
+    batches = [
+        # ONE file = ONE micro-batch containing two full sessions and
+        # the start of a third
+        [("c1", base + 0), ("c1", base + 60), ("c1", base + 120),
+         ("c1", base + 4000), ("c1", base + 4060),
+         ("c1", base + 9000)],
+        [("c1", base + 100_000)],   # closes session C
+        [("c1", base + 200_000)],   # sentinel advances the watermark
+    ]
+    for rows in batches:
+        (spark.createDataFrame(rows, "conv_id string, s long")
+         .select("conv_id", F.timestamp_seconds("s").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    stream = (spark.readStream.schema("conv_id string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream, gap_seconds=300,
+                           watermark="1 second")
+         .writeStream.format("memory").queryName("sess_gap")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.conv_id, r.session_start_s): (r.session_end_s, r.n_turns)
+           for r in spark.sql("SELECT * FROM sess_gap").collect()}
+    # identical boundaries to operators.sessions.sessionize on the
+    # same rows: three closed sessions, the sentinel stays open
+    assert got[("c1", base + 0)] == (base + 120, 3)
+    assert got[("c1", base + 4000)] == (base + 4060, 2)
+    assert got[("c1", base + 9000)] == (base + 9000, 1)
+    assert ("c1", base + 100_000) in got

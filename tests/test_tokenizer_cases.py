@@ -422,3 +422,23 @@ def test_script_nested_trap():
     assert got[0] == ("start", "<script>")
     assert got[1] == ("text", "var x = '</scr' + 'ipt>';")
     assert got[2] == ("end", "</script>")
+
+
+def test_tag_event_type_prefixes():
+    """ARG_TAG's event-type prefix string "!##/#?#" (hparser.c:424-427,
+    indexed by event enum): declarations get '!'+name, comments
+    '#'+content, ends '/'+name, PIs '?'+content; starts stay bare.
+    All lowercased with the tagname fold. Expected values transcribed
+    from the compiled reference via scripts/ref_dump.pl."""
+    doc = "<!DOCTYPE html><!-- Com -->text<A>x</A><?Pi?>"
+    got = [(e["event"], e["tag"], e["token0"])
+           for e in events(doc, ParserConfig())]
+    assert got == [
+        ("declaration", "!doctype", "DOCTYPE"),
+        ("comment", "# com ", " Com "),
+        ("text", None, None),
+        ("start", "a", "A"),
+        ("text", None, None),
+        ("end", "/a", "A"),
+        ("process", "?pi?", "Pi?"),
+    ]
