@@ -13,6 +13,17 @@ fans each source document out to that many turns (distinct payloads —
 turn_idx is appended inside the text) so the run is long enough to
 time; the factor is identical across cpu counts, so scaling-efficiency
 comparisons (scripts/scaling_bench.py) are apples-to-apples.
+
+Measurement protocol (shared-host noise mitigation): all queries run
+INTERLEAVED for ``SPARK_GRAFT_TRIALS`` (default 3) round-robin
+rounds; queries whose own trials still disagree by >1.8x get up to
+two extra rounds (uniform rule, min over all recorded trials is the
+record). The full trial matrix plus a fixed pure-JVM ``host_probe``
+job per round are emitted in the JSON so background load is visible
+in the artifact itself. The ``conv_extract_skew_*`` pair demonstrates
+the salting claim with a number: identical op + subset, conv-
+partitioned with ~50% of rows on one hot key, with and without
+``salted_repartition``.
 """
 
 from __future__ import annotations
@@ -93,26 +104,8 @@ def main() -> None:
         (warm.mapInPandas(lambda it: (pdf for pdf in it), warm.schema)
          .agg(F.count("*")).collect())
 
-    timings: dict[str, float] = {}
+    from html_parser_spark.plans.pipeline import salted_repartition
 
-    def timed(name: str, fn) -> None:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: shared-host noise is real
-            t0 = time.monotonic()
-            fn()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-
-    timed("extract_text", lambda: extract_text(tr, EXTRACT_CONFIG)
-          .agg(F.count("*"), F.sum(F.length("extracted_text"))).collect())
-    timed("events", lambda: events(tr, ParserConfig(),
-                                   fields=("event",))
-          .groupBy("event").count().collect())
-    timed("events_full", lambda: events(tr, ParserConfig())
-          .groupBy("event").agg(F.sum("length")).collect())
-    timed("token_stats", lambda: textstats.token_stats(
-        tr.withColumnRenamed("text", "t"), ["conv_id"], "t")
-        .agg(F.sum("n_tokens")).collect())
     def run_minhash_lsh():
         sigs = dedup.minhash_signatures(docs).cache()
         try:
@@ -120,15 +113,80 @@ def main() -> None:
         finally:
             sigs.unpersist()
 
-    timed("minhash_lsh", run_minhash_lsh)
-    # bit_count: forces the full signature computation without the
-    # long-overflow a plain sum of signed 64-bit signatures hits
-    timed("simhash", lambda: dedup.simhash(docs)
-          .agg(F.sum(F.bit_count("simhash"))).collect())
-    timed("cosine_knn", lambda: similarity.cosine_neighbors(
-        emb, emb.limit(8).select(F.col("vec_id").alias("query_id"),
-                                 "embedding"),
-        threshold=0.2).count())
+    # Skew-demonstration pair (Zipf conv_ids are the north rule's
+    # stated hazard): ~50% of rows collapse onto ONE conv key; the
+    # unsalted conv-partitioned layout makes one straggler task carry
+    # half the corpus, salted_repartition spreads it while per-turn
+    # semantics stay intact. Subset (turn_idx < 6) bounds the
+    # straggler arm's cost; both arms use the identical subset + op.
+    skew = (tr.filter(F.col("turn_idx") < 6)
+            .withColumn("conv_id",
+                        F.when(F.pmod(F.xxhash64("conv_id"), 2) == 0,
+                               F.lit("HOT")).otherwise(F.col("conv_id")))
+            ).cache()
+    skew.count()
+
+    def run_conv_extract(salted: bool):
+        part = (salted_repartition(skew, cpus)
+                if salted else skew.repartition(cpus, "conv_id"))
+        (extract_text(part, EXTRACT_CONFIG)
+         .agg(F.count("*"), F.sum(F.length("extracted_text"))).collect())
+
+    QUERIES = [
+        ("extract_text", lambda: extract_text(tr, EXTRACT_CONFIG)
+         .agg(F.count("*"), F.sum(F.length("extracted_text"))).collect()),
+        ("events", lambda: events(tr, ParserConfig(), fields=("event",))
+         .groupBy("event").count().collect()),
+        ("events_full", lambda: events(tr, ParserConfig())
+         .groupBy("event").agg(F.sum("length")).collect()),
+        ("token_stats", lambda: textstats.token_stats(
+            tr.withColumnRenamed("text", "t"), ["conv_id"], "t")
+         .agg(F.sum("n_tokens")).collect()),
+        ("minhash_lsh", run_minhash_lsh),
+        # bit_count: forces the full signature computation without the
+        # long-overflow a plain sum of signed 64-bit signatures hits
+        ("simhash", lambda: dedup.simhash(docs)
+         .agg(F.sum(F.bit_count("simhash"))).collect()),
+        ("cosine_knn", lambda: similarity.cosine_neighbors(
+            emb, emb.limit(8).select(F.col("vec_id").alias("query_id"),
+                                     "embedding"),
+            threshold=0.2).count()),
+        ("conv_extract_skew_unsalted", lambda: run_conv_extract(False)),
+        ("conv_extract_skew_salted", lambda: run_conv_extract(True)),
+    ]
+
+    # INTERLEAVED best-of-N: all queries run in round-robin so a noisy
+    # window on this shared host cannot define any single query's
+    # record; the full trial matrix is emitted so spread is visible in
+    # the artifact itself. Queries whose own trials still disagree by
+    # >1.8x after the base rounds get up to two extra rounds — a
+    # uniform rule (any unstable query re-runs; min over ALL recorded
+    # trials is the record), not per-query cherry-picking. host_probe
+    # is a fixed pure-JVM job timed each round: its spread documents
+    # the machine's background load directly in the artifact.
+    def host_probe():
+        spark.range(200_000_000).agg(F.sum("id")).collect()
+
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    all_q = QUERIES + [("host_probe", host_probe)]
+    trials: dict[str, list[float]] = {name: [] for name, _ in all_q}
+
+    def one_round(qs):
+        for name, fn in qs:
+            t0 = time.monotonic()
+            fn()
+            trials[name].append(round(time.monotonic() - t0, 3))
+
+    for _ in range(n_trials):
+        one_round(all_q)
+    for _ in range(2):
+        unstable = [(n, f) for n, f in all_q
+                    if max(trials[n]) / max(min(trials[n]), 1e-9) > 1.8]
+        if not unstable:
+            break
+        one_round(unstable)
+    timings = {name: min(ts) for name, ts in trials.items()
+               if name != "host_probe"}
 
     extract_sec = timings["extract_text"]
     total = round(sum(timings.values()), 3)
@@ -137,10 +195,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": trials,
         "sf": sf_dir,
         "cpus": cpus,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / extract_sec, 1),
+        "host_probe_sec": trials["host_probe"],
+        "salting_speedup": round(
+            timings["conv_extract_skew_unsalted"]
+            / timings["conv_extract_skew_salted"], 2),
     }))
     spark.stop()
 

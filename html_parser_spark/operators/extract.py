@@ -254,6 +254,13 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
             a_conv = cols["conv_id"].append
             a_turn = cols["turn_idx"].append
             a_seq = cols["seq"].append
+            # the attrs map column is built flat (offsets + key/value
+            # runs -> MapArray.from_arrays): ~13x cheaper than
+            # converting per-event dicts, and attrs is the costliest
+            # column of the full projection (measured)
+            attr_offs: list[int | None] = []
+            attr_keys: list[str] = []
+            attr_vals: list[str] = []
             ap = {k: cols[k].append for k in sel}
             a_event = ap.get("event")
             a_text = ap.get("text")
@@ -261,7 +268,6 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
             a_tagname = ap.get("tagname")
             a_tag = ap.get("tag")
             a_token0 = ap.get("token0")
-            a_attrs = ap.get("attrs")
             a_attrseq = ap.get("attrseq")
             a_tokens = ap.get("tokens")
             a_tokenpos = ap.get("tokenpos")
@@ -319,7 +325,13 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                         a = (prj.attrs(doc, row, cfg)
                              if toks and ev == "start" else None)
                         if w_attrs:
-                            a_attrs(a[0] if a else None)
+                            if a is None:
+                                attr_offs.append(None)
+                            else:
+                                attr_offs.append(len(attr_keys))
+                                for _k, _v in a[0].items():
+                                    attr_keys.append(_k)
+                                    attr_vals.append(_v)
                         if w_attrseq:
                             a_attrseq(a[1] if a else None)
                     if w_tokens:
@@ -343,10 +355,19 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                     if w_skip:
                         a_skip(row[8])
             if cols["conv_id"]:
+                if w_attrs:
+                    attr_offs.append(len(attr_keys))
+                arrays = []
+                for name, typ in arrow_fields:
+                    if name == "attrs" and w_attrs:
+                        arrays.append(pa.MapArray.from_arrays(
+                            pa.array(attr_offs, pa.int32()),
+                            pa.array(attr_keys, pa.string()),
+                            pa.array(attr_vals, pa.string())))
+                    else:
+                        arrays.append(pa.array(cols[name], type=typ))
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(cols[name], type=typ)
-                     for name, typ in arrow_fields],
-                    names=[name for name, _ in arrow_fields])
+                    arrays, names=[name for name, _ in arrow_fields])
 
     return df.select(F.col("conv_id").cast("string"),
                      F.col("turn_idx").cast("int"),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from html_parser_spark.config import EXTRACT_CONFIG, ParserConfig
 from html_parser_spark.operators.extract import (
+    events,
     extract_text,
     head_headers,
     links,
@@ -60,6 +61,16 @@ def links_stream(stream_df: DataFrame,
     """LinkExtor link extraction over a stream — the batch operator
     verbatim (per-turn, stateless, append mode)."""
     return links(stream_df, cfg, base)
+
+
+def events_stream(stream_df: DataFrame,
+                  cfg: ParserConfig = ParserConfig(),
+                  fields: tuple[str, ...] | None = None) -> DataFrame:
+    """The FULL event surface over a stream — the batch ``events()``
+    operator verbatim, argspec (``fields=``) included: per-turn
+    fan-out happens inside the Arrow batch, so the stream stays
+    stateless and shuffle-free (append mode, no watermark)."""
+    return events(stream_df, cfg, fields=fields)
 
 
 def turns_per_conv_windowed(stream_df: DataFrame,

@@ -530,6 +530,59 @@ def test_headers_links_stream_match_batch(spark, tmp_path):
     assert got_l == exp_l and len(got_l) == 24  # a.href + img.src / turn
 
 
+def test_events_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for the FULL event surface (VERDICT r02
+    item 10): every projected field — attrs, tokenpos, positions,
+    tag prefixes — identical through the streaming path, argspec
+    variant included."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.operators.extract import events
+    from html_parser_spark.streaming import extract_stream as es
+
+    tr = spark.createDataFrame(
+        [("c1", i, "user",
+          f'<!DOCTYPE html><!-- c{i} --><p id=x{i} b>T&amp;{i}'
+          f'</p><?pi{i}?>', None)
+         for i in range(10)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    src = str(tmp_path / "ev_src")
+    tr.write.parquet(src)
+    stream = es.read_transcript_stream(spark, src, tr.schema)
+
+    qe = (es.events_stream(stream)
+          .writeStream.format("memory").queryName("ev_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qa = (es.events_stream(stream, ParserConfig(),
+                           fields=("event", "tag", "offset"))
+          .writeStream.format("memory").queryName("ev_stream_argspec")
+          .outputMode("append").trigger(availableNow=True).start())
+    qe.awaitTermination(120)
+    qa.awaitTermination(120)
+
+    def key(r):
+        d = r.asDict()
+        d["attrs"] = tuple(sorted((d["attrs"] or {}).items()))
+        d["attrseq"] = tuple(d["attrseq"] or ())
+        d["tokens"] = tuple(d["tokens"] or ())
+        d["tokenpos"] = tuple(d["tokenpos"] or ())
+        return tuple(d.values())
+
+    got = sorted(map(key, spark.sql("SELECT * FROM ev_stream").collect()))
+    exp = sorted(map(key, events(tr).collect()))
+    assert got == exp and len(got) == 60  # 6 events x 10 turns
+
+    got_a = sorted(map(tuple, spark.sql(
+        "SELECT * FROM ev_stream_argspec").collect()))
+    exp_a = sorted(map(tuple, events(
+        tr, ParserConfig(), fields=("event", "tag", "offset")).collect()))
+    assert got_a == exp_a and len(got_a) == 60
+    # comment '#' / pi '?' prefixes survive the streaming path
+    tags = {t for (_, _, _, _, t, _) in got_a if t}
+    assert any(t.startswith("#") for t in tags)
+    assert any(t.startswith("?") for t in tags)
+
+
 def test_host_counts(spark):
     df = spark.createDataFrame(
         [("https://a.com/x",), ("https://a.com/x",),
