@@ -577,6 +577,32 @@ def _q_media_meta(spark, sf_dir):
     return decode_image_meta(synth_image_payloads(_docs(spark, sf_dir)))
 
 
+#: planted page layout for the boilerplate-removal heuristics: short
+#: heading (< min_words), the document prose (content), a pure-link
+#: nav block (link_density 14/15), a 4-word closing paragraph
+_T_CONTENT = (
+    "'<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1>"
+    "<p>' || text || '</p>"
+    "<div><a href=\"/n1\">nav one</a> <a href=\"/n2\">nav two</a></div>"
+    "<p>closing words here ' || CAST(doc_id AS VARCHAR) || '</p>'")
+
+
+def _q_content_blocks(spark, sf_dir):
+    """DOM-free block segmentation + shallow-text-feature scoring
+    (Kohlschuetter-style word-count / link-density rules); the oracle
+    predicts every block's features in closed form."""
+    from html_parser_spark.operators.content import content_blocks
+    return content_blocks(_tmpl(spark, sf_dir, _T_CONTENT))
+
+
+def _q_main_content(spark, sf_dir):
+    """Boilerplate-stripped article text per turn (content blocks
+    joined) — the north rule's main-content extraction tier above
+    tag/element stripping."""
+    from html_parser_spark.operators.content import main_content
+    return main_content(_tmpl(spark, sf_dir, _T_CONTENT))
+
+
 def _q_media_pixels(spark, sf_dir):
     """Full PNG pixel decode (chunk walk -> zlib -> un-filter) over
     complete valid PNG fixtures; the oracle recomputes every channel
@@ -585,6 +611,17 @@ def _q_media_pixels(spark, sf_dir):
     from html_parser_spark.operators.media import (
         decode_image_pixels, synth_png_images)
     return decode_image_pixels(synth_png_images(_docs(spark, sf_dir)))
+
+
+def _q_pdf_text(spark, sf_dir):
+    """PDF/layout parse tier: complete valid 2-page Flate PDFs ->
+    object scan -> inflate -> content-stream text machine (Tj/TJ/'/
+    T*/Td/TD/Tm layout rules, escapes, hex strings); the oracle knows
+    the laid-out text in closed form, so the whole chain — xref'd
+    real bytes to line structure — is verified."""
+    from html_parser_spark.operators.pdf import (
+        extract_pdf_text, synth_pdf_payloads)
+    return extract_pdf_text(synth_pdf_payloads(_docs(spark, sf_dir)))
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -636,9 +673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchors": _q_anchors,
         "rewrite_links": _q_rewrite_links,
         "strip_markup": _q_strip_markup,
+        "content_blocks": _q_content_blocks,
+        "main_content": _q_main_content,
         "bom_stats": _q_bom_stats,
         "media_meta": _q_media_meta,
         "media_pixels": _q_media_pixels,
+        "pdf_text": _q_pdf_text,
         "frame_sample": _q_frame_sample,
     }
 
@@ -1080,6 +1120,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
                    {_stripped_wrap_expr()} AS doc
             FROM documents""",
+        "content_blocks": f"""
+            WITH d AS (SELECT doc_id, {_ID} AS id,
+                  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS INT) AS nw
+                  FROM documents)
+            SELECT id AS conv_id, 0 AS turn_idx, 0 AS block_seq,
+                   'Title ' || id AS block_text, CAST(2 AS INT) AS n_words,
+                   0.0 AS link_density, false AS is_content FROM d
+            UNION ALL
+            SELECT id, 0, 1, coll, nw, 0.0, true FROM d
+            UNION ALL
+            SELECT id, 0, 2, 'nav one nav two', CAST(4 AS INT),
+                   0.933, false FROM d
+            UNION ALL
+            SELECT id, 0, 3, 'closing words here ' || id,
+                   CAST(4 AS INT), 0.0, true FROM d""",
+        "main_content": f"""
+            SELECT {_ID} AS conv_id, 0 AS turn_idx,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                   chr(10) || 'closing words here ' || {_ID}
+                     AS main_text,
+                   CAST(4 AS INT) AS n_blocks,
+                   CAST(2 AS INT) AS n_content_blocks
+            FROM documents""",
         "bom_stats": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
                    CAST(doc_id % 5 AS INT) IN (0, 3) AS utf8_bom,
@@ -1096,6 +1161,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
                    CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS width,
                    CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS height
+            FROM documents""",
+        "pdf_text": f"""
+            SELECT doc_id, CAST(2 AS INT) AS n_pages,
+                   'Hello doc ' || {_ID} || ' (escaped)' || chr(10) ||
+                   'second line ' || {_ID} || chr(10) ||
+                   'third line' || chr(10) ||
+                   'fragmented hex ' || {_ID} || chr(10) ||
+                   'page two of ' || {_ID} AS pdf_text
             FROM documents""",
         "media_pixels": """
             WITH dims AS (SELECT doc_id,

@@ -1,0 +1,142 @@
+"""Main-content extraction: DOM-free block segmentation + density
+heuristics over the tokenizer's event stream.
+
+The north rule's extraction pipeline "strips boilerplate tags/
+scripts/styles via DOM-free event heuristics" — tag/element stripping
+lives in ``ParserConfig.ignore_elements`` / ``strip_markup``; this
+module adds the next tier: *block-level* boilerplate removal using
+text-density and link-density scoring (the shallow-text-feature
+approach shown effective by Kohlschütter et al., "Boilerplate
+Detection using Shallow Text Features", WSDM 2010 — public
+knowledge; this is an independent event-stream implementation, not a
+port of boilerpipe). The reference has no counterpart (engine-side
+scope like dedup, per SURVEY.md §2.5).
+
+Pipeline shape: one pass over the event stream per turn — blocks
+split at block-level tag boundaries, each block scored by word count
+and share of characters under an ``<a>`` — fused into the same
+Arrow fan-out stage every other per-turn operator uses. Shuffle-free,
+skew-immune, and the scoring thresholds are plain arguments, so a
+100 TB run tunes them without a new code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from html_parser_spark.config import ParserConfig
+from html_parser_spark.functions import assemble
+from html_parser_spark.functions.entities import decode_entities
+from html_parser_spark.functions.tokenizer import ascii_lower, tokenize
+from html_parser_spark.operators.extract import _fanout_arrow
+
+#: block-level elements that delimit content blocks (HTML4/5 block
+#: and sectioning tags — public tag-category knowledge, the same
+#: class HTML::Tagset's %isBodyElement/%isBlock expose)
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li dt dd td th ul ol dl table tr thead "
+    "tbody blockquote pre article section header footer aside nav "
+    "figure figcaption main form fieldset hr br".split())
+
+#: script/style subtrees never contribute content text
+CONTENT_CONFIG = ParserConfig(ignore_elements=("script", "style"))
+
+BLOCKS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("block_seq", T.IntegerType()),
+    T.StructField("block_text", T.StringType()),
+    T.StructField("n_words", T.IntegerType()),
+    T.StructField("link_density", T.DoubleType()),
+    T.StructField("is_content", T.BooleanType()),
+])
+
+MAIN_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("main_text", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("n_content_blocks", T.IntegerType()),
+])
+
+
+def _blocks(doc: str, cfg: ParserConfig,
+            min_words: int, max_link_density: float):
+    """One event-stream pass -> [(text, n_words, link_density,
+    is_content)]: text events accumulate into the current block
+    (entity-decoded, CDATA raw); any block-level start/end tag closes
+    it; characters emitted while inside an <a> count toward the
+    block's link chars."""
+    parts: list[str] = []
+    link_chars = 0
+    a_depth = 0
+    out = []
+
+    def flush():
+        nonlocal parts, link_chars
+        total = sum(len(p) for p in parts)
+        txt = assemble.collapse_ws("".join(parts))
+        if txt:
+            n_words = len(txt.split())
+            ld = round(link_chars / total, 3) if total else 0.0
+            out.append((txt, n_words, ld,
+                        n_words >= min_words and ld <= max_link_density))
+        parts, link_chars = [], 0
+
+    for row in tokenize(doc, cfg):
+        ev = row[0]
+        if ev == "text":
+            txt = row[9] if row[9] is not None else doc[row[1]:row[2]]
+            decoded = txt if row[4] else decode_entities(txt, True)
+            parts.append(decoded)
+            if a_depth > 0:
+                link_chars += len(decoded)
+        elif ev == "start" or ev == "end":
+            toks = row[3]
+            if not toks:
+                continue
+            t0 = toks[0]
+            tn = ascii_lower(t0 if isinstance(t0, str)
+                             else doc[t0[0]:t0[1]])
+            if tn == "a":
+                a_depth = a_depth + 1 if ev == "start" else max(
+                    0, a_depth - 1)
+            if tn in BLOCK_TAGS:
+                flush()
+    flush()
+    return out
+
+
+def content_blocks(df: DataFrame, cfg: ParserConfig = CONTENT_CONFIG,
+                   min_words: int = 3,
+                   max_link_density: float = 0.5,
+                   text_col: str = "text") -> DataFrame:
+    """transcripts -> one row per content block with its shallow-text
+    features and the content/boilerplate verdict. The features are
+    the product too: a curation pipeline thresholds them corpus-wide
+    (e.g. drop pages whose content ratio is tiny)."""
+
+    def per_turn(doc):
+        for i, (txt, n_words, ld, keep) in enumerate(
+                _blocks(doc, cfg, min_words, max_link_density)):
+            yield i, txt, n_words, ld, keep
+
+    return _fanout_arrow(df, text_col, BLOCKS_SCHEMA, per_turn)
+
+
+def main_content(df: DataFrame, cfg: ParserConfig = CONTENT_CONFIG,
+                 min_words: int = 3, max_link_density: float = 0.5,
+                 sep: str = "\n",
+                 text_col: str = "text") -> DataFrame:
+    """transcripts -> (conv_id, turn_idx, main_text, n_blocks,
+    n_content_blocks): the content blocks joined by ``sep`` — the
+    boilerplate-stripped 'article text' of each turn, fused in one
+    Arrow stage like the flagship extractor."""
+
+    def per_turn(doc):
+        blocks = _blocks(doc, cfg, min_words, max_link_density)
+        kept = [b[0] for b in blocks if b[3]]
+        yield sep.join(kept), len(blocks), len(kept)
+
+    return _fanout_arrow(df, text_col, MAIN_SCHEMA, per_turn)

@@ -73,6 +73,27 @@ def events_stream(stream_df: DataFrame,
     return events(stream_df, cfg, fields=fields)
 
 
+def dedup_exact_stream(stream_df: DataFrame,
+                       text_col: str = "text",
+                       watermark: str = "10 minutes",
+                       ts_col: str = "ts") -> DataFrame:
+    """Continuous exact dedup: keep the first arrival of each text
+    hash, drop later duplicates. State = one row per distinct hash,
+    evicted once the watermark passes (duplicates arriving later than
+    the watermark are passed through — the bounded-state tradeoff
+    every streaming dedup makes; the batch `exact_dedup` pass
+    downstream catches stragglers). ``dropDuplicatesWithinWatermark``
+    is the state-EVICTING variant: plain ``dropDuplicates`` on a
+    non-event-time key holds state forever. Uses the engine-standard
+    md5 text hash so batch and stream agree on identity."""
+    return (
+        stream_df
+        .withColumn("text_hash", F.md5(F.col(text_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def turns_per_conv_windowed(stream_df: DataFrame,
                             window: str = "1 minute",
                             watermark: str = "2 minutes") -> DataFrame:

@@ -752,3 +752,89 @@ def test_png_unfilter_average_paeth():
         f1.append((v - pr) & 0xFF)                   # Paeth
     buf = bytes([3]) + bytes(f0) + bytes([4]) + bytes(f1)
     assert bytes(media._png_unfilter(buf, 2, 2)) == raw0 + raw1
+
+
+def test_content_blocks_density_rules(spark):
+    """DOM-free boilerplate heuristics: block segmentation at
+    block-level tags, link-density from <a>-enclosed chars, word-count
+    floor; script subtrees contribute nothing."""
+    from html_parser_spark.operators import content
+
+    doc = ('<h1>Hi 1</h1>'
+           '<p>real article text with many words</p>'
+           '<script>var x = "<p>not a block</p>";</script>'
+           '<div><a href="/a">nav one</a> <a href="/b">nav two</a></div>'
+           '<p>tail words go here</p>')
+    df = spark.createDataFrame([("c", 0, doc)],
+                               "conv_id string, turn_idx int, text string")
+    rows = sorted(content.content_blocks(df).collect(),
+                  key=lambda r: r.block_seq)
+    got = [(r.block_text, r.n_words, r.link_density, r.is_content)
+           for r in rows]
+    assert got == [
+        ("Hi 1", 2, 0.0, False),
+        ("real article text with many words", 6, 0.0, True),
+        ("nav one nav two", 4, 0.933, False),
+        ("tail words go here", 4, 0.0, True),
+    ]
+    main = content.main_content(df).collect()[0]
+    assert main.main_text == ("real article text with many words\n"
+                              "tail words go here")
+    assert (main.n_blocks, main.n_content_blocks) == (4, 2)
+
+
+def test_content_blocks_edge_cases(spark):
+    """Unbalanced anchors never push link depth negative; entity
+    decode applies inside blocks; <br> splits blocks; empty docs
+    yield no blocks."""
+    from html_parser_spark.operators import content
+
+    df = spark.createDataFrame(
+        [("c", 0, "</a>plain &amp; text words<br>next line of words"),
+         ("c", 1, ""),
+         ("c", 2, None)],
+        "conv_id string, turn_idx int, text string")
+    rows = sorted(content.content_blocks(df).collect(),
+                  key=lambda r: (r.turn_idx, r.block_seq))
+    assert [(r.turn_idx, r.block_text, r.is_content) for r in rows] == [
+        (0, "plain & text words", True),
+        (0, "next line of words", True),
+    ]
+
+
+def test_pdf_text_extraction(spark, docs):
+    """Complete valid Flate PDFs -> text with layout newlines; page
+    count from /Type /Page objects."""
+    from html_parser_spark.operators import pdf
+
+    out = {r.doc_id: r for r in
+           pdf.extract_pdf_text(pdf.synth_pdf_payloads(docs)).collect()}
+    assert out[3].n_pages == 2
+    assert out[3].pdf_text == ("Hello doc 3 (escaped)\nsecond line 3\n"
+                               "third line\nfragmented hex 3\n"
+                               "page two of 3")
+
+
+def test_pdf_parser_robustness():
+    """Never raises: truncated files, bogus filters, broken zlib,
+    octal/escape strings, uncompressed streams."""
+    from html_parser_spark.operators.pdf import (
+        _content_text, extract_pdf_text_bytes)
+
+    assert extract_pdf_text_bytes(b"") == (0, "")
+    assert extract_pdf_text_bytes(b"%PDF-1.4\ngarbage") == (0, "")
+    # unsupported filter -> skipped, not raised
+    doc = (b"1 0 obj\n<< /Filter /DCTDecode /Length 3 >>\n"
+           b"stream\nxyz\nendstream\nendobj\n")
+    assert extract_pdf_text_bytes(doc) == (0, "")
+    # broken Flate data -> skipped
+    doc = (b"1 0 obj\n<< /Filter /FlateDecode /Length 3 >>\n"
+           b"stream\nxyz\nendstream\nendobj\n")
+    assert extract_pdf_text_bytes(doc) == (0, "")
+    # uncompressed stream parses directly; octal + escapes + nesting
+    assert _content_text(
+        rb"BT (a\051b \101 (nested) \\ end) Tj ET") == \
+        "a)b A (nested) \\ end"
+    # kerning offsets inside TJ do NOT split words; T* breaks lines
+    assert _content_text(
+        b"BT [(Hel) -20 (lo)] TJ T* (next) Tj ET") == "Hello\nnext"

@@ -260,3 +260,57 @@ def test_sessionize_stream_intra_batch_gap(spark, tmp_path):
     assert got[("c1", base + 4000)] == (base + 4060, 2)
     assert got[("c1", base + 9000)] == (base + 9000, 1)
     assert ("c1", base + 100_000) in got
+
+
+def test_dedup_exact_stream(spark, tmp_path):
+    """Streaming exact dedup keeps the first arrival per text hash
+    and drops in-watermark duplicates; state evicts via
+    dropDuplicatesWithinWatermark."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.streaming.extract_stream import (
+        dedup_exact_stream)
+
+    base = 1_700_000_000
+    src = str(tmp_path / "dd_src")
+    batches = [
+        [("c1", 0, "same text", base), ("c2", 0, "other", base + 1)],
+        [("c3", 0, "same text", base + 10),   # dup -> dropped
+         ("c4", 0, "fresh", base + 11)],
+    ]
+    for rows in batches:
+        (spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, s long")
+         .select("conv_id", "turn_idx", "text",
+                 F.timestamp_seconds("s").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx int, text string, "
+                      "ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_exact_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("dd_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.conv_id: r.text
+           for r in spark.sql("SELECT * FROM dd_stream").collect()}
+    assert set(got) == {"c1", "c2", "c4"}  # c3 was the duplicate
+
+
+def test_content_and_pdf_plans_shuffle_free(spark):
+    """The new content/pdf operators keep the per-turn plan shape:
+    one Arrow map stage, zero Exchange."""
+    from html_parser_spark.operators.content import main_content
+    from html_parser_spark.operators.pdf import (
+        extract_pdf_text, synth_pdf_payloads)
+
+    tr = spark.createDataFrame([("c", 0, "<p>words here now</p>")],
+                               "conv_id string, turn_idx int, text string")
+    assert "Exchange" not in _plan(main_content(tr))
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert "Exchange" not in _plan(
+        extract_pdf_text(synth_pdf_payloads(docs)))
