@@ -78,7 +78,12 @@ def _blocks(doc: str, cfg: ParserConfig,
         total = sum(len(p) for p in parts)
         txt = assemble.collapse_ws("".join(parts))
         if txt:
-            n_words = len(txt.split())
+            # txt is collapsed (every \s run -> one space), so words
+            # = spaces + 1; counting this way keeps the word model on
+            # the same Perl-\s definition as collapse_ws (Python's
+            # str.split would additionally treat \x1c-\x1f etc. as
+            # separators)
+            n_words = txt.count(" ") + 1
             ld = round(link_chars / total, 3) if total else 0.0
             out.append((txt, n_words, ld,
                         n_words >= min_words and ld <= max_link_density))

@@ -247,6 +247,9 @@ def _content_text(stream: bytes) -> str:
         j = i
         while j < n and s[j] not in _WS and s[j] not in _DELIM:
             j += 1
+        if j == i:       # stray delimiter (unbalanced ')', '{', …):
+            i += 1       # consume it or the scan would never advance
+            continue
         op = s[i:j]
         i = j
         if op == "Tj":
@@ -305,10 +308,23 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
             if re.search(rb"/Type\s*/Page\b(?!s)", head):
                 n_pages += 1
                 continue
-            sm = _STREAM_RE.search(body)
-            if not sm:
+            sb = re.search(rb"stream\r?\n", body)
+            if not sb:
                 continue
-            data = sm.group(1)
+            # Slice exactly /Length bytes (spec §7.3.8.2) when the
+            # dict gives a direct length: the EOL-delimited fallback
+            # mis-parses streams whose DATA ends in 0x0D — the
+            # optional CR before 'endstream' swallows a real data
+            # byte and the inflate fails (hit by ~1/256 of Flate
+            # payloads; caught by the sf0.1 oracle sweep).
+            mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+            if mlen:
+                data = body[sb.end():sb.end() + int(mlen.group(1))]
+            else:  # indirect /Length N 0 R: EOL-delimited fallback
+                sm = _STREAM_RE.search(body)
+                if not sm:
+                    continue
+                data = sm.group(1)
             if b"/FlateDecode" in head:
                 try:
                     data = zlib.decompress(data)

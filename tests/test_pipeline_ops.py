@@ -838,3 +838,19 @@ def test_pdf_parser_robustness():
     # kerning offsets inside TJ do NOT split words; T* breaks lines
     assert _content_text(
         b"BT [(Hel) -20 (lo)] TJ T* (next) Tj ET") == "Hello\nnext"
+    # stray delimiters must terminate, not spin (regression: the
+    # operator scan once consumed zero chars on an unbalanced ')')
+    for junk in (b")", b"}{", b")))(((", b"> >", b"<", b"]]"):
+        assert _content_text(junk) == ""
+
+
+def test_pdf_stream_data_ending_in_cr():
+    """Flate data whose last byte is 0x0D must not be truncated by
+    the EOL-before-endstream heuristic — /Length is authoritative
+    (doc_id 1049's compressed stream ends in CR)."""
+    from html_parser_spark.operators.pdf import (
+        _synth_pdf, extract_pdf_text_bytes)
+
+    n_pages, text = extract_pdf_text_bytes(_synth_pdf(1049))
+    assert n_pages == 2
+    assert text.startswith("Hello doc 1049 (escaped)")

@@ -82,3 +82,63 @@ def test_filtered_reconstruction_with_skipped_text(doc: str):
     rebuilt = "".join(
         (r[8] or "") + project.raw_text(doc2, r) for r in rows)
     assert rebuilt == doc2
+
+
+# ------------------------------------------------- binary parsers
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_parser_never_raises(payload: bytes):
+    """extract_pdf_text_bytes is total: arbitrary bytes (including
+    truncated obj/stream/xref structures) never raise."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    n_pages, text = extract_pdf_text_bytes(payload)
+    assert n_pages >= 0 and isinstance(text, str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=300))
+def test_pdf_content_machine_never_raises(stream: bytes):
+    """The content-stream text machine is total over arbitrary bytes
+    (unterminated strings, dangling escapes, half dicts...)."""
+    from html_parser_spark.operators.pdf import _content_text
+
+    assert isinstance(_content_text(stream), str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_image_header_parser_never_raises(payload: bytes):
+    from html_parser_spark.operators.media import parse_image_header
+
+    fmt, w, h = parse_image_header(payload)
+    assert fmt in ("png", "jpeg", "gif", "unknown")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_png_pixel_decoder_never_raises(payload: bytes):
+    """decode_png_pixels is total — corrupt signatures, chunk lengths
+    past EOF, broken zlib all yield the (None,)*5 row, no exception."""
+    from html_parser_spark.operators.media import decode_png_pixels
+
+    out = decode_png_pixels(payload)
+    assert len(out) == 5
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_content_blocks_kernel_never_raises(doc: str):
+    """The block segmentation kernel is total over arbitrary tag
+    soup; every emitted block is non-empty and already collapsed
+    (idempotent under collapse_ws — Perl \\s semantics, which is
+    narrower than str.strip's Unicode whitespace)."""
+    from html_parser_spark.functions.assemble import collapse_ws
+    from html_parser_spark.operators.content import (
+        _blocks, CONTENT_CONFIG)
+
+    for txt, n_words, ld, keep in _blocks(doc, CONTENT_CONFIG, 3, 0.5):
+        assert txt and txt == collapse_ws(txt)
+        assert n_words >= 1
+        assert 0.0 <= ld <= 1.0
