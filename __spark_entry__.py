@@ -199,6 +199,43 @@ def _q_link_hosts(spark, sf_dir):
     return host_counts(links(_tmpl(spark, sf_dir, _T_HOSTS)))
 
 
+#: planted URLs covering the canonicalization cases: default-port +
+#: tracking + fragment, root default-https, explicit non-default
+#: port, missing path, tracking-only query
+_T_URLS = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'HTTP://Ex' || CAST(doc_id AS VARCHAR) ||"
+    " '.COM:80/a/b?utm_source=x&b=2&a=1#frag' "
+    "WHEN 1 THEN 'https://Host.Org:443/' "
+    "WHEN 2 THEN 'https://h.com:8080/p' || CAST(doc_id AS VARCHAR) ||"
+    " '?z=1' "
+    "WHEN 3 THEN 'http://plain' || CAST(doc_id AS VARCHAR) || '.com' "
+    "ELSE 'https://t.co/x?fbclid=' || CAST(doc_id AS VARCHAR) END")
+
+
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (scheme/host case, default ports,
+    fragments, tracking params, query sort) — pure JVM; the oracle
+    states each planted case's canonical form in closed form."""
+    from html_parser_spark.operators.urls import canonicalize_urls
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_T_URLS.replace("AS VARCHAR", "AS STRING")).alias("url"))
+    return canonicalize_urls(planted).select("doc_id", "canonical_url")
+
+
+def _q_term_freq(spark, sf_dir):
+    """Corpus vocabulary stats over the documents table; DuckDB
+    re-derives via unnest + group-by."""
+    from html_parser_spark.operators.textstats import term_freq
+    out = term_freq(_docs(spark, sf_dir), min_count=2)
+    return out.select("token",
+                      F.col("n_occurrences").cast("long")
+                      .alias("n_occurrences"),
+                      F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def _q_sessionize(spark, sf_dir):
     """Idle-gap sessionization over synthetic per-doc turn times: 5
     turns per doc, a >300 s gap after the third — two sessions with
@@ -645,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
         "link_hosts": _q_link_hosts,
+        "canonical_urls": _q_canonical_urls,
+        "term_freq": _q_term_freq,
         "sessionize": _q_sessionize,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -909,6 +948,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY doc_id % 7
             UNION ALL
             SELECT 'img.ex.com', count(*), count(*) FROM documents""",
+        "canonical_urls": f"""
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 'http://ex' || {_ID}
+                       || '.com/a/b?a=1&b=2'
+                     WHEN 1 THEN 'https://host.org/'
+                     WHEN 2 THEN 'https://h.com:8080/p' || {_ID}
+                       || '?z=1'
+                     WHEN 3 THEN 'http://plain' || {_ID} || '.com/'
+                     ELSE 'https://t.co/x'
+                   END AS canonical_url
+            FROM documents""",
+        "term_freq": """
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(
+                             lower(trim(text)), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token HAVING count(*) >= 2""",
         "sessionize": f"""
             WITH d AS (SELECT doc_id,
                               1767225600 + doc_id % 97 AS off

@@ -211,7 +211,10 @@ def _content_text(stream: bytes) -> str:
             j = s.find(">", i)
             if j < 0:
                 break
-            hx = re.sub(r"\s", "", s[i + 1:j])
+            # spec-valid hex strings hold hex digits + whitespace;
+            # drop anything else so corrupt bytes degrade instead of
+            # raising (fromhex rejects the whole string otherwise)
+            hx = re.sub(r"[^0-9a-fA-F]", "", s[i + 1:j])
             if len(hx) % 2:
                 hx += "0"
             target.append(("s", bytes.fromhex(hx).decode("latin-1")))

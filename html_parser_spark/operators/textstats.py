@@ -225,6 +225,26 @@ def host_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
                  F.countDistinct(url_col).alias("n_unique_urls")))
 
 
+def term_freq(df: DataFrame, key_col: str = "doc_id",
+              text_col: str = "text",
+              min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary statistics: (token, n_occurrences, n_docs)
+    over lowercased whitespace tokens — the input to stopword
+    discovery, vocab pruning, and tokenizer training set sizing.
+
+    One explode + one hash aggregate; both measures partial-aggregate
+    map-side, so the Zipf head ('the', ...) arrives at its reducer as
+    combined partials, not raw rows — the same skew argument as
+    host_counts.
+    """
+    tok = F.explode(words_col(F.lower(F.col(text_col)))).alias("token")
+    out = (df.select(F.col(key_col).alias("_doc"), tok)
+           .groupBy("token")
+           .agg(F.count("*").alias("n_occurrences"),
+                F.countDistinct("_doc").alias("n_docs")))
+    return out.filter(F.col("n_occurrences") >= min_count)
+
+
 def fingerprint(df: DataFrame, key_cols: list[str],
                 text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over the whitespace- and

@@ -854,3 +854,40 @@ def test_pdf_stream_data_ending_in_cr():
     n_pages, text = extract_pdf_text_bytes(_synth_pdf(1049))
     assert n_pages == 2
     assert text.startswith("Hello doc 1049 (escaped)")
+
+
+def test_canonicalize_urls(spark):
+    from html_parser_spark.operators.urls import canonicalize_urls
+
+    rows = [
+        (0, "HTTP://Ex.COM:80/a/b?utm_source=x&b=2&a=1#frag"),
+        (1, "https://Host.Org:443/"),
+        (2, "https://h.com:8080/p?z=1&utm_medium=m"),
+        (3, "http://plain.com"),
+        (4, "/relative/path?q=1#f"),
+        (5, "https://t.co/x?fbclid=abc&gclid=g&ref=r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in canonicalize_urls(df).collect()}
+    assert got[0] == "http://ex.com/a/b?a=1&b=2"
+    assert got[1] == "https://host.org/"
+    assert got[2] == "https://h.com:8080/p?z=1"
+    assert got[3] == "http://plain.com/"
+    assert got[4] == "/relative/path?q=1"   # passthrough minus frag
+    assert got[5] == "https://t.co/x"
+    # pure JVM: no Python eval nodes, no shuffle
+    plan = canonicalize_urls(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_term_freq(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and The dog"), (1, "the dog runs")],
+        "doc_id long, text string")
+    got = {r.token: (r.n_occurrences, r.n_docs)
+           for r in textstats.term_freq(df).collect()}
+    assert got["the"] == (3, 2)   # lowercased fold merges 'The'
+    assert got["dog"] == (2, 2)
+    assert got["cat"] == (1, 1)
