@@ -179,6 +179,14 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(planted, ["doc_id"])
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher document-filter rule bundle; every feature and rule
+    verdict re-derived independently by the oracle."""
+    from html_parser_spark.operators.textstats import gopher_quality
+    return gopher_quality(_docs(spark, sf_dir), ["doc_id"],
+                          min_words=20)
+
+
 def _q_normalize_text(spark, sf_dir):
     from html_parser_spark.operators.textstats import normalize_text
     return normalize_text(_docs(spark, sf_dir), ["doc_id"])
@@ -398,6 +406,25 @@ def _q_lineage(spark, sf_dir):
                             .alias("batch_id"))
             .agg(F.sum("n_rows").alias("n_rows"),
                  F.sum("n_chars").alias("n_chars")))
+
+
+def _q_dedup_corpus(spark, sf_dir):
+    """The COMPOSED near-dup pipeline end-to-end as one query:
+    MinHash signatures -> LSH candidate pairs -> star connected
+    components -> keep one canonical doc per cluster -> surviving
+    corpus. This is the actual 100 TB dedup job; the oracle rebuilds
+    every stage (same band CTE, recursive components, min-id keep)."""
+    from html_parser_spark.operators.dedup import (
+        dedup_canonical, lsh_candidate_pairs, minhash_signatures)
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=8),
+        num_hashes=8, band_size=2, max_bucket=1_000_000)
+    dropped = (dedup_canonical(pairs)
+               .filter(~F.col("is_canonical"))
+               .select(F.col("id").alias("doc_id")))
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
 def _q_dedup_components(spark, sf_dir):
@@ -693,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         "dedup_canonical": _q_dedup_canonical,
+        "dedup_corpus": _q_dedup_corpus,
+        "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1041,6 +1070,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY doc_id % 4""",
+        "gopher_quality": f"""
+            WITH s AS (SELECT doc_id, text,
+                              regexp_split_to_array(trim(text), '\\s+')
+                                AS w
+                       FROM documents),
+            c AS (SELECT doc_id,
+                    len(w) AS n_words,
+                    round(list_sum(list_transform(w,
+                          x -> CAST(length(x) AS DOUBLE))) / len(w), 3)
+                      AS mean_word_len,
+                    round(((length(text)
+                            - length(replace(text, '#', '')))
+                           + (length(text)
+                              - length(replace(text, '...', ''))) / 3)
+                          / len(w), 3) AS symbol_ratio,
+                    round(CAST(len(list_filter(w,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(w), 3) AS alpha_word_ratio,
+                    len(list_filter(w,
+                        x -> list_contains({_STOPLIST}, x)))
+                      AS n_stopwords
+                  FROM s)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   mean_word_len, symbol_ratio, alpha_word_ratio,
+                   CAST(n_stopwords AS BIGINT) AS n_stopwords,
+                   n_words >= 20 AND n_words <= 100000
+                     AS ok_word_count,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     AS ok_mean_word_len,
+                   symbol_ratio <= 0.1 AS ok_symbol_ratio,
+                   alpha_word_ratio >= 0.8 AS ok_alpha_words,
+                   n_stopwords >= 2 AS ok_stopwords,
+                   (n_words >= 20 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_ratio <= 0.1
+                   AND alpha_word_ratio >= 0.8
+                   AND n_stopwords >= 2 AS passes_gopher
+            FROM c""",
+        "dedup_corpus": f"""
+            WITH RECURSIVE {_LSH_BANDS_CTE},
+            edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r
+                ON e.v = r.u),
+            comp AS (SELECT u AS id, min(label) AS component
+                     FROM reach GROUP BY u)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN
+              (SELECT id FROM comp WHERE id <> component)""",
         "dedup_components": f"""
             WITH RECURSIVE {_LSH_BANDS_CTE},
             edges AS (SELECT id_a AS u, id_b AS v FROM cand

@@ -123,6 +123,67 @@ def lang_id(df: DataFrame, key_cols: list[str],
     )
 
 
+def gopher_quality(df: DataFrame, key_cols: list[str],
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_word_ratio: float = 0.8,
+                   min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style document-quality filter bundle (the repetition
+    tier lives in :func:`repetition_stats`): the word-count / mean-
+    word-length / symbol-ratio / alpha-word-ratio / stopword-presence
+    rules of Rae et al. 2021 ("Scaling Language Models: ... Gopher",
+    §A1.1 — public rule set), each as its own boolean column plus the
+    conjunction, so a curation run can audit which rule rejected a
+    document.
+
+    Pure JVM (one codegen stage over the split-words array), shuffle-
+    free; thresholds are arguments, the defaults are the published
+    ones.
+    """
+    t = F.col(text_col)
+    w = words_col(t)
+    n_words = F.size(w)
+    mean_wl = F.round(
+        F.aggregate(w, F.lit(0.0),
+                    lambda acc, x: acc + F.length(x).cast("double"))
+        / n_words, 3)
+    # symbols-to-words: '#' and '...' occurrences per word (Gopher's
+    # symbol set), counted via length arithmetic — no regex needed
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t)
+             - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = F.round((n_hash + n_ell) / n_words, 3)
+    alpha_ratio = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        .cast("double") / n_words, 3)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    checks = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": sym_ratio <= max_symbol_ratio,
+        "ok_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "ok_stopwords": n_stop >= min_stopwords,
+    }
+    overall = None
+    for c in checks.values():
+        overall = c if overall is None else (overall & c)
+    return df.select(
+        *key_cols,
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        *[v.alias(k) for k, v in checks.items()],
+        overall.alias("passes_gopher"),
+    )
+
+
 def normalize_text(df: DataFrame, key_cols: list[str],
                    text_col: str = "text",
                    form: str = "NFC") -> DataFrame:

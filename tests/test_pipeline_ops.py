@@ -891,3 +891,45 @@ def test_term_freq(spark):
     assert got["the"] == (3, 2)   # lowercased fold merges 'The'
     assert got["dog"] == (2, 2)
     assert got["cat"] == (1, 1)
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule flips independently on planted violations."""
+    good = "the quick brown fox jumps over the lazy dog " * 3  # 27 w
+    rows = [
+        (0, good),
+        (1, "short text only"),                       # word-count fail
+        (2, ("# " * 10) + good),                      # symbol fail
+        (3, ("1 2 3 4 5 6 7 8 9 0 " * 3) + good),     # alpha fail
+        (4, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii "
+            "hh gg ff"),                              # stopword fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.gopher_quality(df, ["doc_id"],
+                                    min_words=20).collect()}
+    assert got[0].passes_gopher
+    assert not got[1].ok_word_count and not got[1].passes_gopher
+    assert not got[2].ok_symbol_ratio and got[2].ok_word_count
+    assert not got[3].ok_alpha_words
+    assert not got[4].ok_stopwords and not got[4].passes_gopher
+
+
+def test_dedup_corpus_composition(spark):
+    """minhash -> LSH -> star CC -> canonical keep: exact dup pairs
+    collapse to one survivor, distinct docs all survive."""
+    from html_parser_spark.operators.dedup import (
+        dedup_canonical, lsh_candidate_pairs, minhash_signatures)
+
+    rows = [(i, f"totally distinct document number {i} with words "
+                f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(6)]
+    rows += [(10, rows[0][1]), (11, rows[0][1])]  # dups of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, num_hashes=8),
+                                num_hashes=8, band_size=2)
+    dropped = (dedup_canonical(pairs)
+               .filter(~F.col("is_canonical"))
+               .select(F.col("id").alias("doc_id")))
+    kept = sorted(r.doc_id for r in
+                  docs.join(dropped, "doc_id", "left_anti").collect())
+    assert kept == [0, 1, 2, 3, 4, 5]   # 10 & 11 collapsed into 0
