@@ -427,6 +427,20 @@ def _q_dedup_corpus(spark, sf_dir):
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF-flat ANN with deterministic 'trained' centroids (the
+    first four corpus vectors stand in for offline k-means output);
+    the oracle rebuilds assignment, probe ranking, and re-scoring."""
+    from html_parser_spark.operators.similarity import ivf_neighbors
+
+    emb = _emb(spark, sf_dir)
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_neighbors(emb, q, cents, n_probe=2, threshold=0.2)
+
+
 def _q_dedup_components(spark, sf_dir):
     from html_parser_spark.operators.dedup import (
         connected_components, lsh_candidate_pairs, minhash_signatures)
@@ -730,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
         "marked_sections": _q_marked_sections,
         "ms_ignore": _q_ms_ignore,
         "empty_element_tags": _q_empty_element_tags,
@@ -1210,6 +1225,34 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE), 3) AS cos_sim
             FROM c JOIN q ON c.bucket = q.bucket
             WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
+                             AS DOUBLE), 3) >= 0.2""",
+        "ivf_ann": """
+            WITH c AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS k, v FROM c WHERE vec_id < 4),
+            sims AS (SELECT c.vec_id, cent.k,
+                            CAST(list_cosine_similarity(c.v, cent.v)
+                                 AS DOUBLE) AS s
+                     FROM c, cent),
+            assign AS (SELECT vec_id, k + 1 AS list_id
+                       FROM (SELECT vec_id, k, row_number() OVER (
+                                 PARTITION BY vec_id
+                                 ORDER BY s DESC, k ASC) AS rn
+                             FROM sims)
+                       WHERE rn = 1),
+            probes AS (SELECT k + 1 AS list_id
+                       FROM (SELECT k, row_number() OVER (
+                                 ORDER BY s DESC, k ASC) AS rn
+                             FROM sims WHERE vec_id = 0)
+                       WHERE rn <= 2),
+            q AS (SELECT v AS qv FROM c WHERE vec_id = 0)
+            SELECT CAST(0 AS BIGINT) AS query_id, c.vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv)
+                              AS DOUBLE), 3) AS cos_sim
+            FROM c JOIN assign a ON a.vec_id = c.vec_id, q
+            WHERE a.list_id IN (SELECT list_id FROM probes)
+              AND round(CAST(list_cosine_similarity(c.v, q.qv)
                              AS DOUBLE), 3) >= 0.2""",
         "marked_sections": f"""
             SELECT {_ID} AS conv_id,

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two tiers, as a 100 TB pipeline needs:
+Three tiers, as a 100 TB pipeline needs:
 
 * **brute-force cosine** (`cosine_topk` / `cosine_neighbors`) — the
   exact baseline: one narrow projection per (row, query); queries are
@@ -14,6 +14,9 @@ Two tiers, as a 100 TB pipeline needs:
   Probe multiple hash tables for recall. Bucket cardinality is
   bounded by construction (hyperplanes split mass), so the candidate
   join is output-bounded instead of O(n·q).
+* **IVF-flat ANN** (`ivf_neighbors`) — the trained-index path:
+  corpus bucketed by nearest centroid (inverted lists), queries
+  probe their n nearest lists, exact re-score on candidates.
 
 The dot products run in JVM expressions (`aggregate`/`zip_with`), so
 scoring stays inside whole-stage codegen — no Python worker in the
@@ -145,6 +148,66 @@ def lsh_sketch_expr(vec_col: str, dim: int | None, n_bits: int = 16,
         )
         terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << b} ELSE 0 END)")
     return F.expr(" + ".join(terms)).cast("int")
+
+
+def ivf_sims_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array of cosine similarities of ``vec_col`` against each
+    centroid (centroids folded in as literals — K×dim constants)."""
+    return F.array(*[
+        cosine_expr(F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids])
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: add ``_list`` = 1-based index of the
+    nearest centroid (first index wins ties — ``array_position`` of
+    the max). Pure JVM, shuffle-free; at 100 TB this is the narrow
+    assignment pass you then partition/cluster the corpus by."""
+    sims = ivf_sims_expr(vec_col, centroids)
+    return df.withColumn(
+        "_list", F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
+def ivf_neighbors(df: DataFrame, query_df: DataFrame,
+                  centroids: list[list[float]], n_probe: int = 1,
+                  key_col: str = "vec_id", vec_col: str = "embedding",
+                  query_key: str = "query_id",
+                  threshold: float = 0.2) -> DataFrame:
+    """IVF-flat ANN: corpus vectors bucketed by nearest centroid,
+    each query probes its ``n_probe`` nearest lists, candidates are
+    re-scored exactly. The inverted-file structure of FAISS-style
+    IVF (public knowledge) expressed relationally: assignment is a
+    narrow projection, the probe join is broadcast-queries ×
+    ``array_contains`` on the list id, so the corpus is scanned once
+    and never shuffled. Centroid TRAINING (k-means) is an offline
+    deployment step — the operator takes the trained centroids as
+    data, the way a production IVF index does.
+
+    Recall < 1 by construction (bounded by n_probe/K); raise
+    ``n_probe`` for recall, like LSH's multi-table union.
+    """
+    corpus = ivf_assign(
+        df.select(key_col, vec_col), centroids, vec_col)
+    qsims = ivf_sims_expr("_qv", centroids)
+    # top-n_probe list ids: sort (−sim, idx) asc ⇒ sim desc, idx asc
+    ranked = F.transform(
+        F.slice(F.array_sort(F.transform(
+            qsims, lambda s, i: F.struct((-s).alias("ns"),
+                                         (i + 1).alias("idx")))),
+            1, n_probe),
+        lambda t: t.idx.cast("int"))
+    queries = (query_df
+               .select(F.col(query_key), F.col(vec_col).alias("_qv"))
+               .withColumn("_probes", ranked))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("_qv")), 3)
+    return (
+        corpus.join(F.broadcast(queries),
+                    F.expr("array_contains(_probes, _list)"))
+        .select(query_key, key_col, sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def lsh_neighbors(df: DataFrame, query_df: DataFrame, dim: int,

@@ -933,3 +933,27 @@ def test_dedup_corpus_composition(spark):
     kept = sorted(r.doc_id for r in
                   docs.join(dropped, "doc_id", "left_anti").collect())
     assert kept == [0, 1, 2, 3, 4, 5]   # 10 & 11 collapsed into 0
+
+
+def test_ivf_ann(spark, vecs):
+    """IVF-flat: assignment puts each vector in its nearest centroid
+    list; probing n lists returns a subset of the exact neighbor set
+    that grows with n_probe."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    assigned = {r.vec_id: r._list for r in
+                similarity.ivf_assign(vecs, cents).collect()}
+    assert assigned[0] == 1 and assigned[1] == 1  # near-dup of e1
+    assert assigned[2] == 2 and assigned[3] == 3
+
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {r.vec_id for r in similarity.cosine_neighbors(
+        vecs, q, threshold=-1.0).collect()}
+    got1 = {r.vec_id for r in similarity.ivf_neighbors(
+        vecs, q, cents, n_probe=1, threshold=-1.0).collect()}
+    got2 = {r.vec_id for r in similarity.ivf_neighbors(
+        vecs, q, cents, n_probe=3, threshold=-1.0).collect()}
+    assert got1 <= got2 <= exact
+    assert {0, 1} <= got1          # own list holds the near-dup
+    assert 2 in got2 and 3 in got2  # full probe sweep = exact lists
