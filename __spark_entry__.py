@@ -179,6 +179,13 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(planted, ["doc_id"])
 
 
+def _q_tfidf(spark, sf_dir):
+    """Per-doc top-5 tf-idf terms; the oracle recomputes tf, df, the
+    smoothed idf, and the (score desc, token) ranking."""
+    from html_parser_spark.operators.textstats import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher document-filter rule bundle; every feature and rule
     verdict re-derived independently by the oracle."""
@@ -725,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": _q_link_hosts,
         "canonical_urls": _q_canonical_urls,
         "term_freq": _q_term_freq,
+        "tfidf": _q_tfidf,
         "sessionize": _q_sessionize,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1085,6 +1093,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY doc_id % 4""",
+        "tfidf": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_split_to_array(
+                                    lower(trim(text)), '\\s+')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df_n FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nt
+                  FROM documents),
+            s AS (SELECT doc_id, tf.token, tf,
+                         round(tf * (ln((nt + 1.0) / (df_n + 1.0))
+                                     + 1.0), 3) AS score
+                  FROM tf JOIN dfq USING (token), n)
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(rn AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, token ASC) AS rn
+                  FROM s)
+            WHERE rn <= 5""",
         "gopher_quality": f"""
             WITH s AS (SELECT doc_id, text,
                               regexp_split_to_array(trim(text), '\\s+')

@@ -306,6 +306,48 @@ def term_freq(df: DataFrame, key_col: str = "doc_id",
     return out.filter(F.col("n_occurrences") >= min_count)
 
 
+def tfidf_topk(df: DataFrame, key_col: str = "doc_id",
+               text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf:
+    score = tf · (ln((N+1)/(df+1)) + 1), rounded to 3 before ranking
+    (ties broken by token) so any engine reproduces the ranking.
+
+    Plan shape: explode -> two partial-aggregating hash aggs (tf per
+    (doc, token), df per token) -> broadcast of the scalar N -> per-
+    doc top-k via collect_list + array_sort + slice (bounded by the
+    doc's own vocabulary, never a global sort). The df table is
+    vocabulary-sized — at corpus scale persist it once and reuse.
+    """
+    tok = df.select(
+        F.col(key_col),
+        F.explode(words_col(F.lower(F.col(text_col)))).alias("token"))
+    tf = tok.groupBy(key_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_n"))
+    n_docs = df.select(
+        F.countDistinct(key_col).cast("double").alias("n_total"))
+    score = F.round(
+        F.col("tf") * (F.log((F.col("n_total") + 1.0)
+                             / (F.col("df_n") + 1.0)) + 1.0), 3)
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select(key_col, "token", "tf", score.alias("score")))
+    cand = F.struct((-F.col("score")).alias("ns"),
+                    F.col("token").alias("token"),
+                    F.col("tf").alias("tf"),
+                    F.col("score").alias("score"))
+    return (
+        scored.groupBy(key_col)
+        .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k)
+             .alias("top"))
+        .select(key_col, F.posexplode("top").alias("_pos", "t"))
+        .select(key_col,
+                F.col("t.token").alias("token"),
+                F.col("t.tf").cast("long").alias("tf"),
+                F.col("t.score").alias("score"),
+                (F.col("_pos") + 1).cast("int").alias("rank"))
+    )
+
+
 def fingerprint(df: DataFrame, key_cols: list[str],
                 text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 over the whitespace- and

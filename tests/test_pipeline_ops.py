@@ -957,3 +957,23 @@ def test_ivf_ann(spark, vecs):
     assert got1 <= got2 <= exact
     assert {0, 1} <= got1          # own list holds the near-dup
     assert 2 in got2 and 3 in got2  # full probe sweep = exact lists
+
+
+def test_tfidf_topk(spark):
+    """Smoothed tf-idf ranking: corpus-wide common terms score below
+    doc-distinctive ones; ranks deterministic."""
+    df = spark.createDataFrame(
+        [(0, "apple apple common"), (1, "banana common"),
+         (2, "cherry common common")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.rank): (r.token, r.tf) for r in
+           textstats.tfidf_topk(df, k=2).collect()}
+    assert got[(0, 1)] == ("apple", 2)    # tf=2, df=1 beats common
+    assert got[(0, 2)][0] == "common"
+    assert got[(1, 1)] == ("banana", 1)
+    assert got[(2, 1)][0] in ("cherry", "common")
+    # 'common' in every doc: idf = ln(4/4)+1 = 1.0 exactly
+    from math import isclose
+    sc = {r.token: r.score for r in
+          textstats.tfidf_topk(df, k=2).collect() if r.doc_id == 1}
+    assert isclose(sc["common"], 1.0)
