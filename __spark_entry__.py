@@ -153,9 +153,9 @@ def _q_quality(spark, sf_dir):
 
 
 #: planted multi-language fixture (one clean sample sentence per
-#: language, doc_id % 5 == 4 rows are digits-only -> 'other')
+#: language, doc_id % 8 == 7 rows are digits-only -> 'other')
 _T_LANG = (
-    "CASE CAST(doc_id % 5 AS INT) "
+    "CASE CAST(doc_id % 8 AS INT) "
     "WHEN 0 THEN 'the cat and the dog went to the house of the king "
     "and then the end' "
     "WHEN 1 THEN 'le chat et le chien sont dans la maison de la "
@@ -164,6 +164,12 @@ _T_LANG = (
     "haus ist offen' "
     "WHEN 3 THEN 'el perro y el gato estan en la casa de los ninos "
     "que es blanca' "
+    "WHEN 4 THEN 'il cane e il gatto sono nella casa che gli amici "
+    "hanno aperto' "
+    "WHEN 5 THEN 'o cao e o gato estao na casa do rio e a porta da "
+    "frente esta aberta' "
+    "WHEN 6 THEN 'de hond en de kat zijn in het huis van de stad en "
+    "de deur is open' "
     "ELSE CAST(doc_id AS VARCHAR) END")
 
 

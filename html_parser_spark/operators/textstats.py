@@ -87,6 +87,12 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
            "ich", "sch", "ung", "cht"),
     "es": ("el ", " el", "los", " lo", "que", " qu", "ue ", " la",
            "la ", "ndo", "ado", " y ", "ar ", "os "),
+    "it": (" il", "il ", "che", " ch", "gli", " gl", "e e", " so",
+           "no ", "ono", "ell"),
+    "pt": (" do", "do ", " da", "da ", "ao ", " na", "na ", "est",
+           " es", "nte", "em ", " em"),
+    "nl": ("de ", " de", "het", " he", "van", " va", "een", " ee",
+           "ij ", "zij", " zi", "en "),
 }
 
 

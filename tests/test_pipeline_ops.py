@@ -647,12 +647,16 @@ def test_lang_id_trigram_profiles(spark):
         (1, "le chat et le chien sont dans la maison de la ville"),
         (2, "der hund und die katze sind in der stadt und die haus"),
         (3, "el perro y el gato estan en la casa de los ninos"),
-        (4, "12345 67890"),
+        (4, "il cane e il gatto sono nella casa che gli amici hanno"),
+        (5, "o cao e o gato estao na casa do rio e a porta da frente"),
+        (6, "de hond en de kat zijn in het huis van de stad en wij"),
+        (7, "12345 67890"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in
            textstats.lang_id(df, ["doc_id"]).collect()}
-    assert got == {0: "en", 1: "fr", 2: "de", 3: "es", 4: "other"}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "es", 4: "it",
+                   5: "pt", 6: "nl", 7: "other"}
 
 
 def test_dedup_canonical_star_long_chain(spark):
