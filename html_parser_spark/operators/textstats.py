@@ -167,24 +167,34 @@ def gopher_quality(df: DataFrame, key_cols: list[str],
         .cast("double") / n_words, 3)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-    checks = {
-        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
-        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
-        & (mean_wl <= max_mean_word_len),
-        "ok_symbol_ratio": sym_ratio <= max_symbol_ratio,
-        "ok_alpha_words": alpha_ratio >= min_alpha_word_ratio,
-        "ok_stopwords": n_stop >= min_stopwords,
-    }
-    overall = None
-    for c in checks.values():
-        overall = c if overall is None else (overall & c)
-    return df.select(
+    # TWO projections: features first, rules over the materialized
+    # feature columns — referencing the named columns keeps each
+    # feature expression in the plan once instead of 6x (the inlined
+    # variant blows the generated processNext() past Janino's 64 KB
+    # method limit and costs a codegen-fallback per batch)
+    feats = df.select(
         *key_cols,
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),
         alpha_ratio.alias("alpha_word_ratio"),
         n_stop.cast("long").alias("n_stopwords"),
+    )
+    checks = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_alpha_words":
+            F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    overall = None
+    for c in checks.values():
+        overall = c if overall is None else (overall & c)
+    return feats.select(
+        "*",
         *[v.alias(k) for k, v in checks.items()],
         overall.alias("passes_gopher"),
     )

@@ -1,0 +1,126 @@
+"""End-to-end TRAINING-DATA CURATION pipeline — the composed job a
+100 TB corpus actually runs, wired from the engine's operators::
+
+    spark-submit --py-files html_parser_spark.zip scripts/run_curation.py \
+        --output /data/curated --report /data/curated_report.json
+
+Stages (each one of the independently-oracle-verified operators):
+
+1. **extract** — fused tokenize + main-content assembly per turn
+   (`operators.extract.extract_text`), map-only.
+2. **quality gate** — Gopher rule bundle on the extracted text
+   (`textstats.gopher_quality`): word count / mean word length /
+   symbol ratio / alpha-word ratio / stopword presence.
+3. **language gate** — char-trigram `lang_id`, keep a configured
+   language allowlist.
+4. **near-dup removal** — MinHash signatures → LSH candidate pairs →
+   star connected components → one canonical doc per cluster
+   (`dedup.dedup_canonical` composition).
+5. **write** — surviving rows as parquet (Iceberg append in
+   deployment) + a JSON funnel report (rows in/out per stage — the
+   per-stage accounting a curation run must publish).
+
+Sandbox default input: sf0.001 documents wrapped as transcripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.001")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--min-words", type=int, default=10)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .appName("transcript-curation-pipeline")
+             .config("spark.sql.shuffle.partitions", str(args.cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators import dedup, textstats
+    from html_parser_spark.operators.extract import extract_text
+    from html_parser_spark.sources.transcripts import wrap_documents
+
+    t0 = time.monotonic()
+    funnel: dict[str, int] = {}
+
+    tr = wrap_documents(spark, args.input)
+    funnel["input_turns"] = tr.count()
+
+    # 1. extract (cache: three downstream consumers)
+    ex = (extract_text(tr, EXTRACT_CONFIG)
+          .select("conv_id", "turn_idx",
+                  F.col("trimmed_text").alias("text"))
+          .cache())
+
+    # 2. quality gate on the EXTRACTED text
+    q = textstats.gopher_quality(ex, ["conv_id", "turn_idx"],
+                                 min_words=args.min_words)
+    ok_q = q.filter("passes_gopher").select("conv_id", "turn_idx")
+    step2 = ex.join(ok_q, ["conv_id", "turn_idx"], "left_semi").cache()
+    funnel["after_quality"] = step2.count()
+
+    # 3. language gate
+    allow = [x.strip() for x in args.langs.split(",") if x.strip()]
+    lang = textstats.lang_id(step2, ["conv_id", "turn_idx"])
+    ok_l = (lang.filter(F.col("lang_pred").isin(allow))
+            .select("conv_id", "turn_idx"))
+    step3 = step2.join(ok_l, ["conv_id", "turn_idx"], "left_semi").cache()
+    funnel["after_lang"] = step3.count()
+
+    # 4. near-dup removal (doc key = conv_id#turn_idx)
+    keyed = step3.withColumn(
+        "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(keyed, key_col="doc_key",
+                                 num_hashes=8),
+        key_col="doc_key",
+        num_hashes=8, band_size=2, max_bucket=1_000_000)
+    dropped = (dedup.dedup_canonical(pairs)
+               .filter(~F.col("is_canonical"))
+               .select(F.col("id").alias("doc_key")))
+    survivors = keyed.join(dropped, "doc_key", "left_anti").drop("doc_key")
+    funnel["after_dedup"] = survivors.count()
+
+    # 5. write + report
+    survivors.write.mode("overwrite").parquet(args.output)
+    report = {
+        "funnel": funnel,
+        "kept_ratio": round(funnel["after_dedup"]
+                            / max(funnel["input_turns"], 1), 4),
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "output": args.output,
+        "langs": allow,
+    }
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
