@@ -70,6 +70,16 @@ CONFIGS: list[dict] = [
     {"boolean_attribute_value": "__BOOL__"},
     {"xml_pic": 1},
     {"marked_sections": 1, "unbroken_text": 1},
+    # round-3 combination configs: filter x text-shaping x dialect
+    # interactions not covered by the single-option rows above
+    {"xml_mode": 1, "empty_element_tags": 1, "strict_comment": 1},
+    {"ignore_elements": ["script", "div"], "unbroken_text": 1,
+     "marked_sections": 1},
+    {"case_sensitive": 1, "report_tags": ["A", "p", "IMG"]},
+    {"ignore_tags": ["b"], "ignore_elements": ["i"],
+     "report_tags": ["a", "b", "i", "p"], "strict_end": 1},
+    {"backquote": 1, "attr_encoded": 1, "boolean_attribute_value": ""},
+    {"closing_plaintext": 1, "unbroken_text": 1, "xml_pic": 1},
 ]
 
 
