@@ -118,6 +118,41 @@ SESSION_SCHEMA = ("conv_id string, session_start_s long, "
 _SESSION_STATE = "start_s long, last_s long, n long"
 
 
+def _session_update(existing: tuple[int, int, int] | None,
+                    ts_sorted: list[int], gap_seconds: int
+                    ) -> tuple[list[tuple[int, int, int]],
+                               tuple[int, int, int]]:
+    """Pure sessionization step for one conversation and one batch of
+    SORTED epoch seconds: returns (closed_sessions, open_state), each
+    session a (start_s, last_s, n_turns) triple.
+
+    The batch is split into runs on intra-batch idle gaps FIRST
+    (backfill/replay batches spanning gaps produce the same
+    boundaries as the batch operator); the stored open session merges
+    with the first run when contiguous — ``min`` on the start handles
+    late rows inside the watermark that precede the stored start."""
+    runs: list[tuple[int, int, int]] = []
+    rs = re_ = ts_sorted[0]
+    n_run = 1
+    for t in ts_sorted[1:]:
+        if t - re_ > gap_seconds:
+            runs.append((rs, re_, n_run))
+            rs, n_run = t, 0
+        n_run += 1
+        re_ = t
+    runs.append((rs, re_, n_run))
+    closed: list[tuple[int, int, int]] = []
+    if existing is not None:
+        start_s, last_s, n = existing
+        r0, r1, rn = runs[0]
+        if r0 - last_s > gap_seconds:
+            closed.append((start_s, last_s, n))
+        else:
+            runs[0] = (min(start_s, r0), max(last_s, r1), n + rn)
+    closed.extend(runs[:-1])
+    return closed, runs[-1]
+
+
 def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 300,
                       watermark: str = "10 seconds") -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
@@ -152,35 +187,10 @@ def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 300,
             ts_all.extend(int(v) for v in s)
         if not ts_all:
             return
-        # A single micro-batch (backfill, replay, large trigger) may
-        # itself span idle gaps > gap_seconds: sort the batch and
-        # split into session runs FIRST, so boundaries match
-        # operators.sessions.sessionize regardless of batch sizing.
         ts_all.sort()
-        runs: list[tuple[int, int, int]] = []
-        rs = re_ = ts_all[0]
-        n_run = 1
-        for t in ts_all[1:]:
-            if t - re_ > gap_seconds:
-                runs.append((rs, re_, n_run))
-                rs, n_run = t, 0
-            n_run += 1
-            re_ = t
-        runs.append((rs, re_, n_run))
-        closed = []
-        if state.exists:
-            start_s, last_s, n = state.get
-            r0, r1, rn = runs[0]
-            if r0 - last_s > gap_seconds:
-                # idle gap before the batch's first run: close the
-                # stored session, the first run starts a new one
-                closed.append((start_s, last_s, n))
-            else:
-                # merge (min handles late rows inside the watermark)
-                runs[0] = (min(start_s, r0), max(last_s, r1), n + rn)
-        # every run but the last is followed by an in-batch idle gap
-        closed.extend(runs[:-1])
-        start_s, last_s, n = runs[-1]
+        closed, (start_s, last_s, n) = _session_update(
+            tuple(state.get) if state.exists else None,
+            ts_all, gap_seconds)
         state.update((start_s, last_s, n))
         state.setTimeoutTimestamp((last_s + gap_seconds) * 1000)
         if closed:

@@ -314,3 +314,33 @@ def test_content_and_pdf_plans_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert "Exchange" not in _plan(
         extract_pdf_text(synth_pdf_payloads(docs)))
+
+
+def test_session_update_pure_kernel():
+    """The per-batch session kernel: intra-batch gap splits, merge
+    with stored state, late-row start extension, gap close."""
+    from html_parser_spark.streaming.extract_stream import (
+        _session_update)
+
+    # fresh conversation, batch spans two gaps
+    closed, open_ = _session_update(
+        None, [0, 60, 120, 4000, 4060, 9000], 300)
+    assert closed == [(0, 120, 3), (4000, 4060, 2)]
+    assert open_ == (9000, 9000, 1)
+
+    # contiguous batch merges into the stored open session
+    closed, open_ = _session_update((0, 120, 3), [200, 260], 300)
+    assert closed == [] and open_ == (0, 260, 5)
+
+    # late rows (inside watermark) BEFORE the stored start extend it
+    closed, open_ = _session_update((100, 200, 2), [50, 250], 300)
+    assert closed == [] and open_ == (50, 250, 4)
+
+    # idle gap before the batch closes the stored session
+    closed, open_ = _session_update((0, 120, 3), [1000, 1030], 300)
+    assert closed == [(0, 120, 3)] and open_ == (1000, 1030, 2)
+
+    # gap close AND intra-batch split in one batch
+    closed, open_ = _session_update((0, 120, 3), [1000, 5000], 300)
+    assert closed == [(0, 120, 3), (1000, 1000, 1)]
+    assert open_ == (5000, 5000, 1)
