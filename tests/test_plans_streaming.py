@@ -344,3 +344,28 @@ def test_session_update_pure_kernel():
     closed, open_ = _session_update((0, 120, 3), [1000, 5000], 300)
     assert closed == [(0, 120, 3), (1000, 1000, 1)]
     assert open_ == (5000, 5000, 1)
+
+
+def test_minhash_signatures_stream_match_batch(spark, tmp_path):
+    """MinHash signatures are a stateless narrow projection, so the
+    batch operator runs verbatim over a stream — signature parity
+    certifies the dedup front-end for continuous ingestion."""
+    from html_parser_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some shingle words here {i}")
+         for i in range(12)],
+        "doc_id long, text string")
+    src = str(tmp_path / "mh_src")
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = (minhash_signatures(stream, num_hashes=8)
+         .writeStream.format("memory").queryName("mh_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM mh_stream").collect()))
+    exp = sorted(map(tuple, minhash_signatures(
+        docs, num_hashes=8).collect()))
+    assert got == exp and len(got) == 12
