@@ -153,9 +153,11 @@ def _q_quality(spark, sf_dir):
 
 
 #: planted multi-language fixture (one clean sample sentence per
-#: language, doc_id % 8 == 7 rows are digits-only -> 'other')
+#: language; doc_id % 12 == 10 rows are profile-gram-free Han text
+#: exercising the codepoint-range fallback, % 12 == 11 rows are
+#: digits-only -> 'other')
 _T_LANG = (
-    "CASE CAST(doc_id % 8 AS INT) "
+    "CASE CAST(doc_id % 12 AS INT) "
     "WHEN 0 THEN 'the cat and the dog went to the house of the king "
     "and then the end' "
     "WHEN 1 THEN 'le chat et le chien sont dans la maison de la "
@@ -170,13 +172,20 @@ _T_LANG = (
     "frente esta aberta' "
     "WHEN 6 THEN 'de hond en de kat zijn in het huis van de stad en "
     "de deur is open' "
+    "WHEN 7 THEN '我们的房子在城市里 这个孩子没有什么问题 他们是一个家庭' "
+    "WHEN 8 THEN 'この家は大きいです 犬と猫がいます それは静かな場所である' "
+    "WHEN 9 THEN '고양이와 개가 집에 있습니다 이 집은 도시에서 가장 큽니다' "
+    "WHEN 10 THEN '山川河流日月星辰天地' "
     "ELSE CAST(doc_id AS VARCHAR) END")
 
 
 def _q_lang_id(spark, sf_dir):
-    """Char-trigram-profile language ID over planted en/fr/de/es
-    fixtures; the oracle rebuilds the identical trigram scoring, so
-    the classifier math itself is verified, not just the labels."""
+    """Char-gram-profile language ID over planted fixtures for all
+    10 profiled languages (7 European + zh/ja/ko) plus a
+    profile-gram-free Han row exercising the codepoint-range
+    fallback; the oracle rebuilds the identical gram scoring and
+    fallback, so the classifier math itself is verified, not just
+    the labels."""
     from html_parser_spark.operators.textstats import lang_id
 
     planted = _docs(spark, sf_dir).select(
@@ -861,28 +870,34 @@ def _lsh_bucket_expr(vec_sql: str, n_bits: int = 8, dim: int = 64,
 
 
 def _lang_id_oracle() -> str:
-    """DuckDB twin of textstats.lang_id: identical trigram profiles,
-    identical (len - len(replace))/3 counting, identical argmax +
-    tie-break order — the classifier math is re-derived, not just the
-    expected labels."""
-    from html_parser_spark.operators.textstats import LANG_TRIGRAMS
+    """DuckDB twin of textstats.lang_id: identical gram profiles
+    (incl. the zh/ja/ko bigrams), identical
+    (len - len(replace))/len(gram) counting, identical argmax +
+    tie-break order, identical codepoint-range CJK fallback — the
+    classifier math is re-derived, not just the expected labels."""
+    from html_parser_spark.operators.textstats import (
+        CJK_SCRIPT_RANGES, LANG_TRIGRAMS)
 
     score_cols = []
     for lang, tris in LANG_TRIGRAMS.items():
         terms = " + ".join(
-            f"(length(t) - length(replace(t, '{tri}', ''))) / 3"
+            f"(length(t) - length(replace(t, '{tri}', ''))) / {len(tri)}"
             for tri in tris)
         score_cols.append(f"({terms}) AS s_{lang}")
     langs = list(LANG_TRIGRAMS)
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     pred = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    fb = " ".join(
+        f"WHEN length(regexp_replace(t, '[^{rng}]', '', 'g')) > 0 "
+        f"THEN '{lang}'" for lang, rng in CJK_SCRIPT_RANGES)
     return f"""
         WITH d AS (SELECT doc_id, lower({_T_LANG}) AS t
                    FROM documents),
-        s AS (SELECT doc_id, {", ".join(score_cols)} FROM d),
+        s AS (SELECT doc_id, t, {", ".join(score_cols)} FROM d),
         b AS (SELECT doc_id, {best} AS best, * FROM s)
         SELECT doc_id,
-               CASE WHEN best <= 0 THEN 'other' {pred}
+               CASE WHEN best <= 0 THEN (CASE {fb} ELSE 'other' END)
+                    {pred}
                     ELSE 'other' END AS lang_pred,
                CAST(best AS BIGINT) AS lang_score
         FROM b"""

@@ -20,10 +20,16 @@ rounds; queries whose own trials still disagree by >1.8x get up to
 two extra rounds (uniform rule, min over all recorded trials is the
 record). The full trial matrix plus a fixed pure-JVM ``host_probe``
 job per round are emitted in the JSON so background load is visible
-in the artifact itself. The ``conv_extract_skew_*`` pair demonstrates
-the salting claim with a number: identical op + subset, conv-
-partitioned with ~50% of rows on one hot key, with and without
-``salted_repartition``.
+in the artifact itself; if the probe's own spread exceeds 3x, up to
+three more full rounds run until one lands in a quiet window (probe
+within 1.5x of the best seen) — a uniform all-queries rule, so a
+single noisy window cannot set any record and a quiet window is
+guaranteed a shot at every query. The ``conv_extract_skew_*`` pair
+demonstrates the salting claim with a number: identical op + subset,
+conv-partitioned with ~50% of rows on one hot key, with and without
+``salted_repartition``; both arms are excluded from the headline
+total (one is a deliberate straggler) and reported under
+``skew_demo`` / ``salting_speedup``.
 """
 
 from __future__ import annotations
@@ -185,16 +191,40 @@ def main() -> None:
         if not unstable:
             break
         one_round(unstable)
+    # Host-probe-gated extra rounds (uniform rule, all queries — not
+    # per-query cherry-picking): when the fixed pure-JVM probe's
+    # spread shows the host was >3x noisier in some rounds than
+    # others, one bad window could own every record, so run up to
+    # three more full interleaved rounds until a round lands whose
+    # probe is within 1.5x of the best probe seen (i.e. the machine
+    # was actually quiet for that round).
+    for _ in range(3):
+        probes = trials["host_probe"]
+        if max(probes) / max(min(probes), 1e-9) <= 3.0:
+            break
+        before = len(probes)
+        one_round(all_q)
+        if trials["host_probe"][before] <= min(probes) * 1.5:
+            break
     timings = {name: min(ts) for name, ts in trials.items()
                if name != "host_probe"}
 
     extract_sec = timings["extract_text"]
-    total = round(sum(timings.values()), 3)
+    # The skew pair exists to price the unsalted anti-pattern (one
+    # arm is a deliberate straggler); both arms are excluded from the
+    # headline total so cross-round sum comparisons stay
+    # apples-to-apples with the pre-skew-pair rounds. They are
+    # reported separately below (skew_demo + salting_speedup).
+    skew_arms = {"conv_extract_skew_unsalted", "conv_extract_skew_salted"}
+    total = round(sum(t for n, t in timings.items()
+                      if n not in skew_arms), 3)
     print(json.dumps({
         "metric": "tokenize+extract turns/sec (flagship) + headline ops",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: t for n, t in timings.items()
+                    if n not in skew_arms},
+        "skew_demo": {n: timings[n] for n in sorted(skew_arms)},
         "trials": trials,
         "sf": sf_dir,
         "cpus": cpus,

@@ -298,9 +298,17 @@ def _content_text(stream: bytes) -> str:
 
 def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
     """Whole-file parse: (n_pages, text). Pages found by /Type /Page
-    objects (in Kids order via object id); content streams inflated
-    when /FlateDecode, taken raw when unfiltered, skipped (empty
-    text) for unsupported filters. Never raises."""
+    objects; content streams inflated when /FlateDecode, taken raw
+    when unfiltered, skipped (empty text) for unsupported filters.
+    Never raises.
+
+    Known limitation (documented, not fixed): page text is ordered by
+    content-stream OBJECT ID, not by the page tree's /Kids order. A
+    real PDF's object ids need not follow page order, so multi-page
+    output can be scrambled relative to visual page order; per-page
+    text itself is correct. Resolving /Contents references from the
+    /Kids walk is the full fix and is out of codec scope for this
+    engine tier (ISO 32000-1 §7.7.3)."""
     n_pages = 0
     texts: list[tuple[int, str]] = []
     try:
@@ -320,7 +328,12 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
             # optional CR before 'endstream' swallows a real data
             # byte and the inflate fails (hit by ~1/256 of Flate
             # payloads; caught by the sf0.1 oracle sweep).
-            mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+            # (?!\d) makes the digit run atomic: without it
+            # '/Length 60 0 R' backtracks to group '6' and the lookahead
+            # '(?!\s+\d+\s+R)' passes, slicing the stream to a bogus
+            # 6-byte length instead of taking the indirect-length
+            # fallback below.
+            mlen = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
             if mlen:
                 data = body[sb.end():sb.end() + int(mlen.group(1))]
             else:  # indirect /Length N 0 R: EOL-delimited fallback

@@ -29,7 +29,15 @@ EN_STOPWORDS = (
 
 
 def words_col(text: Column) -> Column:
-    """Whitespace tokenization shared by every operator here."""
+    """Whitespace tokenization shared by every operator here.
+
+    CJK caveat: zh/ja text is not whitespace-delimited, so every
+    word-based stat downstream (n_words, stopword_ratio, the Gopher
+    word-count rules) sees one giant "word" per run of CJK text.
+    That is the documented scope of this tokenizer — language
+    routing should use :func:`lang_id` (which is char-based and does
+    cover CJK) and send non-whitespace-delimited languages to a
+    char-level pipeline rather than through these word stats."""
     return F.split(F.trim(text), r"\s+")
 
 
@@ -93,21 +101,46 @@ LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
            " es", "nte", "em ", " em"),
     "nl": ("de ", " de", "het", " he", "van", " va", "een", " ee",
            "ij ", "zij", " zi", "en "),
+    # CJK profiles: the counting is char-based already, so covering
+    # non-whitespace-delimited languages is pure profile data — the
+    # natural gram unit is the bigram (function-word particles /
+    # pronouns / copulas; public linguistic knowledge).
+    "zh": ("我们", "他们", "这个", "什么", "没有", "一个", "是一",
+           "的一"),
+    "ja": ("です", "ます", "した", "いる", "ある", "この", "それ",
+           "して", "という"),
+    "ko": ("습니다", "입니다", "있는", "하는", "하고", "에서",
+           "까지"),
 }
+
+#: codepoint-range fallback for CJK text that matches no profile
+#: gram (e.g. classical zh, names-only ja): literal char-class
+#: ranges so the same pattern runs under Java regex (Spark) and RE2
+#: (DuckDB oracle). Order matters: kana is ja-only, hangul is
+#: ko-only, Han is shared (kanji/hanja) so it is checked last.
+CJK_SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("ja", "぀-ヿ"),      # U+3040-U+30FF hiragana + katakana
+    ("ko", "가-힣"),      # U+AC00-U+D7A3 hangul syllables
+    ("zh", "一-鿿"),      # U+4E00-U+9FFF CJK unified ideographs
+)
 
 
 def lang_id(df: DataFrame, key_cols: list[str],
             text_col: str = "text") -> DataFrame:
-    """Char-trigram-profile language ID over ``LANG_TRIGRAMS``
-    (en/fr/de/es, 'other' when no profile trigram occurs).
+    """Char-gram-profile language ID over every ``LANG_TRIGRAMS``
+    entry (currently 7 European languages on trigrams plus zh/ja/ko
+    on bigrams), with a ``CJK_SCRIPT_RANGES`` codepoint fallback when
+    no profile gram occurs, and 'other' when the fallback misses too.
 
-    Per language: score = Σ_trigram occurrences in the lowercased
-    text, each count computed as (len - len(replace(t, tri))) / 3 —
-    plain string ops, no regex, so any engine reproduces it exactly.
-    Prediction = argmax, ties broken by profile order. Pure JVM, one
-    codegen stage, shuffle-free — at 100 TB this is a narrow map over
-    the text column, and extending coverage is adding profile rows,
-    not changing the operator shape.
+    Per language: score = Σ_gram occurrences in the lowercased text,
+    each count computed as (len - len(replace(t, g))) / len(g) —
+    plain string ops, no regex in the scoring, so any engine
+    reproduces it exactly. Prediction = argmax, ties broken by
+    profile order; zero-score text falls back to script ranges
+    (kana -> ja, hangul -> ko, Han -> zh — Han last because kanji /
+    hanja share it). Pure JVM, one codegen stage, shuffle-free — at
+    100 TB this is a narrow map over the text column, and extending
+    coverage is adding profile rows, not changing the operator shape.
     """
     t = F.lower(F.col(text_col))
     scores: dict[str, Column] = {}
@@ -115,11 +148,16 @@ def lang_id(df: DataFrame, key_cols: list[str],
         cnt = None
         for tri in tris:
             c = (F.length(t) - F.length(F.replace(t, F.lit(tri),
-                                                  F.lit("")))) / 3
+                                                  F.lit("")))) / len(tri)
             cnt = c if cnt is None else cnt + c
         scores[lang] = cnt
     best = F.greatest(*scores.values())
-    pred = F.when(best <= 0, F.lit("other"))
+    fallback = None
+    for lang, rng in reversed(CJK_SCRIPT_RANGES):
+        hit = F.length(F.regexp_replace(t, f"[^{rng}]", "")) > 0
+        fallback = F.when(hit, F.lit(lang)).otherwise(
+            F.lit("other") if fallback is None else fallback)
+    pred = F.when(best <= 0, fallback)
     for lang in LANG_TRIGRAMS:
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return df.select(

@@ -659,6 +659,28 @@ def test_lang_id_trigram_profiles(spark):
                    5: "pt", 6: "nl", 7: "other"}
 
 
+def test_lang_id_cjk_profiles_and_script_fallback(spark):
+    """zh/ja/ko bigram profiles score non-whitespace-delimited text;
+    profile-gram-free CJK text lands via the codepoint-range fallback
+    (kana -> ja before hangul -> ko before shared Han -> zh)."""
+    rows = [
+        (0, "我们的房子在城市里 这个孩子没有什么问题"),     # zh by profile
+        (1, "この家は大きいです 犬と猫がいます"),           # ja by profile
+        (2, "고양이와 개가 집에 있습니다 도시에서 삽니다"),  # ko by profile
+        (3, "山川河流日月星辰天地"),        # Han, no gram -> zh fallback
+        (4, "アイウエオカキクケコ"),        # katakana, no gram -> ja fallback
+        (5, "가나다라마바사"),              # hangul, no gram -> ko fallback
+        (6, "漢字とカタカナ"),              # kanji+kana, no gram -> ja wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.lang_pred, r.lang_score) for r in
+           textstats.lang_id(df, ["doc_id"]).collect()}
+    assert {k: v[0] for k, v in out.items()} == {
+        0: "zh", 1: "ja", 2: "ko", 3: "zh", 4: "ja", 5: "ko", 6: "ja"}
+    assert out[0][1] > 0 and out[1][1] > 0 and out[2][1] > 0
+    assert out[3][1] == 0 and out[4][1] == 0  # fallback rows score 0
+
+
 def test_dedup_canonical_star_long_chain(spark):
     """dedup_canonical defaults to star CC: a 120-long chain (diameter
     far beyond min-label's comfortable round budget) must resolve to
@@ -858,6 +880,27 @@ def test_pdf_stream_data_ending_in_cr():
     n_pages, text = extract_pdf_text_bytes(_synth_pdf(1049))
     assert n_pages == 2
     assert text.startswith("Hello doc 1049 (escaped)")
+
+
+def test_pdf_indirect_length_multidigit_objnum():
+    """'/Length 60 0 R' (indirect ref, multi-digit object number) must
+    fall through to the EOL-delimited fallback, not slice the stream
+    to a bogus 6-byte direct length (regression: the old regex
+    backtracked the digit run to '6' and passed the not-a-ref
+    lookahead)."""
+    import zlib
+
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    data = zlib.compress(b"BT (indirect length works) Tj ET")
+    doc = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Page >>\nendobj\n"
+           b"2 0 obj\n<< /Filter /FlateDecode /Length 60 0 R >>\n"
+           b"stream\n" + data + b"\nendstream\nendobj\n"
+           b"60 0 obj\n" + str(len(data)).encode() + b"\nendobj\n")
+    n_pages, text = extract_pdf_text_bytes(doc)
+    assert n_pages == 1
+    assert text == "indirect length works"
 
 
 def test_canonicalize_urls(spark):
