@@ -118,11 +118,16 @@ def _q_decode_entities(spark, sf_dir):
 
 
 def _q_encode_entities(spark, sf_dir):
-    from html_parser_spark.operators.extract import encode_entities_col
+    """P7 + P8 in one row set: named-entity encoding and the
+    always-numeric &#xHEX; encoding of the same input."""
+    from html_parser_spark.operators.extract import (
+        encode_entities_col, encode_entities_numeric_col)
 
     raw = F.expr("'<' || text || '> & \"q\" ' || CAST(doc_id AS STRING)")
     return _docs(spark, sf_dir).select(
-        "doc_id", encode_entities_col(raw).alias("encoded"))
+        "doc_id",
+        encode_entities_col(raw).alias("encoded_named"),
+        encode_entities_numeric_col(raw).alias("encoded_numeric"))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -312,8 +317,18 @@ def _q_repetition_stats(spark, sf_dir):
 
 
 def _q_minhash_sigs(spark, sf_dir):
+    """Both signature families in one row set: md5k (one md5 per
+    (shingle, hash)) joined with md5slice (one md5 per shingle,
+    8 independent 16-bit slices — the 100 TB hashing-cost default)
+    on doc_id; the oracle rebuilds both families."""
     from html_parser_spark.operators.dedup import minhash_signatures
-    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+
+    docs = _docs(spark, sf_dir)
+    k = minhash_signatures(docs, num_hashes=8)
+    fast = minhash_signatures(docs, num_hashes=8, family="md5slice")
+    fast = fast.select("doc_id", *[F.col(f"h{i}").alias(f"f{i}")
+                                   for i in range(8)])
+    return k.join(fast, "doc_id")
 
 
 def _q_lsh_pairs(spark, sf_dir):
@@ -322,14 +337,6 @@ def _q_lsh_pairs(spark, sf_dir):
     sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
     return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
                                max_bucket=1_000_000)
-
-
-def _q_minhash_sigs_fast(spark, sf_dir):
-    """md5slice family: one md5 per shingle, 8 independent 16-bit
-    slice hashes — the 100 TB hashing-cost default."""
-    from html_parser_spark.operators.dedup import minhash_signatures
-    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8,
-                              family="md5slice")
 
 
 def _q_simhash(spark, sf_dir):
@@ -351,22 +358,25 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_cosine_knn(spark, sf_dir):
-    from html_parser_spark.operators.similarity import cosine_neighbors
+    """Both exact-cosine retrieval modes in one row set, tagged by
+    `variant`: threshold search (rank = -1) and multi-query exact
+    top-k via the shuffle-bounded two-phase reduction (per-partition
+    top-k before the exchange); DuckDB re-derives the top-k with a
+    window rank over exact scores."""
+    from html_parser_spark.operators.similarity import (
+        cosine_neighbors, cosine_topk)
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(
+    q1 = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return cosine_neighbors(emb, q, threshold=0.2)
-
-
-def _q_cosine_topk(spark, sf_dir):
-    """Multi-query exact top-k: shuffle-bounded two-phase reduction
-    (per-partition top-k before the exchange); DuckDB re-derives it
-    with a window rank over exact scores."""
-    from html_parser_spark.operators.similarity import cosine_topk
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") <= 2).select(
+    thresh = cosine_neighbors(emb, q1, threshold=0.2).select(
+        F.lit("thresh").alias("variant"), "query_id", "vec_id",
+        "cos_sim", F.lit(-1).cast("int").alias("rank"))
+    q3 = emb.filter(F.col("vec_id") <= 2).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return cosine_topk(emb, q, k=5)
+    topk = cosine_topk(emb, q3, k=5).select(
+        F.lit("topk").alias("variant"), "query_id", "vec_id",
+        "cos_sim", "rank")
+    return thresh.unionByName(topk)
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -378,13 +388,26 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_lsh_ann(spark, sf_dir):
-    """Scale-path ANN; the DuckDB oracle rebuilds the identical
-    md5-parity hyperplane sketch, so bucketing is verified too."""
-    from html_parser_spark.operators.similarity import lsh_neighbors
+    """Both scale-path ANN indexes in one row set, tagged by
+    `variant`: hyperplane-LSH bucketing (the DuckDB oracle rebuilds
+    the identical md5-parity sketch, so bucketing is verified too)
+    and IVF-flat with deterministic 'trained' centroids (the first
+    four corpus vectors stand in for offline k-means output; the
+    oracle rebuilds assignment, probe ranking, and re-scoring)."""
+    from html_parser_spark.operators.similarity import (
+        ivf_neighbors, lsh_neighbors)
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2)
+    lsh = lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2) \
+        .select(F.lit("lsh").alias("variant"), "query_id", "vec_id",
+                "cos_sim")
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    ivf = ivf_neighbors(emb, q, cents, n_probe=2, threshold=0.2) \
+        .select(F.lit("ivf").alias("variant"), "query_id", "vec_id",
+                "cos_sim")
+    return lsh.unionByName(ivf)
 
 
 def _q_dedup_canonical(spark, sf_dir):
@@ -449,40 +472,22 @@ def _q_dedup_corpus(spark, sf_dir):
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
-def _q_ivf_ann(spark, sf_dir):
-    """IVF-flat ANN with deterministic 'trained' centroids (the
-    first four corpus vectors stand in for offline k-means output);
-    the oracle rebuilds assignment, probe ranking, and re-scoring."""
-    from html_parser_spark.operators.similarity import ivf_neighbors
-
-    emb = _emb(spark, sf_dir)
-    cents = [list(r.embedding) for r in
-             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_neighbors(emb, q, cents, n_probe=2, threshold=0.2)
-
-
 def _q_dedup_components(spark, sf_dir):
+    """Both CC algorithms over the same LSH pairs in one row set:
+    min-label propagation and the O(log n)-round large-star/small-star
+    variant, joined on id — both must land on the identical
+    min-id-per-component labeling the recursive-CTE oracle derives."""
     from html_parser_spark.operators.dedup import (
-        connected_components, lsh_candidate_pairs, minhash_signatures)
+        connected_components, connected_components_star,
+        lsh_candidate_pairs, minhash_signatures)
     sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
     pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
                                 max_bucket=1_000_000)
-    return connected_components(pairs)
-
-
-def _q_dedup_components_star(spark, sf_dir):
-    """Large-star/small-star variant over the same LSH pairs — same
-    recursive-CTE oracle as dedup_components; O(log n) rounds, the
-    giant-component-safe path."""
-    from html_parser_spark.operators.dedup import (
-        connected_components_star, lsh_candidate_pairs,
-        minhash_signatures)
-    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
-    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
-                                max_bucket=1_000_000)
-    return connected_components_star(pairs)
+    minlabel = connected_components(pairs).withColumnRenamed(
+        "component", "component_minlabel")
+    star = connected_components_star(pairs).withColumnRenamed(
+        "component", "component_star")
+    return minlabel.join(star, "id")
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -528,8 +533,11 @@ _T_PHRASE = ("'P1 <b>bold</b> &amp; ' || text || "
 
 
 def _q_marked_sections(spark, sf_dir):
-    """T8: CDATA section text reported raw (no entity decode), INCLUDE
-    section text reported normally, section delimiters suppressed."""
+    """T8 + F6 in one row set: CDATA section text reported raw (no
+    entity decode) and INCLUDE text reported normally with section
+    delimiters suppressed (marked_doc), joined on conv_id with the
+    MS_IGNORE arm where the section swallows every event
+    (ignored_n_events, ignored_doc)."""
     from html_parser_spark.config import ParserConfig
     from html_parser_spark.operators.extract import events
 
@@ -539,23 +547,19 @@ def _q_marked_sections(spark, sf_dir):
     txt = ev.filter(F.col("event") == "text").withColumn(
         "val", F.when(F.col("is_cdata"), F.col("text"))
         .otherwise(F.col("dtext")))
-    return _ordered_concat(txt, "val")
+    marked = _ordered_concat(txt, "val").withColumnRenamed(
+        "doc", "marked_doc")
 
-
-def _q_ms_ignore(spark, sf_dir):
-    """F6: MS_IGNORE swallows every event inside the section."""
-    from html_parser_spark.config import ParserConfig
-    from html_parser_spark.operators.extract import events
-
-    ev = events(_tmpl(spark, sf_dir, _T_IGNORE_MS),
-                ParserConfig(marked_sections=True),
-                fields=("event", "text"))
-    return ev.groupBy("conv_id").agg(
-        F.count("*").cast("long").alias("n_events"),
+    ev2 = events(_tmpl(spark, sf_dir, _T_IGNORE_MS),
+                 ParserConfig(marked_sections=True),
+                 fields=("event", "text"))
+    ignored = ev2.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("ignored_n_events"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seq", "text"))),
-                lambda s: s.text), "").alias("doc"))
+                lambda s: s.text), "").alias("ignored_doc"))
+    return marked.join(ignored, "conv_id")
 
 
 def _q_empty_element_tags(spark, sf_dir):
@@ -571,16 +575,6 @@ def _q_empty_element_tags(spark, sf_dir):
         "doc", "tags")
 
 
-def _q_encode_numeric(spark, sf_dir):
-    """P8: encode_entities_numeric — always &#xHEX;."""
-    from html_parser_spark.operators.extract import (
-        encode_entities_numeric_col)
-
-    raw = F.expr("'<' || text || '> & \"q\" ' || CAST(doc_id AS STRING)")
-    return _docs(spark, sf_dir).select(
-        "doc_id", encode_entities_numeric_col(raw).alias("encoded"))
-
-
 def _q_skipped_text(spark, sf_dir):
     """P10: raw source of unreported events accumulates onto the next
     reported event; reading resets the accumulator."""
@@ -594,9 +588,13 @@ def _q_skipped_text(spark, sf_dir):
     return ev.select("conv_id", "seq", "tagname", "skipped_text")
 
 
-def _q_report_tags(spark, sf_dir):
-    """F2 (+F1 composition): report_tags suppresses all other tags;
-    ignore_tags wins over report_tags for 'br'."""
+def _q_handler_filters(spark, sf_dir):
+    """F2 (+F1 composition) + F4 in one row set. `tags`: report_tags
+    suppresses all other tags and ignore_tags wins over report_tags
+    for 'br'. `false_handler_trace`: a ''-handler drops the event
+    WITHOUT feeding skipped_text (comments vanish; unreported text
+    still accumulates), serialized per conv as seq-ordered
+    tag:skipped pairs."""
     from html_parser_spark.config import ParserConfig
     from html_parser_spark.operators.extract import events
 
@@ -604,22 +602,19 @@ def _q_report_tags(spark, sf_dir):
                        ignore_tags=("br",))
     ev = events(_tr(spark, sf_dir), cfg, fields=("event", "tag"))
     ev = ev.filter(F.col("event").isin("start", "end"))
-    return _ordered_concat(ev, "tag", ",").withColumnRenamed(
+    tags = _ordered_concat(ev, "tag", ",").withColumnRenamed(
         "doc", "tags")
 
-
-def _q_false_handler(spark, sf_dir):
-    """F4: a ''-handler drops the event WITHOUT feeding skipped_text
-    (comments vanish; unreported text still accumulates)."""
-    from html_parser_spark.config import ParserConfig
-    from html_parser_spark.operators.extract import events
-
-    cfg = ParserConfig(track_skipped_text=True,
-                       reported_events=("start", "end"),
-                       false_handler_events=("comment",))
-    ev = events(_tmpl(spark, sf_dir, _T_FALSE), cfg,
-                fields=("tag", "skipped_text"))
-    return ev.select("conv_id", "seq", "tag", "skipped_text")
+    cfg2 = ParserConfig(track_skipped_text=True,
+                        reported_events=("start", "end"),
+                        false_handler_events=("comment",))
+    ev2 = events(_tmpl(spark, sf_dir, _T_FALSE), cfg2,
+                 fields=("tag", "skipped_text"))
+    trace = ev2.withColumn(
+        "val", F.concat_ws(":", "tag", "skipped_text"))
+    trace = _ordered_concat(trace, "val", ",").withColumnRenamed(
+        "doc", "false_handler_trace")
+    return tags.join(trace, "conv_id")
 
 
 def _q_get_phrase(spark, sf_dir):
@@ -752,10 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "minhash_sigs": _q_minhash_sigs,
-        "minhash_sigs_fast": _q_minhash_sigs_fast,
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
-        "dedup_components_star": _q_dedup_components_star,
         "dedup_canonical": _q_dedup_canonical,
         "dedup_corpus": _q_dedup_corpus,
         "gopher_quality": _q_gopher_quality,
@@ -764,17 +757,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_knn": _q_cosine_knn,
-        "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_ann": _q_lsh_ann,
-        "ivf_ann": _q_ivf_ann,
         "marked_sections": _q_marked_sections,
-        "ms_ignore": _q_ms_ignore,
         "empty_element_tags": _q_empty_element_tags,
-        "encode_numeric": _q_encode_numeric,
         "skipped_text": _q_skipped_text,
-        "report_tags": _q_report_tags,
-        "false_handler": _q_false_handler,
+        "handler_filters": _q_handler_filters,
         "get_phrase": _q_get_phrase,
         "anchors": _q_anchors,
         "rewrite_links": _q_rewrite_links,
@@ -964,7 +952,9 @@ def oracle_sql() -> dict[str, str]:
         "encode_entities": f"""
             SELECT doc_id,
                    '&lt;' || text || '&gt; &amp; &quot;q&quot; ' || {_ID}
-                   AS encoded
+                   AS encoded_named,
+                   '&#x3C;' || text || '&#x3E; &#x26; &#x22;q&#x22; '
+                   || {_ID} AS encoded_numeric
             FROM documents""",
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
@@ -1082,11 +1072,8 @@ def oracle_sql() -> dict[str, str]:
                          / len(words), 3) AS dup_word_ratio
             FROM s""",
         "minhash_sigs": f"""
-            SELECT doc_id, {_MINHASH_AGGS}
-            FROM ({_SHINGLES}) GROUP BY doc_id""",
-        "minhash_sigs_fast": f"""
-            SELECT doc_id, {", ".join(
-                f"min(substr(md5(s), {4 * i + 1}, 4)) AS h{i}"
+            SELECT doc_id, {_MINHASH_AGGS}, {", ".join(
+                f"min(substr(md5(s), {4 * i + 1}, 4)) AS f{i}"
                 for i in range(8))}
             FROM ({_SHINGLES}) GROUP BY doc_id""",
         "lsh_pairs": f"""
@@ -1197,7 +1184,8 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.u, r.label FROM edges e JOIN reach r
                 ON e.v = r.u)
-            SELECT u AS id, min(label) AS component
+            SELECT u AS id, min(label) AS component_minlabel,
+                   min(label) AS component_star
             FROM reach GROUP BY u""",
         "simhash_pairs": f"""
             WITH {_SIMHASH64_CTE},
@@ -1231,23 +1219,23 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = id_b)
             WHERE jaccard >= 0.1""",
         "cosine_knn": f"""
-            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
-                   {_COS} AS cos_sim
-            FROM embeddings WHERE {_COS} >= 0.2""",
-        "cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id,
-                              CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id <= 2),
-            s AS (SELECT q.query_id, e.vec_id,
-                         round(CAST(list_cosine_similarity(
-                             CAST(e.embedding AS DOUBLE[]), q.qv)
-                             AS DOUBLE), 3) AS cos_sim
-                  FROM embeddings e, q)
-            SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+            SELECT 'thresh' AS variant, CAST(0 AS BIGINT) AS query_id,
+                   vec_id, {_COS} AS cos_sim, CAST(-1 AS INT) AS rank
+            FROM embeddings WHERE {_COS} >= 0.2
+            UNION ALL
+            SELECT 'topk', query_id, vec_id, cos_sim,
+                   CAST(rn AS INT) AS rank
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY query_id
                       ORDER BY cos_sim DESC, vec_id) AS rn
-                  FROM s)
+                  FROM (SELECT q.query_id, e.vec_id,
+                               round(CAST(list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]), q.qv)
+                                   AS DOUBLE), 3) AS cos_sim
+                        FROM embeddings e,
+                             (SELECT vec_id AS query_id,
+                                     CAST(embedding AS DOUBLE[]) AS qv
+                              FROM embeddings WHERE vec_id <= 2) q))
             WHERE rn <= 5""",
         "embedding_near_dup": f"""
             WITH c AS (
@@ -1269,17 +1257,7 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket
               FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv, bucket
-                  FROM c WHERE vec_id = 0)
-            SELECT q.query_id, c.vec_id,
-                   round(CAST(list_cosine_similarity(c.v, q.qv)
-                              AS DOUBLE), 3) AS cos_sim
-            FROM c JOIN q ON c.bucket = q.bucket
-            WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
-                             AS DOUBLE), 3) >= 0.2""",
-        "ivf_ann": """
-            WITH c AS (SELECT vec_id,
-                              CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
+                  FROM c WHERE vec_id = 0),
             cent AS (SELECT vec_id AS k, v FROM c WHERE vec_id < 4),
             sims AS (SELECT c.vec_id, cent.k,
                             CAST(list_cosine_similarity(c.v, cent.v)
@@ -1295,9 +1273,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM (SELECT k, row_number() OVER (
                                  ORDER BY s DESC, k ASC) AS rn
                              FROM sims WHERE vec_id = 0)
-                       WHERE rn <= 2),
-            q AS (SELECT v AS qv FROM c WHERE vec_id = 0)
-            SELECT CAST(0 AS BIGINT) AS query_id, c.vec_id,
+                       WHERE rn <= 2)
+            SELECT 'lsh' AS variant, q.query_id, c.vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv)
+                              AS DOUBLE), 3) AS cos_sim
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
+                             AS DOUBLE), 3) >= 0.2
+            UNION ALL
+            SELECT 'ivf', CAST(0 AS BIGINT), c.vec_id,
                    round(CAST(list_cosine_similarity(c.v, q.qv)
                               AS DOUBLE), 3) AS cos_sim
             FROM c JOIN assign a ON a.vec_id = c.vec_id, q
@@ -1307,35 +1291,23 @@ def oracle_sql() -> dict[str, str]:
         "marked_sections": f"""
             SELECT {_ID} AS conv_id,
                    'pre ' || text || '  a<b>&amp; ' || {_ID} ||
-                   ' mid ok post' AS doc
-            FROM documents""",
-        "ms_ignore": f"""
-            SELECT {_ID} AS conv_id,
-                   CAST(2 AS BIGINT) AS n_events,
-                   'AB' || {_ID} AS doc
+                   ' mid ok post' AS marked_doc,
+                   CAST(2 AS BIGINT) AS ignored_n_events,
+                   'AB' || {_ID} AS ignored_doc
             FROM documents""",
         "empty_element_tags": f"""
             SELECT {_ID} AS conv_id,
                    'r' || {_ID} || ',/r' || {_ID} || ',p,/p,~' AS tags
-            FROM documents""",
-        "encode_numeric": f"""
-            SELECT doc_id,
-                   '&#x3C;' || text || '&#x3E; &#x26; &#x22;q&#x22; '
-                   || {_ID} AS encoded
             FROM documents""",
         "skipped_text": f"""
             SELECT {_ID} AS conv_id, 0 AS seq, 'b' AS tagname,
                    't0 ' || text || ' ' AS skipped_text FROM documents
             UNION ALL
             SELECT {_ID}, 1, 'a', 'mid</b> ' FROM documents""",
-        "report_tags": f"""
-            SELECT {_ID} AS conv_id, 'a,/a,img' AS tags
+        "handler_filters": f"""
+            SELECT {_ID} AS conv_id, 'a,/a,img' AS tags,
+                   'b:A,/b:B' AS false_handler_trace
             FROM documents""",
-        "false_handler": f"""
-            SELECT {_ID} AS conv_id, 0 AS seq, 'b' AS tag,
-                   'A' AS skipped_text FROM documents
-            UNION ALL
-            SELECT {_ID}, 1, '/b', 'B' FROM documents""",
         "get_phrase": f"""
             SELECT {_ID} AS conv_id,
                    'P1 bold & ' ||
@@ -1429,6 +1401,4 @@ def oracle_sql() -> dict[str, str]:
                                                AS BIGINT))) AS i
                   FROM documents)""",
     }
-    # the star variant must satisfy the identical contract
-    out["dedup_components_star"] = out["dedup_components"]
     return out
