@@ -339,6 +339,33 @@ def _q_lsh_pairs(spark, sf_dir):
                                max_bucket=1_000_000)
 
 
+#: planted passage fixture: doc_id % 3 == 0 rows share one 8-word
+#: passage (cross-document repetition), % 3 == 1 rows carry a
+#: passage repeated twice WITHIN the row (and across rows), % 3 == 2
+#: rows get a unique tail — natural base-text repeats participate
+#: too, since the oracle rebuilds the whole computation
+_T_PASSAGE = (
+    "text || CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN ' alpha beta gamma delta epsilon zeta eta theta' "
+    "WHEN 1 THEN ' rep one two three four five"
+    " rep one two three four five' "
+    "ELSE ' tail' || CAST(doc_id AS VARCHAR) END")
+
+
+def _q_passage_dedup(spark, sf_dir):
+    """Passage-level dedup (Lee et al. 2022 class): word-5-shingle
+    frequency >= 2 anywhere in the corpus -> merged per-doc word
+    spans; the oracle rebuilds shingling, corpus-wide frequency,
+    and the gaps-and-islands span merge."""
+    from html_parser_spark.operators.dedup import passage_dup_spans
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_T_PASSAGE.replace("AS VARCHAR", "AS STRING"))
+        .alias("text"))
+    return passage_dup_spans(planted)
+
+
 def _q_simhash(spark, sf_dir):
     from html_parser_spark.operators.dedup import simhash
     return simhash(_docs(spark, sf_dir))
@@ -470,6 +497,40 @@ def _q_dedup_corpus(spark, sf_dir):
                .filter(~F.col("is_canonical"))
                .select(F.col("id").alias("doc_id")))
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+def _q_curate_corpus(spark, sf_dir):
+    """End-to-end curation pipeline as ONE relational query — the
+    composed job of scripts/run_curation.py: fused tokenize+extract
+    -> Gopher quality gate (min_words=10) -> language gate (keep
+    'en') -> MinHash-LSH near-dup removal keeping one canonical doc
+    per cluster. The oracle rebuilds every stage (extraction closed
+    form, Gopher features + rules, char-gram lang scoring, shingle/
+    signature/band/CC dedup), proving the stages compose
+    relationally — each is also verified standalone by its own
+    driver query."""
+    from html_parser_spark.config import EXTRACT_CONFIG
+    from html_parser_spark.operators import dedup, textstats
+    from html_parser_spark.operators.extract import extract_text
+
+    ex = extract_text(_tr(spark, sf_dir), EXTRACT_CONFIG).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("trimmed_text").alias("text"))
+    q = textstats.gopher_quality(ex, ["doc_id"], min_words=10)
+    step2 = ex.join(q.filter("passes_gopher").select("doc_id"),
+                    "doc_id", "left_semi")
+    lang = textstats.lang_id(step2, ["doc_id"])
+    step3 = step2.join(
+        lang.filter(F.col("lang_pred") == "en").select("doc_id"),
+        "doc_id", "left_semi")
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(step3, num_hashes=8),
+        num_hashes=8, band_size=2, max_bucket=1_000_000)
+    dropped = (dedup.dedup_canonical(pairs)
+               .filter(~F.col("is_canonical"))
+               .select(F.col("id").alias("doc_id")))
+    return (step3.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", F.col("text").alias("curated_text")))
 
 
 def _q_dedup_components(spark, sf_dir):
@@ -750,7 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
+        "passage_dedup": _q_passage_dedup,
         "dedup_corpus": _q_dedup_corpus,
+        "curate_corpus": _q_curate_corpus,
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
@@ -891,6 +954,112 @@ def _lang_id_oracle() -> str:
         FROM b"""
 
 
+def _curate_corpus_oracle() -> str:
+    """DuckDB twin of the COMPOSED curation pipeline: extraction
+    closed form -> Gopher features + rule conjunction (min_words=10)
+    -> char-gram lang scoring (keep 'en') -> trigram-shingle MinHash
+    signatures -> LSH bands -> recursive-CTE components -> keep the
+    min-id canonical per cluster. Every stage re-derived."""
+    from html_parser_spark.operators.textstats import (
+        CJK_SCRIPT_RANGES, LANG_TRIGRAMS)
+
+    score_cols = []
+    for lang, tris in LANG_TRIGRAMS.items():
+        terms = " + ".join(
+            f"(length(lt) - length(replace(lt, '{tri}', ''))) / {len(tri)}"
+            for tri in tris)
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(LANG_TRIGRAMS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    fb = " ".join(
+        f"WHEN length(regexp_replace(lt, '[^{rng}]', '', 'g')) > 0 "
+        f"THEN '{lang}'" for lang, rng in CJK_SCRIPT_RANGES)
+    aggs = ", ".join(f"min(md5(s || '#{i}')) AS h{i}" for i in range(8))
+    return f"""
+        WITH RECURSIVE ex AS MATERIALIZED (
+          SELECT doc_id,
+                 'Doc & ' || {_ID} || ' ' ||
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                 ' <link> pic ' || {_ID} AS text
+          FROM documents),
+        gw AS (SELECT doc_id, text,
+                      regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM ex),
+        gq AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 round(list_sum(list_transform(w,
+                       x -> CAST(length(x) AS DOUBLE))) / len(w), 3)
+                   AS mean_word_len,
+                 round(((length(text)
+                         - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)
+                       / len(w), 3) AS symbol_ratio,
+                 round(CAST(len(list_filter(w,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(w), 3) AS alpha_word_ratio,
+                 len(list_filter(w,
+                     x -> list_contains({_STOPLIST}, x)))
+                   AS n_stopwords
+               FROM gw),
+        step2 AS MATERIALIZED (SELECT ex.doc_id, ex.text
+                  FROM ex JOIN gq USING (doc_id)
+                  WHERE gq.n_words >= 10 AND gq.n_words <= 100000
+                    AND gq.mean_word_len >= 3.0
+                    AND gq.mean_word_len <= 10.0
+                    AND gq.symbol_ratio <= 0.1
+                    AND gq.alpha_word_ratio >= 0.8
+                    AND gq.n_stopwords >= 2),
+        lsc AS (SELECT doc_id, {", ".join(score_cols)}, lt
+                FROM (SELECT doc_id, lower(text) AS lt FROM step2)),
+        lb AS (SELECT doc_id, {best} AS best, * FROM lsc),
+        lp AS (SELECT doc_id,
+                 CASE WHEN best <= 0 THEN (CASE {fb} ELSE 'other' END)
+                      {pred}
+                      ELSE 'other' END AS lang_pred
+               FROM lb),
+        -- MATERIALIZED hints: under WITH RECURSIVE, DuckDB inlines
+        -- multiply-referenced CTEs, re-evaluating the expensive
+        -- lang-scoring/signature stages up to 8x (bands reads sig
+        -- 4x, cand reads bands 2x)
+        step3 AS MATERIALIZED (SELECT step2.doc_id, step2.text
+                  FROM step2 JOIN lp USING (doc_id)
+                  WHERE lp.lang_pred = 'en'),
+        shing AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(w)-1),
+                   i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM step3)),
+        sig AS MATERIALIZED (SELECT doc_id, {aggs}
+                             FROM shing GROUP BY doc_id),
+        bands AS MATERIALIZED (
+          SELECT doc_id, 0 AS band_idx, h0||'|'||h1 AS band_key
+            FROM sig
+          UNION ALL SELECT doc_id, 1, h2||'|'||h3 FROM sig
+          UNION ALL SELECT doc_id, 2, h4||'|'||h5 FROM sig
+          UNION ALL SELECT doc_id, 3, h6||'|'||h7 FROM sig),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        reach(u, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.label FROM edges e JOIN reach r
+            ON e.v = r.u),
+        comp AS (SELECT u AS id, min(label) AS component
+                 FROM reach GROUP BY u)
+        SELECT doc_id, text AS curated_text FROM step3
+        WHERE doc_id NOT IN
+          (SELECT id FROM comp WHERE id <> component)"""
+
+
 def _rewritten_wrap_expr() -> str:
     """WRAP_SQL_EXPR with link values absolutized against
     https://ex.com/ — the closed form of the hrefsub rewrite."""
@@ -997,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
                                  AS w
                         FROM documents))""",
         "lang_id": _lang_id_oracle(),
+        "curate_corpus": _curate_corpus_oracle(),
         "normalize_text": """
             SELECT doc_id,
                    lower(trim(regexp_replace(nfc_normalize(text),
@@ -1187,6 +1357,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS id, min(label) AS component_minlabel,
                    min(label) AS component_star
             FROM reach GROUP BY u""",
+        "passage_dedup": f"""
+            WITH d AS (SELECT doc_id, {_T_PASSAGE} AS text
+                       FROM documents),
+            w AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS ws
+                  FROM d),
+            sh0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(ws) - 4),
+                       i -> {{'pos': i,
+                              's': array_to_string(ws[i+1:i+5], ' ')}}))
+                       AS u
+              FROM w WHERE len(ws) >= 5),
+            sh AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.s AS s
+                   FROM sh0),
+            freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, pos FROM sh
+                    WHERE s IN (SELECT s FROM freq)),
+            isl AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 5
+                            THEN 0 ELSE 1 END AS brk
+                    FROM dup),
+            grp AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS g
+                    FROM isl)
+            SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) + 4 AS INT) AS span_end,
+                   CAST(max(pos) + 5 - min(pos) AS INT) AS n_words,
+                   count(*) AS n_dup_shingles
+            FROM grp GROUP BY doc_id, g""",
         "simhash_pairs": f"""
             WITH {_SIMHASH64_CTE},
             bands AS (

@@ -535,3 +535,57 @@ def embedding_near_dup(df: DataFrame, key_col: str = "vec_id",
                 F.round(sim, 3).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def passage_dup_spans(df: DataFrame, key_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      min_count: int = 2) -> DataFrame:
+    """Passage-level (substring) dedup: per-document spans of text
+    whose word ``k``-shingles repeat >= ``min_count`` times anywhere
+    in the corpus — the standard tier after document-level dedup
+    (the repeated-passage removal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", done with bucketed
+    shingle-hash frequencies instead of a suffix array, which matches
+    this engine's shuffle-bounded patterns).
+
+    Returns (key, span_start, span_end, n_words, n_dup_shingles):
+    word-index spans (0-based, inclusive) built by merging
+    overlapping/adjacent duplicated shingle positions (gaps-and-
+    islands over pos with break at gap > k).
+
+    Scale shape (the whole point vs a suffix array): shingle
+    frequency is a partial-aggregated groupBy on a 64-bit xxhash —
+    the Zipf head of repeated passages is absorbed map-side; the
+    duplicated-shingle set joins back by hash equi-join (both sides
+    shuffle-partitioned on the hash, nothing corpus-sized is
+    broadcast); the island merge windows per document, so its state
+    is bounded by single-document length. Every stage is pure-JVM
+    codegen — no Python in the path.
+    """
+    from pyspark.sql import Window
+
+    words = words_col(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))))
+    hashed = (df.filter(F.size(words) >= k)
+              .select(F.col(key_col).alias("key"),
+                      F.posexplode(shingles).alias("pos", "h")))
+    dup_h = (hashed.groupBy("h")
+             .agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= min_count)
+             .select("h"))
+    dup = hashed.join(dup_h, "h").select("key", "pos")
+    w = Window.partitionBy("key").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1)
+    grp = (dup.withColumn("brk", brk)
+           .withColumn("g", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grp.groupBy("key", "g")
+            .agg(F.min("pos").cast("int").alias("span_start"),
+                 (F.max("pos") + k - 1).cast("int").alias("span_end"),
+                 (F.max("pos") + k - F.min("pos")).cast("int")
+                 .alias("n_words"),
+                 F.count("*").alias("n_dup_shingles"))
+            .select(F.col("key").alias(key_col), "span_start",
+                    "span_end", "n_words", "n_dup_shingles"))

@@ -73,6 +73,35 @@ def events_stream(stream_df: DataFrame,
     return events(stream_df, cfg, fields=fields)
 
 
+def main_content_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """Boilerplate-stripped main-content assembly over a stream —
+    the batch operator verbatim (per-turn Arrow fan-out, stateless,
+    append mode)."""
+    from html_parser_spark.operators.content import main_content
+    return main_content(stream_df, **kw)
+
+
+def content_blocks_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """Per-block content/boilerplate classification over a stream —
+    the batch operator verbatim (stateless, append mode)."""
+    from html_parser_spark.operators.content import content_blocks
+    return content_blocks(stream_df, **kw)
+
+
+def pdf_text_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """PDF text extraction over a stream of binary payloads — the
+    batch Arrow codec stage verbatim (stateless map, append mode)."""
+    from html_parser_spark.operators.pdf import extract_pdf_text
+    return extract_pdf_text(stream_df, **kw)
+
+
+def media_meta_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """Image-header metadata decode over a stream of binary payloads
+    — the batch Arrow codec stage verbatim (stateless, append)."""
+    from html_parser_spark.operators.media import decode_image_meta
+    return decode_image_meta(stream_df, **kw)
+
+
 def dedup_exact_stream(stream_df: DataFrame,
                        text_col: str = "text",
                        watermark: str = "10 minutes",

@@ -693,6 +693,35 @@ def test_dedup_canonical_star_long_chain(spark):
     assert [r.id for r in out if r.is_canonical] == [0]
 
 
+def test_passage_dup_spans(spark):
+    """Lee-et-al-class passage dedup: a 9-word passage shared by 3
+    docs is found at each doc's word offset; adjacent duplicated
+    shingles merge into ONE span; a doc with no repeats emits no
+    rows; a within-doc repeat is caught too."""
+    P = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "alpha beta gamma " + P + " delta epsilon"),
+        (1, "uno dos tres cuatro " + P + " cinco"),
+        (2, "nothing repeated here at all ever truly once"),
+        (3, "w1 w2 w3 " + "r1 r2 r3 r4 r5 " * 2 + "w4 w5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.span_start, r.span_end, r.n_words,
+                      r.n_dup_shingles)
+           for r in dedup.passage_dup_spans(df).collect()}
+    # 9-word passage -> 5 shingles of 5 words, one merged span
+    assert out[0] == (3, 11, 9, 5)
+    assert out[1] == (4, 12, 9, 5)
+    assert 2 not in out
+    # within-doc repeat: both occurrences of r1..r5 live in one
+    # merged span (positions 3..12 overlap within gap k)
+    assert out[3][0] == 3 and out[3][1] >= 12
+    # pure JVM: no Python eval in the plan
+    plan = dedup.passage_dup_spans(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
 def test_cosine_topk_bounded_plan_and_values(spark, vecs):
     """Multi-query top-k: no Window/global sort of the scored corpus —
     the per-partition reduction bounds the exchange; values exact."""

@@ -369,3 +369,90 @@ def test_minhash_signatures_stream_match_batch(spark, tmp_path):
     exp = sorted(map(tuple, minhash_signatures(
         docs, num_hashes=8).collect()))
     assert got == exp and len(got) == 12
+
+
+def test_main_content_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for the round-3 content operators:
+    main_content and content_blocks run verbatim over a stream (the
+    per-turn Arrow fan-out is stateless, append mode)."""
+    from html_parser_spark.operators.content import (
+        content_blocks, main_content)
+    from html_parser_spark.streaming import extract_stream as es
+
+    tr = spark.createDataFrame(
+        [("c1", i, "user",
+          "<nav>home | about | contact</nav>"
+          f"<p>real article text with many words number {i} plus "
+          "several more content words in this paragraph</p>"
+          '<div><a href="/x">l1</a> <a href="/y">l2</a></div>', None)
+         for i in range(8)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    src = str(tmp_path / "r3_src")
+    tr.write.parquet(src)
+    stream = es.read_transcript_stream(spark, src, tr.schema)
+
+    qm = (es.main_content_stream(stream)
+          .writeStream.format("memory").queryName("mc_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qb = (es.content_blocks_stream(stream)
+          .writeStream.format("memory").queryName("cb_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qm.awaitTermination(120)
+    qb.awaitTermination(120)
+
+    got_m = sorted(map(tuple, spark.sql(
+        "SELECT * FROM mc_stream").collect()))
+    exp_m = sorted(map(tuple, main_content(tr).collect()))
+    assert got_m == exp_m and len(got_m) == 8
+    got_b = sorted(map(tuple, spark.sql(
+        "SELECT * FROM cb_stream").collect()))
+    exp_b = sorted(map(tuple, content_blocks(tr).collect()))
+    assert got_b == exp_b and len(got_b) > 8  # >1 block per turn
+
+
+def test_pdf_and_media_stream_match_batch(spark, tmp_path):
+    """Stream==batch parity for the binary codec stages: PDF text
+    extraction and image-header metadata decode run verbatim over a
+    stream of binary payloads (stateless Arrow maps)."""
+    from html_parser_spark.operators.media import (
+        decode_image_meta, synth_image_payloads)
+    from html_parser_spark.operators.pdf import (
+        extract_pdf_text, synth_pdf_payloads)
+    from html_parser_spark.streaming import extract_stream as es
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i}") for i in range(6)],
+        "doc_id long, text string")
+
+    pdf_src = str(tmp_path / "pdf_src")
+    synth_pdf_payloads(docs).write.parquet(pdf_src)
+    img_src = str(tmp_path / "img_src")
+    synth_image_payloads(docs).write.parquet(img_src)
+    bschema = "doc_id long, payload binary"
+
+    qp = (es.pdf_text_stream(
+            spark.readStream.schema(bschema).parquet(pdf_src))
+          .writeStream.format("memory").queryName("pdf_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qi = (es.media_meta_stream(
+            spark.readStream.schema(bschema).parquet(img_src))
+          .writeStream.format("memory").queryName("img_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qp.awaitTermination(120)
+    qi.awaitTermination(120)
+
+    got_p = sorted(map(tuple, spark.sql(
+        "SELECT * FROM pdf_stream").collect()))
+    exp_p = sorted(map(tuple,
+                       extract_pdf_text(synth_pdf_payloads(docs))
+                       .collect()))
+    assert got_p == exp_p and len(got_p) == 6
+    assert all(r[1] == 2 for r in got_p)  # n_pages from the fixture
+
+    got_i = sorted(map(tuple, spark.sql(
+        "SELECT * FROM img_stream").collect()))
+    exp_i = sorted(map(tuple,
+                       decode_image_meta(synth_image_payloads(docs))
+                       .collect()))
+    assert got_i == exp_i and len(got_i) == 6
