@@ -262,9 +262,12 @@ def _q_canonical_urls(spark, sf_dir):
 
 def _q_term_freq(spark, sf_dir):
     """Corpus vocabulary stats over the documents table; DuckDB
-    re-derives via unnest + group-by."""
+    re-derives via unnest + group-by. approx_docs=False here: the
+    oracle checks the exact path; the HLL scale default is
+    plan-verified in pytest (partial-aggregating sketch)."""
     from html_parser_spark.operators.textstats import term_freq
-    out = term_freq(_docs(spark, sf_dir), min_count=2)
+    out = term_freq(_docs(spark, sf_dir), min_count=2,
+                    approx_docs=False)
     return out.select("token",
                       F.col("n_occurrences").cast("long")
                       .alias("n_occurrences"),

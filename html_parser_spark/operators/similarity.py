@@ -170,6 +170,52 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
         "_list", F.array_position(sims, F.array_max(sims)).cast("int"))
 
 
+def kmeans_centroids(df: DataFrame, k: int = 4, rounds: int = 10,
+                     vec_col: str = "embedding",
+                     key_col: str = "vec_id",
+                     tol: float = 1e-6) -> list[list[float]]:
+    """Bounded-rounds Lloyd's k-means over cosine similarity — the
+    in-engine trainer for :func:`ivf_neighbors`' coarse quantizer,
+    so the IVF index is self-contained (FAISS trains the same way;
+    public algorithm).
+
+    Deterministic init: the first ``k`` vectors in ``key_col`` order
+    (no RNG — reproducible across runs and engines). Each round is
+    the same shape as the connected-components loop: centroids are
+    K×dim literals folded into a one-stage JVM assignment
+    (:func:`ivf_assign`, shuffle-free), then ONE partial-aggregating
+    groupBy computes per-cluster element means; only the K×dim
+    centroid matrix ever reaches the driver. At 100 TB: train on a
+    sample (standard IVF practice — pass ``df.sample(...)``), then
+    assign the full corpus once.
+
+    Stops early when no centroid moves more than ``tol`` in any
+    coordinate. Empty clusters keep their previous centroid.
+    """
+    first = (df.orderBy(key_col).limit(k)
+             .select(F.col(vec_col).alias("v")).collect())
+    cents = [[float(x) for x in r.v] for r in first]
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors to init {k} centroids")
+    dim = len(cents[0])
+    vecs = df.select(F.col(vec_col).alias("v"))
+    for _ in range(rounds):
+        assigned = ivf_assign(vecs, cents, "v")
+        rows = (assigned.groupBy("_list")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                       for i in range(dim)])
+                .collect())
+        new = list(cents)
+        for r in rows:
+            new[r._list - 1] = [float(r[f"m{i}"]) for i in range(dim)]
+        moved = max(abs(a - b) for nc, oc in zip(new, cents)
+                    for a, b in zip(nc, oc))
+        cents = new
+        if moved <= tol:
+            break
+    return cents
+
+
 def ivf_neighbors(df: DataFrame, query_df: DataFrame,
                   centroids: list[list[float]], n_probe: int = 1,
                   key_col: str = "vec_id", vec_col: str = "embedding",
@@ -181,9 +227,9 @@ def ivf_neighbors(df: DataFrame, query_df: DataFrame,
     IVF (public knowledge) expressed relationally: assignment is a
     narrow projection, the probe join is broadcast-queries ×
     ``array_contains`` on the list id, so the corpus is scanned once
-    and never shuffled. Centroid TRAINING (k-means) is an offline
-    deployment step — the operator takes the trained centroids as
-    data, the way a production IVF index does.
+    and never shuffled. The operator takes trained centroids as data
+    the way a production IVF index does; train them in-engine with
+    :func:`kmeans_centroids` (or any offline trainer).
 
     Recall < 1 by construction (bounded by n_probe/K); raise
     ``n_probe`` for recall, like LSH's multi-table union.

@@ -342,7 +342,9 @@ def host_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 def term_freq(df: DataFrame, key_col: str = "doc_id",
               text_col: str = "text",
-              min_count: int = 1) -> DataFrame:
+              min_count: int = 1,
+              approx_docs: bool = True,
+              rsd: float = 0.05) -> DataFrame:
     """Corpus vocabulary statistics: (token, n_occurrences, n_docs)
     over lowercased whitespace tokens — the input to stopword
     discovery, vocab pruning, and tokenizer training set sizing.
@@ -351,12 +353,22 @@ def term_freq(df: DataFrame, key_col: str = "doc_id",
     map-side, so the Zipf head ('the', ...) arrives at its reducer as
     combined partials, not raw rows — the same skew argument as
     host_counts.
+
+    ``approx_docs`` (the 100 TB default) counts n_docs with
+    HyperLogLog++ (``approx_count_distinct``, relative error
+    ``rsd``): the sketch partial-aggregates to a fixed-size state per
+    token, so a head token like 'the' — which appears in nearly every
+    document — costs its reducer one mergeable sketch instead of an
+    exact distinct-set of ~all doc ids. ``approx_docs=False`` keeps
+    the exact count for oracle verification and small corpora.
     """
     tok = F.explode(words_col(F.lower(F.col(text_col)))).alias("token")
+    n_docs = (F.approx_count_distinct("_doc", rsd) if approx_docs
+              else F.countDistinct("_doc"))
     out = (df.select(F.col(key_col).alias("_doc"), tok)
            .groupBy("token")
            .agg(F.count("*").alias("n_occurrences"),
-                F.countDistinct("_doc").alias("n_docs")))
+                n_docs.alias("n_docs")))
     return out.filter(F.col("n_occurrences") >= min_count)
 
 

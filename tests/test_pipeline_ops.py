@@ -963,10 +963,22 @@ def test_term_freq(spark):
         [(0, "the cat and The dog"), (1, "the dog runs")],
         "doc_id long, text string")
     got = {r.token: (r.n_occurrences, r.n_docs)
-           for r in textstats.term_freq(df).collect()}
+           for r in textstats.term_freq(df, approx_docs=False).collect()}
     assert got["the"] == (3, 2)   # lowercased fold merges 'The'
     assert got["dog"] == (2, 2)
     assert got["cat"] == (1, 1)
+    # HLL default agrees on tiny cardinalities and its plan partial-
+    # aggregates a fixed-size sketch (the 100 TB head-token shape):
+    # no exact distinct expand, partial_approx_count_distinct on the
+    # map side before the exchange
+    approx = textstats.term_freq(df)
+    got_a = {r.token: (r.n_occurrences, r.n_docs)
+             for r in approx.collect()}
+    assert got_a == got
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan
+    assert "partial_approx_count_distinct" in plan  # map-side sketch
+    assert "count(distinct" not in plan.lower()
 
 
 def test_gopher_quality_rules(spark):
@@ -1033,6 +1045,41 @@ def test_ivf_ann(spark, vecs):
     assert got1 <= got2 <= exact
     assert {0, 1} <= got1          # own list holds the near-dup
     assert 2 in got2 and 3 in got2  # full probe sweep = exact lists
+
+
+def test_kmeans_centroids_train_ivf(spark):
+    """In-engine Lloyd's k-means: three planted clusters around the
+    axes converge to their means in a few rounds from deterministic
+    first-k init, empty clusters keep their previous centroid, and
+    the trained centroids drive ivf_neighbors end-to-end (the index
+    is self-contained)."""
+    import itertools
+
+    base = {1: [1.0, 0.0, 0.0], 2: [0.0, 1.0, 0.0], 3: [0.0, 0.0, 1.0]}
+    rows = []
+    vid = 0
+    # interleave clusters so first-3 init sees one point of each
+    for jit, c in itertools.product((0.0, 0.05, -0.05, 0.1), (1, 2, 3)):
+        v = [x + (jit if x > 0 else jit / 2) for x in base[c]]
+        rows.append((vid, v))
+        vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = similarity.kmeans_centroids(vecs, k=3, rounds=8)
+    assert len(cents) == 3 and all(len(c) == 3 for c in cents)
+    # each trained centroid is cosine-closest to exactly one axis
+    axes = {tuple(a): False for a in base.values()}
+    for c in cents:
+        best = max(axes, key=lambda a: sum(x * y for x, y in zip(a, c)))
+        assert not axes[best], "two centroids collapsed onto one axis"
+        axes[best] = True
+    # trained quantizer routes a cluster-1 query to cluster-1 members
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {r.vec_id for r in similarity.ivf_neighbors(
+        vecs, q, cents, n_probe=1, threshold=-1.0).collect()}
+    cluster1 = {r for r in range(12) if r % 3 == 0}
+    assert cluster1 <= got
 
 
 def test_tfidf_topk(spark):
