@@ -358,15 +358,20 @@ _T_PASSAGE = (
 def _q_passage_dedup(spark, sf_dir):
     """Passage-level dedup (Lee et al. 2022 class): word-5-shingle
     frequency >= 2 anywhere in the corpus -> merged per-doc word
-    spans; the oracle rebuilds shingling, corpus-wide frequency,
-    and the gaps-and-islands span merge."""
-    from html_parser_spark.operators.dedup import passage_dup_spans
+    spans, each row carrying the doc's scrubbed text (all duplicated
+    spans removed — the removal tail, remove_dup_passages); the
+    oracle rebuilds shingling, corpus-wide frequency, the gaps-and-
+    islands span merge, AND the scrub."""
+    from html_parser_spark.operators.dedup import (
+        passage_dup_spans, remove_dup_passages)
 
     planted = _docs(spark, sf_dir).select(
         "doc_id",
         F.expr(_T_PASSAGE.replace("AS VARCHAR", "AS STRING"))
         .alias("text"))
-    return passage_dup_spans(planted)
+    spans = passage_dup_spans(planted)
+    scrubbed = remove_dup_passages(planted, spans)
+    return spans.join(scrubbed, "doc_id")
 
 
 def _q_simhash(spark, sf_dir):
@@ -1386,12 +1391,33 @@ def oracle_sql() -> dict[str, str]:
             grp AS (SELECT doc_id, pos,
                        sum(brk) OVER (PARTITION BY doc_id
                                       ORDER BY pos) AS g
-                    FROM isl)
-            SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
-                   CAST(max(pos) + 4 AS INT) AS span_end,
-                   CAST(max(pos) + 5 - min(pos) AS INT) AS n_words,
-                   count(*) AS n_dup_shingles
-            FROM grp GROUP BY doc_id, g""",
+                    FROM isl),
+            spansq AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                     CAST(max(pos) + 4 AS INT) AS span_end,
+                     CAST(max(pos) + 5 - min(pos) AS INT) AS n_words,
+                     count(*) AS n_dup_shingles
+              FROM grp GROUP BY doc_id, g),
+            wpos AS (
+              SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(0, len(ws)),
+                             i -> {{'pos': i, 'tok': ws[i+1]}})) AS u
+                    FROM w)),
+            kept AS (
+              SELECT wp.doc_id, wp.pos, wp.tok FROM wpos wp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spansq s
+                WHERE s.doc_id = wp.doc_id
+                  AND wp.pos BETWEEN s.span_start AND s.span_end)),
+            scrub AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+              FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, s.span_start, s.span_end, s.n_words,
+                   s.n_dup_shingles,
+                   coalesce(sc.scrubbed_text, '') AS scrubbed_text
+            FROM spansq s LEFT JOIN scrub sc ON s.doc_id = sc.doc_id""",
         "simhash_pairs": f"""
             WITH {_SIMHASH64_CTE},
             bands AS (

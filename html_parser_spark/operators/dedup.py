@@ -589,3 +589,38 @@ def passage_dup_spans(df: DataFrame, key_col: str = "doc_id",
                  F.count("*").alias("n_dup_shingles"))
             .select(F.col("key").alias(key_col), "span_start",
                     "span_end", "n_words", "n_dup_shingles"))
+
+
+def remove_dup_passages(df: DataFrame, spans: DataFrame | None = None,
+                        key_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        min_count: int = 2) -> DataFrame:
+    """The removal tail of passage-level dedup: drop every word that
+    any duplicated span (:func:`passage_dup_spans`) covers and
+    re-join the survivors with single spaces. Returns
+    (key, scrubbed_text) for every input row — rows with no spans
+    pass through with whitespace normalized the same way, so the
+    output column is uniformly defined.
+
+    Scale shape: ONE equi-join of the corpus against the (small,
+    span-grained) spans table on the doc key, then a per-row JVM
+    lambda over (words x that doc's spans) — spans-per-doc is
+    bounded by doc length, nothing corpus-sized is broadcast, and no
+    Python enters the path.
+    """
+    if spans is None:
+        spans = passage_dup_spans(df, key_col, text_col, k, min_count)
+    per_doc = spans.groupBy(key_col).agg(
+        F.collect_list(F.struct("span_start", "span_end"))
+        .alias("_spans"))
+    words = words_col(F.col(text_col))
+    joined = df.select(key_col, text_col).join(per_doc, key_col, "left")
+    sp = F.coalesce(F.col("_spans"),
+                    F.array().cast(
+                        "array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            sp, lambda s: (i >= s.span_start) & (i <= s.span_end)))
+    return joined.select(
+        key_col, F.concat_ws(" ", kept).alias("scrubbed_text"))

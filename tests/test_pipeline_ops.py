@@ -722,6 +722,32 @@ def test_passage_dup_spans(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan
 
 
+def test_remove_dup_passages(spark):
+    """Removal tail: duplicated spans are scrubbed from the text,
+    span-free rows pass through whitespace-normalized, and the path
+    stays pure JVM."""
+    P = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "alpha beta gamma " + P + " delta epsilon"),
+        (1, "uno dos tres cuatro " + P + " cinco"),
+        (2, "nothing repeated here at all ever truly once"),
+        (3, "  spaced   text  " + P),
+        (4, P),                       # doc that is ONLY the passage
+        (5, P),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.scrubbed_text
+           for r in dedup.remove_dup_passages(df).collect()}
+    assert out[0] == "alpha beta gamma delta epsilon"
+    assert out[1] == "uno dos tres cuatro cinco"
+    assert out[2] == "nothing repeated here at all ever truly once"
+    assert out[3] == "spaced text"
+    assert out[4] == "" and out[5] == ""   # fully-duplicated doc
+    plan = dedup.remove_dup_passages(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_cosine_topk_bounded_plan_and_values(spark, vecs):
     """Multi-query top-k: no Window/global sort of the scored corpus —
     the per-partition reduction bounds the exchange; values exact."""
