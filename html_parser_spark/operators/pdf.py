@@ -12,7 +12,12 @@ What is REAL here (all from the public PDF 1.7 spec, ISO 32000-1):
   operators ``Td TD Tm T*`` with a y-tracking layout rule that
   renders line structure as newlines (vertical moves start a new
   line, pure-kerning TJ offsets do not);
-* page counting from ``/Type /Page`` objects.
+* a page-tree walk (``/Root`` → ``/Pages`` → ``/Kids``, ISO 32000-1
+  §7.7.3): page text is ordered by visual page order, each page's
+  ``/Contents`` reference(s) resolved through the object map, and
+  indirect stream lengths (``/Length N 0 R``) resolved to the
+  referenced integer object. Files with no intact catalog fall back
+  to object-id order over all content streams.
 
 What is deployment scope (documented, same pattern as JPEG pixel
 decode): non-Flate filters (DCT/JBIG2/CCITT), font-encoded /CID text
@@ -296,65 +301,155 @@ def _content_text(stream: bytes) -> str:
     return "".join(out)
 
 
-def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
-    """Whole-file parse: (n_pages, text). Pages found by /Type /Page
-    objects; content streams inflated when /FlateDecode, taken raw
-    when unfiltered, skipped (empty text) for unsupported filters.
-    Never raises.
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 
-    Known limitation (documented, not fixed): page text is ordered by
-    content-stream OBJECT ID, not by the page tree's /Kids order. A
-    real PDF's object ids need not follow page order, so multi-page
-    output can be scrambled relative to visual page order; per-page
-    text itself is correct. Resolving /Contents references from the
-    /Kids walk is the full fix and is out of codec scope for this
-    engine tier (ISO 32000-1 §7.7.3)."""
-    n_pages = 0
-    texts: list[tuple[int, str]] = []
+
+def _object_stream_text(objects: dict[int, bytes],
+                        obj_id: int) -> str | None:
+    """Decode one object's content stream to laid-out text, or None
+    when the object has no usable stream.
+
+    Stream extent (spec §7.3.8.2): slice exactly /Length bytes when
+    the dict gives a direct length — the EOL-delimited fallback
+    mis-parses streams whose DATA ends in 0x0D (the optional CR
+    before 'endstream' swallows a real data byte and the inflate
+    fails; hit by ~1/256 of Flate payloads, caught by the sf0.1
+    oracle sweep). An indirect /Length N 0 R is resolved to the
+    referenced integer object via the object map; only when that
+    object is missing does the EOL-delimited regex fallback run.
+    (?!\\d) makes the direct-length digit run atomic: without it
+    '/Length 60 0 R' backtracks to group '6' and the
+    '(?!\\s+\\d+\\s+R)' lookahead passes, slicing the stream to a
+    bogus 6-byte length instead of resolving the reference."""
+    body = objects.get(obj_id)
+    if body is None:
+        return None
+    head = body.split(b"stream", 1)[0]
+    sb = re.search(rb"stream\r?\n", body)
+    if not sb:
+        return None
+    mlen = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
+    length: int | None = int(mlen.group(1)) if mlen else None
+    if length is None:
+        mref = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        if mref:
+            ref_body = objects.get(int(mref.group(1)))
+            if ref_body is not None:
+                mnum = re.match(rb"\s*(\d+)", ref_body)
+                if mnum:
+                    length = int(mnum.group(1))
+    if length is not None:
+        data = body[sb.end():sb.end() + length]
+    else:  # no resolvable /Length: EOL-delimited fallback
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            return None
+        data = sm.group(1)
+    if b"/FlateDecode" in head:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    elif re.search(rb"/Filter\b", head):
+        return None  # unsupported filter: deployment codec scope
+    return _content_text(data)
+
+
+def _walk_page_tree(objects: dict[int, bytes], root: int) -> list[int]:
+    """Iterative /Kids walk from the /Pages root (spec §7.7.3):
+    returns leaf /Type /Page object ids in visual page order.
+    Explicit stack (no recursion) so a deep or degenerate tree can't
+    blow the interpreter stack; a seen-set guards reference cycles."""
+    order: list[int] = []
+    seen: set[int] = set()
+    stack = [root]
+    while stack:
+        oid = stack.pop()
+        if oid in seen:
+            continue
+        seen.add(oid)
+        body = objects.get(oid)
+        if body is None:
+            continue
+        head = body.split(b"stream", 1)[0]
+        if re.search(rb"/Type\s*/Page\b(?!s)", head):
+            order.append(oid)
+            continue
+        mk = re.search(rb"/Kids\s*\[(.*?)\]", head, re.S)
+        if mk:
+            kids = [int(r.group(1))
+                    for r in _REF_RE.finditer(mk.group(1))]
+            stack.extend(reversed(kids))  # preserve /Kids order
+    return order
+
+
+def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
+    """Whole-file parse: (n_pages, text). Never raises.
+
+    Pages come from the catalog's page tree (/Root → /Pages → /Kids,
+    spec §7.7.3) walked in /Kids order, so multi-page text follows
+    VISUAL page order even when content-stream object ids are
+    shuffled relative to it; each page's /Contents (single reference
+    or array of references — an array's streams concatenate into one
+    logical stream, §7.8.2) is resolved through the object map.
+    Streams are inflated when /FlateDecode, taken raw when
+    unfiltered, skipped (empty text) for unsupported filters.
+
+    Files with no intact catalog/page tree (linearized fragments,
+    truncation) fall back to the previous behavior: count
+    /Type /Page objects and emit every content stream's text in
+    object-id order. Duplicate object ids (incremental updates,
+    §7.5.6) resolve last-wins — the appended newer version shadows
+    the original, approximating the xref chain without parsing it."""
     try:
+        objects: dict[int, bytes] = {}
         for m in _OBJ_RE.finditer(payload):
-            obj_id = int(m.group(1))
-            body = m.group(2)
+            objects[int(m.group(1))] = m.group(2)
+
+        root = None
+        for oid, body in objects.items():
+            head = body.split(b"stream", 1)[0]
+            if re.search(rb"/Type\s*/Catalog\b", head):
+                mp = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", head)
+                if mp:
+                    root = int(mp.group(1))
+                    break
+
+        page_ids = _walk_page_tree(objects, root) \
+            if root is not None else []
+        if page_ids:
+            texts: list[str] = []
+            for pid in page_ids:
+                head = objects[pid].split(b"stream", 1)[0]
+                mc = re.search(
+                    rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", head)
+                if not mc:
+                    continue
+                parts = [t for r in _REF_RE.finditer(mc.group(1))
+                         if (t := _object_stream_text(
+                             objects, int(r.group(1)))) is not None]
+                if parts:
+                    texts.append("".join(parts))
+            joined = "\n".join(t.strip("\n") for t in texts
+                               if t.strip())
+            return len(page_ids), joined
+
+        # Fallback: no page tree. Count /Type /Page objects; emit all
+        # content streams' text in object-id order.
+        n_pages = 0
+        id_texts: list[tuple[int, str]] = []
+        for oid, body in objects.items():
             head = body.split(b"stream", 1)[0]
             if re.search(rb"/Type\s*/Page\b(?!s)", head):
                 n_pages += 1
                 continue
-            sb = re.search(rb"stream\r?\n", body)
-            if not sb:
-                continue
-            # Slice exactly /Length bytes (spec §7.3.8.2) when the
-            # dict gives a direct length: the EOL-delimited fallback
-            # mis-parses streams whose DATA ends in 0x0D — the
-            # optional CR before 'endstream' swallows a real data
-            # byte and the inflate fails (hit by ~1/256 of Flate
-            # payloads; caught by the sf0.1 oracle sweep).
-            # (?!\d) makes the digit run atomic: without it
-            # '/Length 60 0 R' backtracks to group '6' and the lookahead
-            # '(?!\s+\d+\s+R)' passes, slicing the stream to a bogus
-            # 6-byte length instead of taking the indirect-length
-            # fallback below.
-            mlen = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
-            if mlen:
-                data = body[sb.end():sb.end() + int(mlen.group(1))]
-            else:  # indirect /Length N 0 R: EOL-delimited fallback
-                sm = _STREAM_RE.search(body)
-                if not sm:
-                    continue
-                data = sm.group(1)
-            if b"/FlateDecode" in head:
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error:
-                    continue
-            elif re.search(rb"/Filter\b", head):
-                continue  # unsupported filter: deployment codec scope
-            txt = _content_text(data)
-            if txt.strip():
-                texts.append((obj_id, txt))
+            txt = _object_stream_text(objects, oid)
+            if txt and txt.strip():
+                id_texts.append((oid, txt))
+        joined = "\n".join(t.strip("\n") for _, t in sorted(id_texts))
+        return n_pages, joined
     except Exception:
         return 0, ""
-    joined = "\n".join(t.strip("\n") for _, t in sorted(texts))
-    return n_pages, joined
 
 
 def extract_pdf_text(df: DataFrame, key_col: str = "doc_id",

@@ -958,6 +958,104 @@ def test_pdf_indirect_length_multidigit_objnum():
     assert text == "indirect length works"
 
 
+def _pdf_from_objs(objs: dict[int, bytes]) -> bytes:
+    """Assemble numbered objects into a minimal PDF body (no xref —
+    the parser never reads it; the fallback tests below rely on
+    that)."""
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs.items():
+        out += f"{oid} 0 obj\n".encode() + body + b"\nendobj\n"
+    return bytes(out)
+
+
+def _stream_obj(txt: bytes) -> bytes:
+    """Uncompressed content-stream object showing ``txt``."""
+    data = b"BT (" + txt + b") Tj ET"
+    return (b"<< /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream")
+
+
+def test_pdf_page_order_follows_kids_not_object_ids():
+    """Page text must come out in the page tree's /Kids order even
+    when the content streams' object ids are numbered AGAINST visual
+    page order (regression: output was sorted by content object id,
+    scrambling multi-page text; ISO 32000-1 §7.7.3)."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    # visual page 1 -> content obj 9, visual page 2 -> content obj 4:
+    # object-id order would emit page two first.
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>",
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        9: _stream_obj(b"first page"),
+        4: _stream_obj(b"second page"),
+    })
+    assert extract_pdf_text_bytes(doc) == (2, "first page\nsecond page")
+
+
+def test_pdf_nested_page_tree_and_contents_array():
+    """Intermediate /Pages nodes walk in order; a /Contents ARRAY's
+    streams concatenate into one logical stream (§7.8.2); orphan
+    streams not referenced by any page are excluded."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R 3 0 R] /Count 3 >>",
+        10: b"<< /Type /Pages /Parent 2 0 R /Kids [11 0 R 12 0 R] >>",
+        11: b"<< /Type /Page /Contents [6 0 R 5 0 R] >>",
+        12: b"<< /Type /Page /Contents 7 0 R >>",
+        3: b"<< /Type /Page /Contents 8 0 R >>",
+        6: _stream_obj(b"A-"),
+        5: _stream_obj(b"A-tail"),
+        7: _stream_obj(b"B!"),
+        8: _stream_obj(b"C!"),
+        99: _stream_obj(b"orphan"),
+    })
+    assert extract_pdf_text_bytes(doc) == (3, "A-A-tail\nB!\nC!")
+
+
+def test_pdf_kids_cycle_guard_and_treeless_fallback():
+    """A reference cycle in /Kids terminates; a file with no catalog
+    keeps the legacy behavior (count /Type /Page, object-id order)."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    cyc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [2 0 R 3 0 R] >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"ok"),
+    })
+    assert extract_pdf_text_bytes(cyc) == (1, "ok")
+
+    treeless = _pdf_from_objs({
+        7: b"<< /Type /Page >>",
+        9: _stream_obj(b"second"),
+        8: _stream_obj(b"first"),
+    })
+    assert extract_pdf_text_bytes(treeless) == (1, "first\nsecond")
+
+
+def test_pdf_indirect_length_resolved_via_object_map():
+    """'/Length N 0 R' resolves to the referenced integer object, so
+    stream data CONTAINING the bytes '\\nendstream' survives where
+    the EOL-delimited fallback would truncate at the inner match."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    data = b"BT (a\nendstream b) Tj ET"
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R ] >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: (b"<< /Length 17 0 R >>\nstream\n" + data
+            + b"\nendstream"),
+        17: str(len(data)).encode(),
+    })
+    assert extract_pdf_text_bytes(doc) == (1, "a\nendstream b")
+
+
 def test_canonicalize_urls(spark):
     from html_parser_spark.operators.urls import canonicalize_urls
 
