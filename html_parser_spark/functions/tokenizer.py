@@ -96,6 +96,13 @@ _FAST_STEP = _re.compile(
     f"[{_SP}]*(?:(>)|([^{_SP}>=]+)(?:[{_SP}]*=[{_SP}]*"
     f"(\"[^\"]*\"|'[^']*'|[^\"'{_SP}>][^{_SP}>]*|(?=>)))?)"
 )
+#: the common complete end tag '</name>' with only whitespace before
+#: '>'. For this exact shape the loose FSM (_parse_end: name scan +
+#: skip_until_gt) and the strict_end variant (skip_space + '>') both
+#: produce the identical event, so the fast path needs no strict_end
+#: gate; strict NAMES do change the outcome ('</1foo>' is a comment
+#: there), so it shares the fast_start loose-grammar gate.
+_FAST_END = _re.compile(f"</([^{_SP}>]+)[{_SP}]*>")
 
 
 # ASCII-only case folding: the reference's sv_lower (util.c:13-21)
@@ -141,7 +148,7 @@ class _Emitter:
         "pend_is_cdata", "skipped", "ignoring_element", "ignore_depth",
         "pending_end_tag", "_ignore_tags", "_report_tags",
         "_ignore_elements", "_reported", "_false_events", "_any_filter",
-        "_lower_names",
+        "_lower_names", "_track_pos", "_unbroken",
     )
 
     def __init__(self, doc: str, cfg: ParserConfig):
@@ -174,6 +181,11 @@ class _Emitter:
             else frozenset(cfg.reported_events)
         )
         self._false_events = frozenset(cfg.false_handler_events)
+        # per-emitter constants hoisted out of the per-event dataclass
+        # attribute lookups (report() runs once per event — the
+        # corpus-scale hot path)
+        self._track_pos = cfg.track_positions
+        self._unbroken = cfg.unbroken_text
 
     # -- internals --------------------------------------------------
 
@@ -188,7 +200,9 @@ class _Emitter:
         t0 = tokens[0]
         name = t0 if isinstance(t0, str) else self.doc[t0[0]:t0[1]]
         if self._lower_names:
-            name = ascii_lower(name)
+            # inlined ascii_lower memo hit (the overwhelmingly common
+            # case for the handful of tag names a corpus repeats)
+            name = _LOWER_MEMO.get(name) or ascii_lower(name)
         return name
 
     def _flush_pending_text(self) -> None:
@@ -200,7 +214,10 @@ class _Emitter:
             return
         self.pend_spans = None
         doc = self.doc
-        text = "".join(doc[b:e] for b, e in spans)
+        if len(spans) == 1:  # common case: one uninterrupted segment
+            text = doc[spans[0][0]:spans[0][1]]
+        else:
+            text = "".join(doc[b:e] for b, e in spans)
         self.rows.append((
             EV_TEXT, spans[0][0], spans[-1][1], None, self.pend_is_cdata,
             self.pend_offset, self.pend_line, self.pend_column,
@@ -218,8 +235,6 @@ class _Emitter:
 
     def report(self, event: str, beg: int, end: int, tokens,
                is_cdata: bool, ms: int = _MS_NONE) -> None:
-        cfg = self.cfg
-
         # pending end tag fires before any non-text/comment event
         # (hparser.c:188-196)
         if (
@@ -235,7 +250,7 @@ class _Emitter:
 
         # advance position counters (hparser.c:198-214); lazily
         # enabled like the reference (hparser.c:724-727, SURVEY.md O5)
-        if end > beg and cfg.track_positions:
+        if end > beg and self._track_pos:
             self.offset = offset + (end - beg)
             nl = self.doc.rfind("\n", beg, end)
             if nl >= 0:
@@ -289,7 +304,7 @@ class _Emitter:
             return
 
         # unbroken_text buffering (hparser.c:290-331)
-        if cfg.unbroken_text and event is EV_TEXT:
+        if self._unbroken and event is EV_TEXT:
             if self.pend_spans is not None:
                 if self.pend_is_cdata != is_cdata:
                     self._flush_pending_text()
@@ -306,7 +321,9 @@ class _Emitter:
 
         self.rows.append((
             event, beg, end, tokens, is_cdata,
-            offset, line, column, self._take_skipped(), None,
+            offset, line, column,
+            None if self.skipped is None else self._take_skipped(),
+            None,
         ))
 
     def finish(self) -> list[tuple]:
@@ -531,6 +548,12 @@ class _Parser:
     def _parse_end(self, beg: int) -> int | None:
         # hparser.c:1441-1497
         doc, end = self.doc, self.end
+        if self.fast_start:
+            m = _FAST_END.match(doc, beg, end)
+            if m is not None:
+                e = m.end()
+                self._report(EV_END, beg, e, [m.span(1)])
+                return e
         s = beg + 2
         if s < end and _is_name_first(doc[s], self.strict):
             tag_beg = s

@@ -20,6 +20,10 @@ PIECES = [
     "<script>x<y</script>", "<SCRIPT a=1>", "<a$ b%=^>", "\x0b",
     "]]>", "<![CDATA[x]]>", "<!-- c -->", "<!doctype html>", "<?pi?>",
     "<a b=c=d>", '<a "b"=c>', "<a/>", "<a / >", "<a b=`x`>",
+    # end-tag shapes for the _FAST_END path: trailing junk, quotes,
+    # MSIE skip-until-gt forms, missing name, unterminated
+    "</a >", "</a\n>", "</a b>", '</a "x>y">', "</ a>", "</>",
+    "</a", "</1x>", "</a=b>",
 ]
 
 CFGS = [
