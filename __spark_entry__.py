@@ -511,12 +511,15 @@ def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation pipeline as ONE relational query — the
     composed job of scripts/run_curation.py: fused tokenize+extract
     -> Gopher quality gate (min_words=10) -> language gate (keep
-    'en') -> MinHash-LSH near-dup removal keeping one canonical doc
-    per cluster. The oracle rebuilds every stage (extraction closed
-    form, Gopher features + rules, char-gram lang scoring, shingle/
-    signature/band/CC dedup), proving the stages compose
-    relationally — each is also verified standalone by its own
-    driver query."""
+    'en') -> benchmark decontamination (5-word-shingle overlap vs a
+    deterministic eval slice, doc_id % 5 == 0 — standing in for the
+    external benchmark table a real pipeline would broadcast; no
+    external data allowed here) -> MinHash-LSH near-dup removal
+    keeping one canonical doc per cluster. The oracle rebuilds every
+    stage (extraction closed form, Gopher features + rules,
+    char-gram lang scoring, eval-shingle overlap, shingle/signature/
+    band/CC dedup), proving the stages compose relationally — each
+    is also verified standalone by its own driver query or pytest."""
     from html_parser_spark.config import EXTRACT_CONFIG
     from html_parser_spark.operators import dedup, textstats
     from html_parser_spark.operators.extract import extract_text
@@ -531,13 +534,15 @@ def _q_curate_corpus(spark, sf_dir):
     step3 = step2.join(
         lang.filter(F.col("lang_pred") == "en").select("doc_id"),
         "doc_id", "left_semi")
+    eval_df = step3.filter(F.col("doc_id") % 5 == 0)
+    step4 = dedup.decontaminate(step3, eval_df, n=5)
     pairs = dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures(step3, num_hashes=8),
+        dedup.minhash_signatures(step4, num_hashes=8),
         num_hashes=8, band_size=2, max_bucket=1_000_000)
     dropped = (dedup.dedup_canonical(pairs)
                .filter(~F.col("is_canonical"))
                .select(F.col("id").alias("doc_id")))
-    return (step3.join(dropped, "doc_id", "left_anti")
+    return (step4.join(dropped, "doc_id", "left_anti")
             .select("doc_id", F.col("text").alias("curated_text")))
 
 
@@ -965,9 +970,13 @@ def _lang_id_oracle() -> str:
 def _curate_corpus_oracle() -> str:
     """DuckDB twin of the COMPOSED curation pipeline: extraction
     closed form -> Gopher features + rule conjunction (min_words=10)
-    -> char-gram lang scoring (keep 'en') -> trigram-shingle MinHash
-    signatures -> LSH bands -> recursive-CTE components -> keep the
-    min-id canonical per cluster. Every stage re-derived."""
+    -> char-gram lang scoring (keep 'en') -> benchmark
+    decontamination (drop docs sharing any 5-word shingle with the
+    doc_id % 5 == 0 eval slice; the engine compares xxhash64 of the
+    shingle, the oracle the shingle string — equality coincides) ->
+    trigram-shingle MinHash signatures -> LSH bands -> recursive-CTE
+    components -> keep the min-id canonical per cluster. Every stage
+    re-derived."""
     from html_parser_spark.operators.textstats import (
         CJK_SCRIPT_RANGES, LANG_TRIGRAMS)
 
@@ -1034,13 +1043,26 @@ def _curate_corpus_oracle() -> str:
         step3 AS MATERIALIZED (SELECT step2.doc_id, step2.text
                   FROM step2 JOIN lp USING (doc_id)
                   WHERE lp.lang_pred = 'en'),
+        sh5 AS MATERIALIZED (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(w)-3),
+                   i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '
+                        ||w[i+3]||' '||w[i+4]))) AS s
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM step3)),
+        cont AS (SELECT DISTINCT doc_id FROM sh5
+                 WHERE s IN (SELECT DISTINCT s FROM sh5
+                             WHERE doc_id % 5 = 0)),
+        step4 AS MATERIALIZED (SELECT doc_id, text FROM step3
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
         shing AS (
           SELECT doc_id, unnest(list_distinct(list_transform(
                    range(1, len(w)-1),
                    i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
           FROM (SELECT doc_id,
                        regexp_split_to_array(trim(text), '\\s+') AS w
-                FROM step3)),
+                FROM step4)),
         sig AS MATERIALIZED (SELECT doc_id, {aggs}
                              FROM shing GROUP BY doc_id),
         bands AS MATERIALIZED (
@@ -1063,7 +1085,7 @@ def _curate_corpus_oracle() -> str:
             ON e.v = r.u),
         comp AS (SELECT u AS id, min(label) AS component
                  FROM reach GROUP BY u)
-        SELECT doc_id, text AS curated_text FROM step3
+        SELECT doc_id, text AS curated_text FROM step4
         WHERE doc_id NOT IN
           (SELECT id FROM comp WHERE id <> component)"""
 

@@ -624,3 +624,42 @@ def remove_dup_passages(df: DataFrame, spans: DataFrame | None = None,
             sp, lambda s: (i >= s.span_start) & (i <= s.span_end)))
     return joined.select(
         key_col, F.concat_ws(" ", kept).alias("scrubbed_text"))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame,
+                  key_col: str = "doc_id", text_col: str = "text",
+                  eval_text_col: str = "text", n: int = 13,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document that
+    shares at least one ``n``-word shingle with any document of
+    ``eval_df`` (the held-out eval/benchmark table), returning the
+    surviving rows of ``df`` unchanged. This is the standard
+    train/test-overlap scrub of public LLM pipelines (Brown et al.
+    2020 appendix C uses 13-gram overlap, hence the default n=13;
+    Gao et al. 2021 §6 applies the same idea to The Pile).
+
+    Scale shape: the eval side is benchmark data — megabytes against
+    a 100 TB corpus — so its DISTINCT shingle set is broadcast and
+    the corpus is probed map-side (left-semi against the broadcast
+    to find contaminated ids, then left-anti on the key), so the
+    corpus text is never shuffled; the only exchange is the distinct
+    on contaminated ids, output-bounded by the contamination rate.
+    ``broadcast_eval=False`` falls back to a hash-partitioned
+    semi-join on the shingle for an atypically large eval side.
+    Shingles are compared as 64-bit xxhash values, the same
+    output-bounded pattern as :func:`passage_dup_spans`.
+    """
+    ev = (eval_df
+          .select(F.explode(
+              shingles_col(F.col(eval_text_col), n)).alias("_s"))
+          .select(F.xxhash64("_s").alias("h"))
+          .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    corpus = df.select(
+        F.col(key_col),
+        F.explode(shingles_col(F.col(text_col), n)).alias("_s"),
+    ).select(key_col, F.xxhash64("_s").alias("h"))
+    contaminated = (corpus.join(ev, "h", "left_semi")
+                    .select(key_col).distinct())
+    return df.join(contaminated, key_col, "left_anti")

@@ -13,10 +13,14 @@ Stages (each one of the independently-oracle-verified operators):
    symbol ratio / alpha-word ratio / stopword presence.
 3. **language gate** — char-trigram `lang_id`, keep a configured
    language allowlist.
-4. **near-dup removal** — MinHash signatures → LSH candidate pairs →
+4. **benchmark decontamination** — drop docs sharing any n-word
+   shingle with an eval/benchmark table (`dedup.decontaminate`,
+   broadcast probe; ``--eval-table`` points at a parquet of texts,
+   omitted = stage skipped).
+5. **near-dup removal** — MinHash signatures → LSH candidate pairs →
    star connected components → one canonical doc per cluster
    (`dedup.dedup_canonical` composition).
-5. **write** — surviving rows as parquet (Iceberg append in
+6. **write** — surviving rows as parquet (Iceberg append in
    deployment) + a JSON funnel report (rows in/out per stage — the
    per-stage accounting a curation run must publish).
 
@@ -44,6 +48,10 @@ def main() -> None:
     ap.add_argument("--report", default=None)
     ap.add_argument("--langs", default="en")
     ap.add_argument("--min-words", type=int, default=10)
+    ap.add_argument("--eval-table", default=None,
+                    help="parquet of benchmark texts (column 'text'); "
+                         "enables the decontamination stage")
+    ap.add_argument("--eval-ngram", type=int, default=13)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
@@ -91,7 +99,16 @@ def main() -> None:
     step3 = step2.join(ok_l, ["conv_id", "turn_idx"], "left_semi").cache()
     funnel["after_lang"] = step3.count()
 
-    # 4. near-dup removal (doc key = conv_id#turn_idx)
+    # 4. benchmark decontamination (broadcast eval-shingle probe).
+    # Keyed by conv_id: one leaked turn drops the whole conversation
+    # — the conservative train/test-overlap policy.
+    if args.eval_table:
+        ev = spark.read.parquet(args.eval_table)
+        step3 = dedup.decontaminate(
+            step3, ev, key_col="conv_id", n=args.eval_ngram).cache()
+        funnel["after_decontaminate"] = step3.count()
+
+    # 5. near-dup removal (doc key = conv_id#turn_idx)
     keyed = step3.withColumn(
         "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
     pairs = dedup.lsh_candidate_pairs(

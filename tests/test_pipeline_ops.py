@@ -748,6 +748,34 @@ def test_remove_dup_passages(spark):
     assert "Python" not in plan
 
 
+def test_decontaminate(spark):
+    """Benchmark decontamination: a doc sharing one n-word shingle
+    with the eval set is dropped, clean docs survive unchanged, an
+    eval doc present verbatim in the corpus drops itself, and the
+    eval side sits behind a broadcast (corpus never shuffled for the
+    probe)."""
+    EV = "the capital of france is paris said the guide"
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro words then " + EV + " trailing tail"),  # leak
+            (1, "completely unrelated text about spark shuffles"),
+            (2, EV),                                   # verbatim eval
+            (3, "the capital of france shifted wording avoids runs"),
+        ],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(EV,)], "text string")
+    out = dedup.decontaminate(corpus, ev, n=5)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    # schema passes through untouched
+    assert out.columns == corpus.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Python" not in plan
+    # non-broadcast fallback gives the same answer
+    out2 = dedup.decontaminate(corpus, ev, n=5, broadcast_eval=False)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 3]
+
+
 def test_cosine_topk_bounded_plan_and_values(spark, vecs):
     """Multi-query top-k: no Window/global sort of the scored corpus —
     the per-partition reduction bounds the exchange; values exact."""
