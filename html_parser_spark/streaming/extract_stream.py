@@ -102,6 +102,37 @@ def media_meta_stream(stream_df: DataFrame, **kw) -> DataFrame:
     return decode_image_meta(stream_df, **kw)
 
 
+def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text",
+                         eval_text_col: str = "text",
+                         n: int = 13) -> DataFrame:
+    """Streaming benchmark decontamination: drop rows sharing any
+    ``n``-word shingle with the STATIC eval/benchmark table (the
+    streaming twin of :func:`~html_parser_spark.operators.dedup.
+    decontaminate`).
+
+    The batch operator's contaminated-ids anti-join would be a
+    stream-stream join (unsupported for anti); but since one row =
+    one document, contamination is decidable per row — so this is a
+    stateless filter: the eval shingle-hash set is collected ONCE at
+    plan time (eval sets are megabytes by definition; same
+    budget as the batch broadcast) and shipped as an array literal,
+    each row checked with ``arrays_overlap`` on its own xxhash64
+    shingles. Pure JVM, append-mode-safe, identical keep/drop
+    decisions to the batch operator."""
+    from html_parser_spark.operators.dedup import shingles_col
+
+    ev = [r.h for r in (eval_df.select(
+        F.explode(shingles_col(F.col(eval_text_col), n)).alias("_s"))
+        .select(F.xxhash64("_s").alias("h")).distinct().collect())]
+    if not ev:
+        return stream_df
+    row_hashes = F.transform(
+        shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+    ev_lit = F.array(*[F.lit(h) for h in ev])
+    return stream_df.filter(~F.arrays_overlap(row_hashes, ev_lit))
+
+
 def dedup_exact_stream(stream_df: DataFrame,
                        text_col: str = "text",
                        watermark: str = "10 minutes",

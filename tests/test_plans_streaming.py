@@ -371,6 +371,40 @@ def test_minhash_signatures_stream_match_batch(spark, tmp_path):
     assert got == exp and len(got) == 12
 
 
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for benchmark decontamination: the
+    stateless per-row eval-shingle filter keeps/drops exactly the
+    docs the batch anti-join operator does (leaked doc and verbatim
+    eval doc dropped, clean docs kept)."""
+    from html_parser_spark.operators.dedup import decontaminate
+    from html_parser_spark.streaming.extract_stream import (
+        decontaminate_stream)
+
+    EV = "the capital of france is paris said the guide"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words then " + EV + " trailing tail"),
+            (1, "completely unrelated text about spark shuffles"),
+            (2, EV),
+            (3, "the capital of france shifted wording avoids runs"),
+        ],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(EV,)], "text string")
+    src = str(tmp_path / "dc_src")
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = (decontaminate_stream(stream, ev, n=5)
+         .writeStream.format("memory").queryName("dc_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in
+                 spark.sql("SELECT * FROM dc_stream").collect())
+    exp = sorted(r.doc_id for r in
+                 decontaminate(docs, ev, n=5).collect())
+    assert got == exp == [1, 3]
+
+
 def test_main_content_stream_matches_batch(spark, tmp_path):
     """Stream==batch parity for the round-3 content operators:
     main_content and content_blocks run verbatim over a stream (the
