@@ -576,6 +576,17 @@ def passage_dup_spans(df: DataFrame, key_col: str = "doc_id",
              .filter(F.col("c") >= min_count)
              .select("h"))
     dup = hashed.join(dup_h, "h").select("key", "pos")
+    return _merge_dup_positions(dup, key_col, k)
+
+
+def _merge_dup_positions(dup: DataFrame, key_col: str,
+                         k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged shingle start positions
+    (``key``, ``pos``) into word spans — shared by corpus-frequency
+    passage dedup and span-level decontamination. Window state is
+    bounded by single-document length."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("key").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1)
     grp = (dup.withColumn("brk", brk)
@@ -663,3 +674,46 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
     contaminated = (corpus.join(ev, "h", "left_semi")
                     .select(key_col).distinct())
     return df.join(contaminated, key_col, "left_anti")
+
+
+def contaminated_spans(df: DataFrame, eval_df: DataFrame,
+                       key_col: str = "doc_id",
+                       text_col: str = "text",
+                       eval_text_col: str = "text",
+                       n: int = 13,
+                       broadcast_eval: bool = True) -> DataFrame:
+    """Span-level variant of :func:`decontaminate`: instead of a
+    keep/drop verdict per document, return the word spans
+    (same schema as :func:`passage_dup_spans`) where the document
+    overlaps the eval set — so the leak can be SCRUBBED while the
+    rest of the document is kept::
+
+        spans = contaminated_spans(docs, eval_df, n=13)
+        clean = remove_dup_passages(docs, spans=spans, k=13)
+
+    Scrubbing is the recall-preserving alternative to whole-doc
+    removal when a document embeds a quoted benchmark item inside
+    otherwise-good text (both policies appear in public pipeline
+    writeups; whole-doc removal is the conservative default).
+
+    Scale shape: identical to :func:`decontaminate` (eval shingle
+    hashes broadcast, corpus probed map-side) plus the per-document
+    island merge of :func:`passage_dup_spans` — window state bounded
+    by single-document length, nothing corpus-sized shuffled beyond
+    the flagged positions themselves."""
+    ev = (eval_df
+          .select(F.explode(
+              shingles_col(F.col(eval_text_col), n)).alias("_s"))
+          .select(F.xxhash64("_s").alias("h"))
+          .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    words = words_col(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))))
+    hashed = (df.filter(F.size(words) >= n)
+              .select(F.col(key_col).alias("key"),
+                      F.posexplode(shingles).alias("pos", "h")))
+    flagged = hashed.join(ev, "h", "left_semi").select("key", "pos")
+    return _merge_dup_positions(flagged, key_col, n)

@@ -776,6 +776,35 @@ def test_decontaminate(spark):
     assert sorted(r.doc_id for r in out2.collect()) == [1, 3]
 
 
+def test_contaminated_spans_scrub(spark):
+    """Span-level decontamination: the leaked quote is located as a
+    word span and scrubbed, keeping the surrounding good text; docs
+    the whole-doc policy would discard entirely survive minus the
+    leak; clean docs pass through."""
+    EV = "the capital of france is paris said the guide"  # 9 words
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro words then " + EV + " trailing tail"),
+            (1, "completely unrelated text about spark shuffles"),
+            (2, EV),
+        ],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(EV,)], "text string")
+    spans = dedup.contaminated_spans(corpus, ev, n=5)
+    got = {r.doc_id: (r.span_start, r.span_end)
+           for r in spans.collect()}
+    # 9-word quote at word offset 3 -> span 3..11; doc 2 fully covered
+    assert got[0] == (3, 11)
+    assert got[2] == (0, 8)
+    assert 1 not in got
+    scrubbed = {r.doc_id: r.scrubbed_text
+                for r in dedup.remove_dup_passages(
+                    corpus, spans=spans, k=5).collect()}
+    assert scrubbed[0] == "intro words then trailing tail"
+    assert scrubbed[1] == "completely unrelated text about spark shuffles"
+    assert scrubbed[2] == ""
+
+
 def test_cosine_topk_bounded_plan_and_values(spark, vecs):
     """Multi-query top-k: no Window/global sort of the scored corpus —
     the per-partition reduction bounds the exchange; values exact."""
