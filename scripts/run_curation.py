@@ -52,6 +52,12 @@ def main() -> None:
                     help="parquet of benchmark texts (column 'text'); "
                          "enables the decontamination stage")
     ap.add_argument("--eval-ngram", type=int, default=13)
+    ap.add_argument("--decontaminate-mode", default="drop",
+                    choices=("drop", "scrub"),
+                    help="drop = remove the whole conversation on any "
+                         "eval overlap (conservative default); scrub = "
+                         "excise just the overlapping word spans and "
+                         "keep the rest of each turn")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
@@ -100,12 +106,27 @@ def main() -> None:
     funnel["after_lang"] = step3.count()
 
     # 4. benchmark decontamination (broadcast eval-shingle probe).
-    # Keyed by conv_id: one leaked turn drops the whole conversation
-    # — the conservative train/test-overlap policy.
+    # drop mode is keyed by conv_id: one leaked turn drops the whole
+    # conversation — the conservative train/test-overlap policy.
+    # scrub mode excises just the leaked word spans per turn.
     if args.eval_table:
         ev = spark.read.parquet(args.eval_table)
-        step3 = dedup.decontaminate(
-            step3, ev, key_col="conv_id", n=args.eval_ngram).cache()
+        if args.decontaminate_mode == "scrub":
+            keyed3 = step3.withColumn(
+                "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+            spans = dedup.contaminated_spans(
+                keyed3, ev, key_col="doc_key", n=args.eval_ngram)
+            step3 = (dedup.remove_dup_passages(
+                         keyed3, spans=spans, key_col="doc_key",
+                         k=args.eval_ngram)
+                     .join(keyed3.select("doc_key", "conv_id",
+                                         "turn_idx"), "doc_key")
+                     .select("conv_id", "turn_idx",
+                             F.col("scrubbed_text").alias("text"))
+                     .cache())
+        else:
+            step3 = dedup.decontaminate(
+                step3, ev, key_col="conv_id", n=args.eval_ngram).cache()
         funnel["after_decontaminate"] = step3.count()
 
     # 5. near-dup removal (doc key = conv_id#turn_idx)
