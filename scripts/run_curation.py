@@ -16,7 +16,8 @@ Stages (each one of the independently-oracle-verified operators):
 4. **benchmark decontamination** — drop docs sharing any n-word
    shingle with an eval/benchmark table (`dedup.decontaminate`,
    broadcast probe; ``--eval-table`` points at a parquet of texts,
-   omitted = stage skipped).
+   omitted = stage skipped; ``--decontaminate-mode scrub`` excises
+   just the leaked spans instead of dropping).
 5. **near-dup removal** — MinHash signatures → LSH candidate pairs →
    star connected components → one canonical doc per cluster
    (`dedup.dedup_canonical` composition).
