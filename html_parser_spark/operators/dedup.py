@@ -696,6 +696,14 @@ def contaminated_spans(df: DataFrame, eval_df: DataFrame,
     otherwise-good text (both policies appear in public pipeline
     writeups; whole-doc removal is the conservative default).
 
+    Seam caveat (why drop mode stays the default): scrubbing joins
+    the words on either side of a removed span, and that seam can
+    form an n-gram that was not in the original document —
+    pathologically even one that is itself in the eval set. One
+    scrub pass guarantees only that no n-gram AT ORIGINAL POSITIONS
+    survives; pipelines needing the absolute guarantee should
+    re-run the probe (or use :func:`decontaminate`).
+
     Scale shape: identical to :func:`decontaminate` (eval shingle
     hashes broadcast, corpus probed map-side) plus the per-document
     island merge of :func:`passage_dup_spans` — window state bounded

@@ -805,6 +805,67 @@ def test_contaminated_spans_scrub(spark):
     assert scrubbed[2] == ""
 
 
+def test_contaminated_spans_randomized_vs_python_reference(spark):
+    """Seeded randomized differential for the span-level
+    decontamination path: 150 random word-docs (small vocab to force
+    shingle collisions, planted verbatim eval embeddings) checked
+    against an independent pure-Python re-implementation of the
+    flag-merge-scrub semantics — span sets AND scrubbed texts must
+    match exactly."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    N = 4
+    evals = [" ".join(rng.choices(vocab, k=rng.randint(N, 9)))
+             for _ in range(5)]
+    docs = []
+    for i in range(150):
+        w = rng.choices(vocab, k=rng.randint(N, 30))
+        if i % 10 == 0:   # plant a verbatim eval quote mid-doc
+            quote = rng.choice(evals).split()
+            at = rng.randint(0, len(w))
+            w = w[:at] + quote + w[at:]
+        docs.append((i, " ".join(w)))
+
+    # independent reference: flag eval n-gram positions, merge
+    # islands (break at gap > N, end = last+N-1), scrub covered words
+    ev_grams = set()
+    for e in evals:
+        ew = e.split()
+        for j in range(len(ew) - N + 1):
+            ev_grams.add(tuple(ew[j:j + N]))
+    exp_spans, exp_scrub = {}, {}
+    for i, text in docs:
+        w = text.split()
+        flagged = [j for j in range(len(w) - N + 1)
+                   if tuple(w[j:j + N]) in ev_grams]
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][2] <= N:
+                spans[-1][1] = p + N - 1
+                spans[-1][2] = p
+            else:
+                spans.append([p, p + N - 1, p])
+        for s, e, _ in spans:
+            exp_spans[(i, s, e)] = True
+        covered = {j for s, e, _ in spans for j in range(s, e + 1)}
+        exp_scrub[i] = " ".join(
+            x for j, x in enumerate(w) if j not in covered)
+
+    cdf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame([(e,) for e in evals], "text string")
+    spans_df = dedup.contaminated_spans(cdf, edf, n=N).cache()
+    got_spans = {(r.doc_id, r.span_start, r.span_end): True
+                 for r in spans_df.collect()}
+    assert got_spans == exp_spans
+    got_scrub = {r.doc_id: r.scrubbed_text
+                 for r in dedup.remove_dup_passages(
+                     cdf, spans=spans_df, k=N).collect()}
+    assert got_scrub == exp_scrub
+
+
 def test_cosine_topk_bounded_plan_and_values(spark, vecs):
     """Multi-query top-k: no Window/global sort of the scored corpus —
     the per-partition reduction bounds the exchange; values exact."""
