@@ -104,6 +104,45 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int = 64,
      .saveAsTable(table))
 
 
+def write_training_shards(df: DataFrame, path: str,
+                          n_shards: int = 1024,
+                          key_col: str = "doc_id",
+                          order_cols: tuple[str, ...] | None = None,
+                          mode: str = "overwrite") -> None:
+    """Export the curated corpus as ``n_shards`` DETERMINISTIC,
+    size-balanced training shards — the write a 100 TB curation run
+    ends with.
+
+    Shard assignment is ``pmod(xxhash64(key), n_shards)`` (content
+    hash, NOT round-robin or partition id), and rows are sorted by
+    (``order_cols`` or the key) within each shard, so the shard a
+    document lands in and its position there are functions of the
+    DATA alone: re-running on a different cluster size, partition
+    count, or input order reproduces byte-identical shard membership
+    and order — what a training job needs for resumable, comparable
+    data loading.
+
+    Scale shape: one hash-partition Exchange (no global sort — the
+    sort is within-partition), shard sizes balanced by hash
+    uniformity (CLT: ±~1/sqrt(rows-per-shard) relative spread), one
+    output file per shard via the partition==shard alignment.
+    """
+    order = list(order_cols) if order_cols else [key_col]
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    # The sort leads with the shard column: the partitioned writer
+    # REQUIRES its output ordered by the partition columns and would
+    # otherwise insert its own shard-only sort, which does not
+    # preserve the intra-shard order (observed: ties land in
+    # arbitrary order). Pre-satisfying the requirement keeps one
+    # within-partition sort and makes the intra-shard order stick.
+    (df.withColumn("shard", shard.cast("int"))
+     .repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", *order)
+     .write.mode(mode)
+     .partitionBy("shard")
+     .parquet(path))
+
+
 def _warn_if_not_pruned(part: DataFrame, batch_col: str) -> None:
     """Enforce the resume contract at runtime: the per-batch filter
     must reach the scan as a PARTITION filter (input partitioned by

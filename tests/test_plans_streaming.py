@@ -184,6 +184,44 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert ("c1", base + 200_000) not in got
 
 
+def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
+    """Shard export: membership and intra-shard order are functions
+    of the data alone — re-writing from a DIFFERENT input
+    partitioning reproduces identical per-shard contents; shard
+    sizes are hash-balanced; exactly one data file per shard."""
+    import glob
+
+    from html_parser_spark.plans.pipeline import write_training_shards
+
+    rows = [(i, f"text {i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, n_shards=8, key_col="doc_id")
+    # same data, different physical layout (reversed, 13 partitions)
+    df2 = spark.createDataFrame(rows[::-1], "doc_id long, text string") \
+        .repartition(13)
+    write_training_shards(df2, p2, n_shards=8, key_col="doc_id")
+
+    def read_shards(p):
+        out = {}
+        for d in glob.glob(p + "/shard=*"):
+            files = glob.glob(d + "/*.parquet")
+            assert len(files) == 1   # one data file per shard
+            sdf = spark.read.parquet(d)
+            out[d.rsplit("=", 1)[1]] = [
+                (r.doc_id, r.text) for r in sdf.collect()]
+        return out
+
+    s1, s2 = read_shards(p1), read_shards(p2)
+    assert set(s1) == set(s2) and len(s1) == 8
+    for k in s1:   # identical membership AND order per shard
+        assert s1[k] == s2[k]
+    sizes = sorted(len(v) for v in s1.values())
+    assert sum(sizes) == 2000
+    # hash balance: every shard within 2x of the mean (2000/8 = 250)
+    assert sizes[0] > 125 and sizes[-1] < 500
+
+
 def test_bucketed_join_is_co_located(spark, tmp_path):
     """Two tables bucketed on conv_id join WITHOUT any Exchange on
     either side — the co-located-join strategy for 100 TB
