@@ -21,7 +21,9 @@ Stages (each one of the independently-oracle-verified operators):
 5. **near-dup removal** — MinHash signatures → LSH candidate pairs →
    star connected components → one canonical doc per cluster
    (`dedup.dedup_canonical` composition).
-6. **write** — surviving rows as parquet (Iceberg append in
+6. **write** — surviving rows as parquet; ``--shards N`` instead
+   exports N deterministic content-hash training shards
+   (`plans.pipeline.write_training_shards`) — or (Iceberg append in
    deployment) + a JSON funnel report (rows in/out per stage — the
    per-stage accounting a curation run must publish).
 
@@ -53,6 +55,9 @@ def main() -> None:
                     help="parquet of benchmark texts (column 'text'); "
                          "enables the decontamination stage")
     ap.add_argument("--eval-ngram", type=int, default=13)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="export N deterministic content-hash "
+                         "training shards instead of plain parquet")
     ap.add_argument("--decontaminate-mode", default="drop",
                     choices=("drop", "scrub"),
                     help="drop = remove the whole conversation on any "
@@ -145,7 +150,17 @@ def main() -> None:
     funnel["after_dedup"] = survivors.count()
 
     # 5. write + report
-    survivors.write.mode("overwrite").parquet(args.output)
+    if args.shards:
+        from html_parser_spark.plans.pipeline import (
+            write_training_shards)
+        keyed_out = survivors.withColumn(
+            "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+        write_training_shards(keyed_out, args.output,
+                              n_shards=args.shards,
+                              key_col="doc_key",
+                              order_cols=("conv_id", "turn_idx"))
+    else:
+        survivors.write.mode("overwrite").parquet(args.output)
     report = {
         "funnel": funnel,
         "kept_ratio": round(funnel["after_dedup"]
