@@ -107,27 +107,48 @@ def _q_reconstruct(spark, sf_dir):
             "").alias("doc"))
 
 
-def _q_decode_entities(spark, sf_dir):
-    from html_parser_spark.operators.extract import decode_entities_col
+def _q_entities(spark, sf_dir):
+    """P5 + P7 + P8 in one row set: named/numeric/hex entity decoding
+    (HTML::Entities decode semantics incl. unknown-entity
+    passthrough), named-entity encoding, and the always-numeric
+    &#xHEX; encoding — the merged decode_entities/encode_entities
+    registry rows (kept merged so every operator family fits the
+    driver's 50-row correctness window)."""
+    from html_parser_spark.operators.extract import (
+        decode_entities_col, encode_entities_col,
+        encode_entities_numeric_col)
 
-    raw = F.expr(
+    dec_raw = F.expr(
         "'x &amp; y &lt;' || CAST(doc_id AS STRING) || "
         "'&gt; &aring; &#229; &#xE5; &euro; &unknown;'")
-    return _docs(spark, sf_dir).select(
-        "doc_id", decode_entities_col(raw).alias("decoded"))
-
-
-def _q_encode_entities(spark, sf_dir):
-    """P7 + P8 in one row set: named-entity encoding and the
-    always-numeric &#xHEX; encoding of the same input."""
-    from html_parser_spark.operators.extract import (
-        encode_entities_col, encode_entities_numeric_col)
-
-    raw = F.expr("'<' || text || '> & \"q\" ' || CAST(doc_id AS STRING)")
+    enc_raw = F.expr("'<' || text || '> & \"q\" ' || CAST(doc_id AS STRING)")
     return _docs(spark, sf_dir).select(
         "doc_id",
-        encode_entities_col(raw).alias("encoded_named"),
-        encode_entities_numeric_col(raw).alias("encoded_numeric"))
+        decode_entities_col(dec_raw).alias("decoded"),
+        encode_entities_col(enc_raw).alias("encoded_named"),
+        encode_entities_numeric_col(enc_raw).alias("encoded_numeric"))
+
+
+#: corpus_mix targets — language mix weights for the driver query
+#: (shares sum to 1 and are embedded verbatim in the oracle SQL, so
+#: Spark and DuckDB evaluate identical double literals).
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "fr": 0.2, "de": 0.1, "es": 0.1}
+_MIX_SEED = 7
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Corpus mixing: deterministically sample the documents table so
+    language strata follow `_MIX_WEIGHTS` (GPT-3/LLaMA-class data
+    recipe stage).  The keep/drop decision is a pure function of the
+    row (md5 hash draw), so the oracle rebuilds the entire thing —
+    stratum counts, feasible total, per-stratum fractions, and the
+    per-row draw — in SQL."""
+    from html_parser_spark.operators.sampling import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir), "lang", _MIX_WEIGHTS,
+        key_col="text", seed=_MIX_SEED, normalize=False,
+    ).select("doc_id", "lang")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -805,8 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": _q_links,
         "event_stats": _q_event_stats,
         "reconstruct": _q_reconstruct,
-        "decode_entities": _q_decode_entities,
-        "encode_entities": _q_encode_entities,
+        "entities": _q_entities,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_stats": _q_token_stats,
@@ -827,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _q_passage_dedup,
         "dedup_corpus": _q_dedup_corpus,
         "curate_corpus": _q_curate_corpus,
+        "corpus_mix": _q_corpus_mix,
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
@@ -1143,18 +1164,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "reconstruct": f"""
             SELECT {_ID} AS conv_id, {wrap} AS doc FROM documents""",
-        "decode_entities": f"""
+        "entities": f"""
             SELECT doc_id,
                    'x & y <' || {_ID} || '> å å å € '
-                   || '&unknown;' AS decoded
-            FROM documents""",
-        "encode_entities": f"""
-            SELECT doc_id,
+                   || '&unknown;' AS decoded,
                    '&lt;' || text || '&gt; &amp; &quot;q&quot; ' || {_ID}
                    AS encoded_named,
                    '&#x3C;' || text || '&#x3E; &#x26; &#x22;q&#x22; '
                    || {_ID} AS encoded_numeric
             FROM documents""",
+        "corpus_mix": """
+            WITH w(lang, share) AS (
+                VALUES ('en', 0.4::DOUBLE), ('zh', 0.2::DOUBLE),
+                       ('fr', 0.2::DOUBLE), ('de', 0.1::DOUBLE),
+                       ('es', 0.1::DOUBLE)),
+            c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                  FROM documents GROUP BY lang),
+            t AS (SELECT min(floor(c.n / w.share)) AS total
+                  FROM c JOIN w ON c.lang = w.lang),
+            f AS (SELECT c.lang,
+                         least(1.0::DOUBLE,
+                               w.share * (SELECT total FROM t) / c.n)
+                         AS frac
+                  FROM c JOIN w ON c.lang = w.lang)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f ON d.lang = f.lang
+            WHERE ('0x' || substr(md5(d.text || '#7'), 1, 8))::BIGINT
+                  / 4294967296.0 < f.frac""",
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    CAST(count(*) AS BIGINT) AS n_dups,

@@ -21,7 +21,11 @@ Stages (each one of the independently-oracle-verified operators):
 5. **near-dup removal** — MinHash signatures → LSH candidate pairs →
    star connected components → one canonical doc per cluster
    (`dedup.dedup_canonical` composition).
-6. **write** — surviving rows as parquet; ``--shards N`` instead
+6. **corpus mixing** (``--mix 'en=0.6,fr=0.4'``) — deterministic
+   hash-Bernoulli sampling so language strata follow the requested
+   training-mix weights (`sampling.mix_corpus`); the keep set is a
+   pure function of the data, identical at any cluster size.
+7. **write** — surviving rows as parquet; ``--shards N`` instead
    exports N deterministic content-hash training shards
    (`plans.pipeline.write_training_shards`) — or (Iceberg append in
    deployment) + a JSON funnel report (rows in/out per stage — the
@@ -58,6 +62,13 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=0,
                     help="export N deterministic content-hash "
                          "training shards instead of plain parquet")
+    ap.add_argument("--mix", default=None,
+                    help="corpus mix weights over the predicted "
+                         "language, e.g. 'en=0.6,fr=0.4' — "
+                         "deterministic hash-Bernoulli sampling "
+                         "(operators.sampling.mix_corpus); omitted = "
+                         "stage skipped")
+    ap.add_argument("--mix-seed", type=int, default=0)
     ap.add_argument("--decontaminate-mode", default="drop",
                     choices=("drop", "scrub"),
                     help="drop = remove the whole conversation on any "
@@ -149,7 +160,24 @@ def main() -> None:
     survivors = keyed.join(dropped, "doc_key", "left_anti").drop("doc_key")
     funnel["after_dedup"] = survivors.count()
 
-    # 5. write + report
+    # 6. corpus mixing (deterministic hash-Bernoulli sampling so
+    # language strata follow the requested training-mix weights;
+    # the keep set is a pure function of the data — identical at any
+    # cluster size)
+    if args.mix:
+        from html_parser_spark.operators.sampling import mix_corpus
+        weights = {k.strip(): float(v) for k, v in
+                   (kv.split("=") for kv in args.mix.split(","))}
+        survivors = (survivors
+                     .join(lang.select("conv_id", "turn_idx",
+                                       F.col("lang_pred").alias("lang")),
+                           ["conv_id", "turn_idx"])
+                     .cache())
+        survivors = mix_corpus(survivors, "lang", weights,
+                               key_col="text", seed=args.mix_seed)
+        funnel["after_mix"] = survivors.count()
+
+    # 7. write + report
     if args.shards:
         from html_parser_spark.plans.pipeline import (
             write_training_shards)
@@ -163,7 +191,8 @@ def main() -> None:
         survivors.write.mode("overwrite").parquet(args.output)
     report = {
         "funnel": funnel,
-        "kept_ratio": round(funnel["after_dedup"]
+        "kept_ratio": round(funnel.get("after_mix",
+                                       funnel["after_dedup"])
                             / max(funnel["input_turns"], 1), 4),
         "wall_sec": round(time.monotonic() - t0, 2),
         "output": args.output,

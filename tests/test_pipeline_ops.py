@@ -1342,3 +1342,111 @@ def test_tfidf_topk(spark):
     sc = {r.token: r.score for r in
           textstats.tfidf_topk(df, k=2).collect() if r.doc_id == 1}
     assert isclose(sc["common"], 1.0)
+
+
+# ------------------------------------------------------------- sampling
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    from html_parser_spark.operators import sampling  # noqa: F401
+    # strata: 'a' = i%3==0 (500), 'b' = i%3==1 (500), 'c' = i%3==2 (500)
+    rows = [(i,
+             f"document body number {i} with some distinct words {i * 7}",
+             "abc"[i % 3])
+            for i in range(1500)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_deterministic_across_layout(spark, mix_docs):
+    """The hash draw is a pure function of the row: identical keep set
+    regardless of partition count or input order (df.sample is not)."""
+    from html_parser_spark.operators.sampling import stratified_sample
+
+    fr = {"a": 0.5, "b": 0.25}
+    base = {r.doc_id for r in
+            stratified_sample(mix_docs, "lang", fr, seed=3).collect()}
+    one = {r.doc_id for r in stratified_sample(
+        mix_docs.repartition(1), "lang", fr, seed=3).collect()}
+    many = {r.doc_id for r in stratified_sample(
+        mix_docs.orderBy(F.desc("doc_id")).repartition(13),
+        "lang", fr, seed=3).collect()}
+    assert base == one == many
+    assert base, "sample unexpectedly empty"
+    # stratum 'c' has no fraction -> dropped entirely
+    langs = {r.lang for r in stratified_sample(
+        mix_docs, "lang", fr, seed=3).collect()}
+    assert langs <= {"a", "b"}
+    # a different seed draws a different (but still deterministic) set
+    other = {r.doc_id for r in
+             stratified_sample(mix_docs, "lang", fr, seed=4).collect()}
+    assert other != base
+
+
+def test_mix_fractions_feasibility_math():
+    """total = min_s floor(n_s/share_s); scarcest stratum caps the mix
+    and is taken whole (fraction exactly 1.0)."""
+    from html_parser_spark.operators.sampling import mix_fractions
+
+    counts = {"a": 1000, "b": 500, "c": 50}
+    fr = mix_fractions(counts, {"a": 0.5, "b": 0.3, "c": 0.2},
+                       normalize=False)
+    # feasible totals: a 2000, b 1666, c 250 -> 250
+    assert fr["c"] == 1.0
+    assert abs(fr["a"] - 0.5 * 250 / 1000) < 1e-15
+    assert abs(fr["b"] - 0.3 * 250 / 500) < 1e-15
+    # explicit total cap
+    fr2 = mix_fractions(counts, {"a": 0.5, "b": 0.3, "c": 0.2},
+                        total=100, normalize=False)
+    assert abs(fr2["a"] - 0.05) < 1e-15
+    # weighted stratum absent from the data is just skipped
+    fr3 = mix_fractions({"a": 10}, {"a": 1.0, "zz": 5.0})
+    assert set(fr3) == {"a"} and fr3["a"] == 1.0
+    assert mix_fractions({}, {"a": 1.0}) == {}
+
+
+def test_mix_corpus_proportions(spark, mix_docs):
+    """Sampled strata sizes track the target weights (binomial
+    tolerance) and the scarce stratum under a skewed weight is kept
+    whole."""
+    from html_parser_spark.operators.sampling import mix_corpus
+
+    out = mix_corpus(mix_docs, "lang",
+                     {"a": 0.6, "b": 0.2, "c": 0.2}, seed=11)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # total = min(500/.6, 500/.2, 500/.2) = 833 -> targets 500/166/166
+    assert got["a"] > 400          # fraction 0.9996 -> nearly all
+    for s in ("b", "c"):
+        target = 0.2 * 833
+        assert abs(got[s] - target) < 4 * (target ** 0.5) + 10
+
+
+def test_sampling_plan_map_only(spark, mix_docs):
+    """Scale guard: the sample filter is one map-only JVM stage — no
+    Exchange, no Python eval in the plan."""
+    from html_parser_spark.operators.sampling import stratified_sample
+
+    plan = _plan_str(stratified_sample(
+        mix_docs, "lang", {"a": 0.5, "b": 0.25}, seed=3))
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys, phys
+    assert "Python" not in phys, phys
+
+
+def test_uniform_hash_matches_duckdb(spark):
+    """Cross-engine determinism: DuckDB rebuilds the exact draw
+    (including non-ASCII keys), which is what the driver oracle
+    relies on."""
+    import duckdb
+
+    from html_parser_spark.operators.sampling import uniform_hash_col
+
+    keys = ["hello", "wörld", "中文文本", "", "a b\tc"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = dict(df.select(
+        "k", uniform_hash_col(F.col("k"), seed=9).alias("u")).collect())
+    for k in keys:
+        (exp,) = duckdb.sql(
+            "SELECT ('0x' || substr(md5(? || '#9'), 1, 8))::BIGINT"
+            " / 4294967296.0", params=[k]).fetchone()
+        assert got[k] == exp, k
