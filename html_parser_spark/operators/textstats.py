@@ -141,28 +141,58 @@ def lang_id(df: DataFrame, key_cols: list[str],
     hanja share it). Pure JVM, one codegen stage, shuffle-free — at
     100 TB this is a narrow map over the text column, and extending
     coverage is adding profile rows, not changing the operator shape.
+
+    Codegen-size note (a real 100 TB detail): the obvious
+    per-language CASE-chain argmax duplicates every per-gram
+    length/replace term once per language, and when a downstream
+    filter on lang_pred is pushed through the projection Catalyst
+    inlines the whole chain into the predicate — the generated method
+    blows Janino's 64 KB limit and the ENTIRE stage falls back to
+    interpreted eval (measured: 16 s for 108 rows in the composed
+    curation plan). Even a flat scores := array(...) of per-gram
+    terms still exceeds the limit once the plan inlines 2-3 copies.
+    So the gram table itself is data: a literal array<array<string>>
+    scanned with transform/aggregate higher-order functions. HOFs are
+    CodegenFallback expressions — the generated code is a fixed-size
+    call regardless of profile count, the surrounding stage stays
+    whole-stage-compiled, and extending language coverage cannot
+    regress the plan. Scoring itself runs interpreted, the right
+    trade at any profile size. The scores array is materialized in
+    its own projection (same two-projection split as
+    :func:`gopher_quality`): CollapseProject refuses to merge because
+    the non-cheap array is referenced several times, so the ~100 gram
+    counts run ONCE per row and argmax/best read a plain attribute.
+
+    Null text classifies as 'other' with score 0 (treated as empty).
     """
-    t = F.lower(F.col(text_col))
-    scores: dict[str, Column] = {}
-    for lang, tris in LANG_TRIGRAMS.items():
-        cnt = None
-        for tri in tris:
-            c = (F.length(t) - F.length(F.replace(t, F.lit(tri),
-                                                  F.lit("")))) / len(tri)
-            cnt = c if cnt is None else cnt + c
-        scores[lang] = cnt
-    best = F.greatest(*scores.values())
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.array(*[F.array(*[F.lit(g) for g in tris])
+                      for tris in LANG_TRIGRAMS.values()])
+    scored = df.select(
+        *key_cols,
+        t.alias("_lang_t"),
+        F.transform(grams, lambda tris: F.aggregate(
+            tris, F.lit(0.0),
+            lambda acc, g: acc
+            + (F.length(t) - F.length(F.replace(t, g))) / F.length(g)
+        )).alias("_lang_scores"))
+    scores = F.col("_lang_scores")
+    lt = F.col("_lang_t")
+    best = F.array_max(scores)
+    # 1-based index of the FIRST max -> profile-order tie-break
+    picked = F.element_at(
+        F.array(*[F.lit(lang) for lang in LANG_TRIGRAMS]),
+        F.array_position(scores, best).cast("int"))
     fallback = None
     for lang, rng in reversed(CJK_SCRIPT_RANGES):
-        hit = F.length(F.regexp_replace(t, f"[^{rng}]", "")) > 0
+        hit = F.length(F.regexp_replace(lt, f"[^{rng}]", "")) > 0
         fallback = F.when(hit, F.lit(lang)).otherwise(
             F.lit("other") if fallback is None else fallback)
-    pred = F.when(best <= 0, fallback)
-    for lang in LANG_TRIGRAMS:
-        pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.select(
+    pred = F.when(best <= 0, fallback).otherwise(
+        F.coalesce(picked, F.lit("other")))
+    return scored.select(
         *key_cols,
-        pred.otherwise(F.lit("other")).alias("lang_pred"),
+        pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
     )
 

@@ -681,6 +681,27 @@ def test_lang_id_cjk_profiles_and_script_fallback(spark):
     assert out[3][1] == 0 and out[4][1] == 0  # fallback rows score 0
 
 
+def test_lang_id_null_empty_and_filter_pushdown(spark):
+    """Null/empty contract: both classify 'other' (null treated as
+    empty text, score 0 not null), and a downstream filter on
+    lang_pred — the plan shape that used to blow Janino's 64 KB limit
+    and, in the first array-argmax rewrite, flipped null rows to 'ko'
+    via the inlined predicate — keeps the same labels."""
+    rows = [(0, "the cat and the dog of the town"),
+            (1, None), (2, ""), (3, "qqq 123")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.lang_pred, r.lang_score) for r in
+           textstats.lang_id(df, ["doc_id"]).collect()}
+    assert out == {0: ("en", 14), 1: ("other", 0),
+                   2: ("other", 0), 3: ("other", 0)}
+    kept = (textstats.lang_id(df, ["doc_id"])
+            .filter(F.col("lang_pred") == "en").collect())
+    assert [r.doc_id for r in kept] == [0]
+    dropped = (textstats.lang_id(df, ["doc_id"])
+               .filter(F.col("lang_pred") != "en").count())
+    assert dropped == 3
+
+
 def test_dedup_canonical_star_long_chain(spark):
     """dedup_canonical defaults to star CC: a 120-long chain (diameter
     far beyond min-label's comfortable round budget) must resolve to
