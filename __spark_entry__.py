@@ -395,6 +395,23 @@ def _q_passage_dedup(spark, sf_dir):
     return spans.join(scrubbed, "doc_id")
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """CCNet-tier duplicate-line scrub (Wenzek et al. 2020) over
+    planted multi-line pages: two boilerplate lines shared by every
+    page (the per-page copyright year exercises digit-insensitive
+    normalization), the unique document text, a letter-coded unique
+    tail, and a within-page repeated banner on every 7th page. The
+    oracle re-derives normalization, corpus-wide counting, and the
+    per-doc reassembly on the normalized strings themselves."""
+    from html_parser_spark.operators.dedup import dedup_lines
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_T_LINES.replace("AS VARCHAR", "AS STRING"))
+        .alias("text"))
+    return dedup_lines(planted)
+
+
 def _q_simhash(spark, sf_dir):
     from html_parser_spark.operators.dedup import simhash
     return simhash(_docs(spark, sf_dir))
@@ -626,13 +643,29 @@ _T_FALSE = ("'<!-- c' || CAST(doc_id AS VARCHAR) || ' -->A<b>B</b>'")
 _T_PHRASE = ("'P1 <b>bold</b> &amp; ' || text || "
              "' <br> tail<table><td>stop'")
 
+#: multi-line page fixture for the CCNet duplicate-line tier: two
+#: corpus-wide boilerplate lines (the copyright year varies per page
+#: — digit-insensitive normalization must collapse it), the unique
+#: document text, a letter-coded unique tail (digits would normalize
+#: away), and a within-page repeated banner on every 7th page.
+_T_LINES = (
+    "'Accept all cookies to continue' || chr(10) || text || chr(10)"
+    " || 'Copyright ' || CAST(2000 + doc_id % 30 AS VARCHAR) ||"
+    " ' Example Site' || chr(10) || 'tail marker ' ||"
+    " translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||"
+    " 'repeated banner line' || chr(10) || 'repeated banner line'"
+    " ELSE '' END")
+
 
 def _q_marked_sections(spark, sf_dir):
-    """T8 + F6 in one row set: CDATA section text reported raw (no
-    entity decode) and INCLUDE text reported normally with section
-    delimiters suppressed (marked_doc), joined on conv_id with the
-    MS_IGNORE arm where the section swallows every event
-    (ignored_n_events, ignored_doc)."""
+    """T8 + F6 + T11 in one row set: CDATA section text reported raw
+    (no entity decode) and INCLUDE text reported normally with
+    section delimiters suppressed (marked_doc), joined on conv_id
+    with the MS_IGNORE arm where the section swallows every event
+    (ignored_n_events, ignored_doc) and the empty-element-tags arm
+    where <x/> emits start + artificial end (empty_tags,
+    hparser.c:1383-1396)."""
     from html_parser_spark.config import ParserConfig
     from html_parser_spark.operators.extract import events
 
@@ -654,20 +687,13 @@ def _q_marked_sections(spark, sf_dir):
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seq", "text"))),
                 lambda s: s.text), "").alias("ignored_doc"))
-    return marked.join(ignored, "conv_id")
 
-
-def _q_empty_element_tags(spark, sf_dir):
-    """T11: <x/> emits start + artificial end when empty_element_tags
-    is on (hparser.c:1383-1396)."""
-    from html_parser_spark.config import ParserConfig
-    from html_parser_spark.operators.extract import events
-
-    ev = events(_tmpl(spark, sf_dir, _T_EMPTY),
-                ParserConfig(empty_element_tags=True), fields=("tag",))
-    ev = ev.withColumn("tag", F.coalesce("tag", F.lit("~")))
-    return _ordered_concat(ev, "tag", ",").withColumnRenamed(
-        "doc", "tags")
+    ev3 = events(_tmpl(spark, sf_dir, _T_EMPTY),
+                 ParserConfig(empty_element_tags=True), fields=("tag",))
+    ev3 = ev3.withColumn("tag", F.coalesce("tag", F.lit("~")))
+    empty = _ordered_concat(ev3, "tag", ",").withColumnRenamed(
+        "doc", "empty_tags")
+    return marked.join(ignored, "conv_id").join(empty, "conv_id")
 
 
 def _q_skipped_text(spark, sf_dir):
@@ -845,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
         "passage_dedup": _q_passage_dedup,
+        "dedup_lines": _q_dedup_lines,
         "dedup_corpus": _q_dedup_corpus,
         "curate_corpus": _q_curate_corpus,
         "corpus_mix": _q_corpus_mix,
@@ -857,7 +884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_ann": _q_lsh_ann,
         "marked_sections": _q_marked_sections,
-        "empty_element_tags": _q_empty_element_tags,
         "skipped_text": _q_skipped_text,
         "handler_filters": _q_handler_filters,
         "get_phrase": _q_get_phrase,
@@ -1476,6 +1502,40 @@ def oracle_sql() -> dict[str, str]:
                    s.n_dup_shingles,
                    coalesce(sc.scrubbed_text, '') AS scrubbed_text
             FROM spansq s LEFT JOIN scrub sc ON s.doc_id = sc.doc_id""",
+        "dedup_lines": f"""
+            WITH d AS (SELECT doc_id, {_T_LINES} AS t FROM documents),
+            ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr
+                   FROM d),
+            ln AS (SELECT doc_id,
+                          unnest(generate_series(1, len(arr))) AS i,
+                          arr
+                   FROM ls),
+            lines AS (SELECT doc_id, i, arr[i] AS line,
+                        trim(regexp_replace(regexp_replace(
+                          lower(arr[i]), '[^\\p{{L}} ]', ' ', 'g'),
+                          '\\s+', ' ', 'g')) AS nrm
+                      FROM ln),
+            dup AS (SELECT nrm FROM lines WHERE len(nrm) >= 5
+                    GROUP BY nrm HAVING count(*) >= 2),
+            dropped AS (SELECT doc_id, i FROM lines
+                        WHERE len(nrm) >= 5
+                          AND nrm IN (SELECT nrm FROM dup)),
+            kept AS (SELECT l.doc_id, l.i, l.line FROM lines l
+                     LEFT JOIN dropped dr
+                       ON l.doc_id = dr.doc_id AND l.i = dr.i
+                     WHERE dr.i IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY i)
+                             AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(ls.arr) AS INT) AS n_lines,
+                   CAST(len(ls.arr) - coalesce(a.n_kept, 0) AS INT)
+                     AS n_dup_lines
+            FROM d JOIN ls USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)""",
         "simhash_pairs": f"""
             WITH {_SIMHASH64_CTE},
             bands AS (
@@ -1582,11 +1642,9 @@ def oracle_sql() -> dict[str, str]:
                    'pre ' || text || '  a<b>&amp; ' || {_ID} ||
                    ' mid ok post' AS marked_doc,
                    CAST(2 AS BIGINT) AS ignored_n_events,
-                   'AB' || {_ID} AS ignored_doc
-            FROM documents""",
-        "empty_element_tags": f"""
-            SELECT {_ID} AS conv_id,
-                   'r' || {_ID} || ',/r' || {_ID} || ',p,/p,~' AS tags
+                   'AB' || {_ID} AS ignored_doc,
+                   'r' || {_ID} || ',/r' || {_ID} || ',p,/p,~'
+                     AS empty_tags
             FROM documents""",
         "skipped_text": f"""
             SELECT {_ID} AS conv_id, 0 AS seq, 'b' AS tagname,

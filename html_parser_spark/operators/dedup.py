@@ -725,3 +725,65 @@ def contaminated_spans(df: DataFrame, eval_df: DataFrame,
                       F.posexplode(shingles).alias("pos", "h")))
     flagged = hashed.join(ev, "h", "left_semi").select("key", "pos")
     return _merge_dup_positions(flagged, key_col, n)
+
+
+def dedup_lines(df: DataFrame, key_col: str = "doc_id",
+                text_col: str = "text", min_count: int = 2,
+                min_norm_chars: int = 5) -> DataFrame:
+    """Corpus-level duplicate-line (paragraph) removal, the CCNet
+    tier (Wenzek et al. 2020 "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", §4.1 public method):
+    boilerplate — cookie banners, nav menus, copyright footers —
+    repeats across pages far more often than prose, so any line whose
+    normalized form occurs >= ``min_count`` times anywhere in the
+    corpus is scrubbed from every document that carries it. This is
+    the sub-document tier between document near-dup (MinHash/SimHash)
+    and word-shingle passage dedup (:func:`passage_dup_spans`): it
+    keys on LINE boundaries, which is what boilerplate actually
+    respects.
+
+    Normalization follows CCNet's digit/punctuation-insensitive
+    hashing: lowercase, strip every non-letter to a space, collapse
+    whitespace — so "Copyright 2024." and "copyright 2025" are the
+    same line. Lines whose normalized form is shorter than
+    ``min_norm_chars`` are exempt (short interjections like "ok"
+    legitimately repeat); blank lines always pass through.
+
+    Returns one row per input row:
+    (key, clean_text, n_lines, n_dup_lines), clean_text = surviving
+    lines re-joined with newlines (uniformly defined for every doc,
+    like :func:`remove_dup_passages`).
+
+    Scale shape: line frequency is a partial-aggregated groupBy on
+    ``xxhash64`` of the normalized line — the boilerplate Zipf head
+    collapses map-side and the shuffle carries 8-byte keys, not line
+    text; flagged (doc, line-index) pairs come back through one
+    output-bounded semi-join + groupBy keyed on the doc; nothing
+    corpus-sized is broadcast and no Python enters the path. The
+    DuckDB oracle re-derives the counting on the normalized strings
+    themselves, so hash-equality standing in for string-equality is
+    itself checked.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(F.col(key_col).alias("key"),
+                   F.posexplode(lines).alias("idx", "line"))
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("line")), r"[^\p{L} ]", " "), r"\s+", " "))
+    eligible = (ex.withColumn("_n", norm)
+                .filter(F.length("_n") >= min_norm_chars)
+                .select("key", "idx", F.xxhash64("_n").alias("h")))
+    dup_h = (eligible.groupBy("h").agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= min_count).select("h"))
+    flagged = eligible.join(dup_h, "h", "left_semi")
+    per_doc = flagged.groupBy("key").agg(
+        F.collect_set("idx").alias("_drop"))
+    joined = (df.select(F.col(key_col), F.col(text_col))
+              .join(per_doc.withColumnRenamed("key", key_col),
+                    key_col, "left"))
+    drop = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    kept = F.filter(lines, lambda l, i: ~F.array_contains(drop, i))
+    return joined.select(
+        key_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(drop).alias("n_dup_lines"))

@@ -714,6 +714,29 @@ def test_dedup_canonical_star_long_chain(spark):
     assert [r.id for r in out if r.is_canonical] == [0]
 
 
+def test_dedup_lines_ccnet(spark):
+    """CCNet-tier duplicate-line scrub: lines repeated across (or
+    within) the corpus after digit/punct-insensitive normalization
+    are removed; short normalized lines are exempt; blank lines pass
+    through; every input doc yields exactly one output row."""
+    rows = [
+        (0, "Accept all cookies\nalpha beta gamma\nCopyright 2024."
+            "\nok\n\ntail zero"),
+        (1, "accept ALL cookies!\ndelta epsilon\ncopyright 2025"
+            "\nok\n\ntail one"),
+        (2, "repeat me please\nrepeat me please\nunique prose here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dedup_lines(df).collect()}
+    assert out[0].clean_text == "alpha beta gamma\nok\n\ntail zero"
+    assert (out[0].n_lines, out[0].n_dup_lines) == (6, 2)
+    assert out[1].clean_text == "delta epsilon\nok\n\ntail one"
+    assert (out[1].n_lines, out[1].n_dup_lines) == (6, 2)
+    # within-doc repetition counts toward the corpus threshold
+    assert out[2].clean_text == "unique prose here"
+    assert (out[2].n_lines, out[2].n_dup_lines) == (3, 2)
+
+
 def test_passage_dup_spans(spark):
     """Lee-et-al-class passage dedup: a 9-word passage shared by 3
     docs is found at each doc's word offset; adjacent duplicated
