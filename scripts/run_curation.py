@@ -8,6 +8,9 @@ Stages (each one of the independently-oracle-verified operators):
 
 1. **extract** — fused tokenize + main-content assembly per turn
    (`operators.extract.extract_text`), map-only.
+   With ``--dedup-lines N``, a CCNet-tier duplicate-line scrub
+   (`dedup.dedup_lines`) runs on the line-structured extracted text
+   first, so boilerplate never reaches the quality stats.
 2. **quality gate** — Gopher rule bundle on the extracted text
    (`textstats.gopher_quality`): word count / mean word length /
    symbol ratio / alpha-word ratio / stopword presence.
@@ -59,6 +62,14 @@ def main() -> None:
                     help="parquet of benchmark texts (column 'text'); "
                          "enables the decontamination stage")
     ap.add_argument("--eval-ngram", type=int, default=13)
+    ap.add_argument("--dedup-lines", type=int, default=0,
+                    metavar="MIN_COUNT",
+                    help="CCNet-tier boilerplate removal: scrub lines "
+                         "of the line-structured EXTRACTED text whose "
+                         "normalized form repeats >= MIN_COUNT times "
+                         "across the corpus (dedup.dedup_lines), "
+                         "before the quality gate sees the text; "
+                         "0 = stage skipped")
     ap.add_argument("--shards", type=int, default=0,
                     help="export N deterministic content-hash "
                          "training shards instead of plain parquet")
@@ -102,10 +113,34 @@ def main() -> None:
     funnel["input_turns"] = tr.count()
 
     # 1. extract (cache: three downstream consumers)
-    ex = (extract_text(tr, EXTRACT_CONFIG)
-          .select("conv_id", "turn_idx",
-                  F.col("trimmed_text").alias("text"))
-          .cache())
+    ex0 = extract_text(tr, EXTRACT_CONFIG)
+
+    # 1b. optional CCNet-tier duplicate-line scrub — runs on the
+    # line-structured extracted_text (trimmed_text has newlines
+    # collapsed already), BEFORE the quality gate so boilerplate
+    # does not distort word/stopword stats; the survivors are then
+    # whitespace-collapsed exactly like trimmed_text.
+    if args.dedup_lines:
+        keyed0 = (ex0.select("conv_id", "turn_idx", "extracted_text")
+                  .withColumn("doc_key",
+                              F.concat_ws("#", "conv_id", "turn_idx")))
+        dl = dedup.dedup_lines(keyed0, key_col="doc_key",
+                               text_col="extracted_text",
+                               min_count=args.dedup_lines)
+        ex = (dl.join(keyed0.select("doc_key", "conv_id", "turn_idx"),
+                      "doc_key")
+              .select("conv_id", "turn_idx",
+                      F.trim(F.regexp_replace("clean_text", r"\s+",
+                                              " ")).alias("text"))
+              .cache())
+        # rows survive line dedup by design — the informative funnel
+        # number is how many turns had boilerplate lines scrubbed
+        funnel["line_scrubbed_turns"] = (
+            dl.filter("n_dup_lines > 0").count())
+    else:
+        ex = (ex0.select("conv_id", "turn_idx",
+                         F.col("trimmed_text").alias("text"))
+              .cache())
 
     # 2. quality gate on the EXTRACTED text
     q = textstats.gopher_quality(ex, ["conv_id", "turn_idx"],
