@@ -156,17 +156,30 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
-def _q_fingerprint(spark, sf_dir):
-    from html_parser_spark.operators.textstats import fingerprint
-    return fingerprint(_docs(spark, sf_dir), ["doc_id"])
-
-
 def _q_token_stats(spark, sf_dir):
-    from html_parser_spark.operators.textstats import token_stats
-    out = token_stats(_docs(spark, sf_dir), ["doc_id"])
-    return out.select("doc_id", *[F.col(c).cast("long").alias(c)
-                                  for c in ("n_chars", "n_words",
-                                            "n_tokens")])
+    """Token counting + the ws-normalized md5 fingerprint as one
+    per-doc row set (both narrow projections over documents; joined
+    on doc_id to keep the registry within the driver's window)."""
+    from html_parser_spark.operators.textstats import (
+        fingerprint, token_stats)
+    docs = _docs(spark, sf_dir)
+    out = token_stats(docs, ["doc_id"])
+    stats = out.select("doc_id", *[F.col(c).cast("long").alias(c)
+                                   for c in ("n_chars", "n_words",
+                                             "n_tokens")])
+    return stats.join(fingerprint(docs, ["doc_id"]), "doc_id")
+
+
+def _q_dsir(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023) of every doc
+    against a planted target slice (doc_id % 5 == 0): hashed
+    unigram+bigram bucket models with add-1 smoothing. The oracle
+    re-derives the md5 bucketing, both models, and the per-doc
+    log-ratio sums — the full importance-weighting math."""
+    from html_parser_spark.operators.sampling import dsir_logweights
+    docs = _docs(spark, sf_dir)
+    return dsir_logweights(docs, docs.filter("doc_id % 5 = 0"),
+                           buckets=1000)
 
 
 def _q_quality(spark, sf_dir):
@@ -854,7 +867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconstruct": _q_reconstruct,
         "entities": _q_entities,
         "dedup_exact": _q_dedup_exact,
-        "fingerprint": _q_fingerprint,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -875,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": _q_dedup_corpus,
         "curate_corpus": _q_curate_corpus,
         "corpus_mix": _q_corpus_mix,
+        "dsir": _q_dsir,
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
@@ -1222,11 +1235,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS canonical_id
             FROM documents GROUP BY md5(text)""",
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                   AS fingerprint
-            FROM documents""",
         "token_stats": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
@@ -1234,8 +1242,44 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_words,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]'))
-                        AS BIGINT) AS n_tokens
+                        AS BIGINT) AS n_tokens,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint
             FROM documents""",
+        "dsir": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         trim(lower(text)), '\\s+'),
+                       x -> len(x) > 0) AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(w || CASE WHEN len(w) >= 2
+                       THEN list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS gram
+              FROM d),
+            bk AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1000
+                       AS b
+              FROM g),
+            cp AS (SELECT b, count(*) AS cp FROM bk
+                   WHERE doc_id % 5 = 0 GROUP BY b),
+            cq AS (SELECT b, count(*) AS cq FROM bk GROUP BY b),
+            np AS (SELECT coalesce(sum(cp), 0) AS np FROM cp),
+            nq AS (SELECT coalesce(sum(cq), 0) AS nq FROM cq),
+            lr AS (
+              SELECT cq.b,
+                     ln((coalesce(cp.cp, 0) + 1.0) / (np.np + 1000.0))
+                   - ln((cq.cq + 1.0) / (nq.nq + 1000.0)) AS lr
+              FROM cq LEFT JOIN cp USING (b), np, nq),
+            s AS (SELECT bk.doc_id, sum(lr.lr) AS s
+                  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id)
+            SELECT d0.doc_id,
+                   round(coalesce(s.s, 0.0), 3) AS dsir_logw
+            FROM documents d0 LEFT JOIN s USING (doc_id)""",
         "quality_score": f"""
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,

@@ -52,6 +52,9 @@ __all__ = [
     "stratified_sample",
     "mix_fractions",
     "mix_corpus",
+    "hashed_ngram_buckets",
+    "dsir_logweights",
+    "dsir_select",
 ]
 
 #: 2^32 — the hash prefix below is 8 hex digits = 32 bits.
@@ -147,3 +150,156 @@ def mix_corpus(
     }
     fractions = mix_fractions(counts, weights, total, normalize)
     return stratified_sample(df, strata_col, fractions, key_col, seed)
+
+
+def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
+    """Bucket ids of the bag of word unigrams + bigrams of ``text``
+    (lowercased, whitespace-tokenized), WITH multiplicity — DSIR
+    features are counts, not sets.  Bucketing is the first 32 md5
+    bits mod ``buckets`` (the engine's portable hash: the DuckDB
+    oracle rebuilds it as ``('0x' || substr(md5(g),1,8))::BIGINT %
+    buckets``)."""
+    w = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
+                 lambda x: F.length(x) > 0)
+    bis = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i),
+                                  F.element_at(w, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bis)
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("long") % buckets)
+
+
+def _bucket_counts(df: DataFrame, text_col: str,
+                   buckets: int) -> DataFrame:
+    """(b, c): corpus-wide hashed-n-gram bucket counts."""
+    return (df.select(F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets))
+                .alias("b"))
+            .groupBy("b").agg(F.count("*").alias("c")))
+
+
+def dsir_logweights(df: DataFrame, target_df: DataFrame,
+                    key_col: str = "doc_id", text_col: str = "text",
+                    target_text_col: str | None = None,
+                    buckets: int = 10_000, alpha: float = 1.0,
+                    ndigits: int = 3) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    fit two smoothed bag-of-hashed-n-grams models, p from
+    ``target_df`` (the distribution you WANT, e.g. a curated sample)
+    and q from ``df`` (the raw corpus), and score every corpus row by
+
+        log w(x) = sum_grams [ log p(bucket) - log q(bucket) ]
+
+    with add-``alpha`` smoothing over ``buckets`` buckets.  Rows that
+    look like the target get positive weights; boilerplate-ish rows
+    go negative.  Returns (key, dsir_logw), one row per input row
+    (gram-free rows score 0), rounded to ``ndigits`` so the
+    double-precision sum is portable across engines (the DuckDB
+    oracle re-derives the full computation).
+
+    Scale shape: both models are partial-aggregated groupBys on int
+    bucket ids (<= ``buckets`` rows each — the Zipf gram head
+    collapses map-side); the log-ratio table is at most ``buckets``
+    rows and is broadcast; the corpus side is explode -> broadcast
+    equi-join -> partial-agg sum keyed by the doc, so the only
+    exchange is O(rows).  Two scalar totals are collected driver-side
+    (same bookkeeping class as :func:`mix_corpus` stratum counts).
+    Nothing corpus-sized is broadcast or re-shuffled.
+    """
+    tcol = target_text_col or text_col
+    tgt = (_bucket_counts(target_df, tcol, buckets)
+           .withColumnRenamed("c", "cp"))
+    raw = df.select(
+        F.col(key_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets))
+        .alias("b"))
+    q = raw.groupBy("b").agg(F.count("*").alias("cq"))
+    n_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0))).first()[0]
+    n_q = raw.count()
+    denom_p = float(n_p) + alpha * buckets
+    denom_q = float(n_q) + alpha * buckets
+    ratio = (q.join(tgt, "b", "left")
+             .select("b",
+                     (F.log((F.coalesce(F.col("cp"), F.lit(0))
+                             + F.lit(alpha)) / F.lit(denom_p))
+                      - F.log((F.col("cq") + F.lit(alpha))
+                              / F.lit(denom_q))).alias("lr")))
+    sums = (raw.join(F.broadcast(ratio), "b")
+            .groupBy(key_col).agg(F.sum("lr").alias("_s")))
+    return (df.select(key_col).join(sums, key_col, "left")
+            .select(key_col,
+                    F.round(F.coalesce(F.col("_s"), F.lit(0.0)),
+                            ndigits).alias("dsir_logw")))
+
+
+def dsir_select(df: DataFrame, target_df: DataFrame, k: int,
+                key_col: str = "doc_id", text_col: str = "text",
+                seed: int = 0, buckets: int = 10_000,
+                alpha: float = 1.0) -> DataFrame:
+    """DSIR selection: sample ``k`` corpus rows without replacement
+    with probability proportional to ``exp(dsir_logw)`` via the
+    Gumbel-top-k trick (public): add an independent Gumbel draw
+    ``g = -ln(-ln(u))`` to each log-weight and keep the global top-k
+    of ``dsir_logw + g``.  The uniform ``u`` comes from the same
+    deterministic md5 draw as :func:`stratified_sample`, so the
+    selected set is a pure function of (data, seed) — identical at
+    any cluster size, input order, or retry history.
+
+    Returns (key, dsir_logw, dsir_score, rank), rank 1-based by
+    score desc (key asc on ties).
+
+    Scale shape: the score is a map-only extension of
+    :func:`dsir_logweights`; the top-k reduction is the same
+    two-phase bounded pattern as ``similarity.cosine_topk`` — each
+    partition is cut to <= k rows in one Arrow pass BEFORE any
+    exchange, so the final single-group merge sees only
+    partitions * k rows, never the corpus.
+    """
+    import pandas as pd
+
+    lw = dsir_logweights(df, target_df, key_col, text_col,
+                         buckets=buckets, alpha=alpha, ndigits=9)
+    # +0.5/2^32 keeps the draw strictly inside (0,1) for the double log
+    u = uniform_hash_col(F.col(key_col), seed) \
+        + F.lit(0.5 / _HASH_SPACE)
+    scored = lw.withColumn(
+        "dsir_score",
+        F.round(F.col("dsir_logw") - F.log(-F.log(u)), 9))
+
+    def local_topk(pdfs):
+        acc: list[pd.DataFrame] = []
+        n_acc = 0
+        for pdf in pdfs:
+            acc.append(pdf)
+            n_acc += len(pdf)
+            if n_acc > 64 * k:
+                merged = pd.concat(acc, ignore_index=True)
+                merged = merged.sort_values(
+                    ["dsir_score", key_col],
+                    ascending=[False, True]).head(k)
+                acc, n_acc = [merged], len(merged)
+        if acc:
+            yield (pd.concat(acc, ignore_index=True)
+                   .sort_values(["dsir_score", key_col],
+                                ascending=[False, True]).head(k))
+
+    partial = scored.mapInPandas(local_topk, scored.schema)
+    cand = F.struct((-F.col("dsir_score")).alias("ns"),
+                    F.col(key_col).alias("key"),
+                    F.col("dsir_logw").alias("lw"),
+                    F.col("dsir_score").alias("sc"))
+    return (partial.groupBy()
+            .agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k)
+                 .alias("top"))
+            .select(F.posexplode("top").alias("_pos", "t"))
+            .select(F.col("t.key").alias(key_col),
+                    F.col("t.lw").alias("dsir_logw"),
+                    F.col("t.sc").alias("dsir_score"),
+                    (F.col("_pos") + 1).cast("int").alias("rank")))

@@ -714,6 +714,64 @@ def test_dedup_canonical_star_long_chain(spark):
     assert [r.id for r in out if r.is_canonical] == [0]
 
 
+def test_dsir_weights_select_and_determinism(spark):
+    """DSIR importance weights: re-derived exactly in pure Python
+    (md5 buckets, add-alpha smoothing, log-ratio sums) for every
+    doc; target-like docs rank above off-target ones; selection via
+    Gumbel-top-k is a pure function of (data, seed) — identical
+    after repartitioning."""
+    import hashlib
+    import math as m
+
+    from html_parser_spark.operators import sampling
+
+    rows = [
+        (0, "spark shuffle partition executor spark shuffle"),
+        (1, "spark executor arrow batches shuffle partition"),
+        (2, "cats purr softly on warm windowsills at dusk"),
+        (3, "dogs bark loudly in the yard all day"),
+        (4, ""),
+    ]
+    B, alpha = 128, 1.0
+
+    def grams(t):
+        w = [x for x in t.lower().strip().split() if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    cp: dict[int, int] = {}
+    cq: dict[int, int] = {}
+    for did, t in rows:
+        for g in grams(t):
+            b = bucket(g)
+            cq[b] = cq.get(b, 0) + 1
+            if did <= 1:
+                cp[b] = cp.get(b, 0) + 1
+    np_, nq_ = sum(cp.values()), sum(cq.values())
+    expect = {}
+    for did, t in rows:
+        s = sum(m.log((cp.get(bucket(g), 0) + alpha) / (np_ + alpha * B))
+                - m.log((cq[bucket(g)] + alpha) / (nq_ + alpha * B))
+                for g in grams(t))
+        expect[did] = round(s, 3)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id <= 1")
+    got = {r.doc_id: r.dsir_logw for r in
+           sampling.dsir_logweights(df, target, buckets=B).collect()}
+    assert got == pytest.approx(expect)
+    assert got[0] > got[2] and got[1] > got[3] and got[4] == 0.0
+
+    sel = sampling.dsir_select(df, target, k=2, buckets=B).collect()
+    sel2 = sampling.dsir_select(df.repartition(7), target, k=2,
+                                buckets=B).collect()
+    assert [(r.doc_id, r.rank) for r in sel] == \
+        [(r.doc_id, r.rank) for r in sel2]
+    assert {r.doc_id for r in sel} == {0, 1}
+
+
 def test_dedup_lines_ccnet(spark):
     """CCNet-tier duplicate-line scrub: lines repeated across (or
     within) the corpus after digit/punct-insensitive normalization
