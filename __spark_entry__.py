@@ -248,11 +248,6 @@ def _q_gopher_quality(spark, sf_dir):
                           min_words=20)
 
 
-def _q_normalize_text(spark, sf_dir):
-    from html_parser_spark.operators.textstats import normalize_text
-    return normalize_text(_docs(spark, sf_dir), ["doc_id"])
-
-
 _T_HOSTS = ("'<a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
             "'.ex.com/d/' || CAST(doc_id AS VARCHAR) || '\">x</a>"
             "<img src=\"https://img.ex.com/i' || "
@@ -327,18 +322,33 @@ def _q_sessionize(spark, sf_dir):
 
 
 def _q_redact_pii(spark, sf_dir):
-    """PII scrub over text with planted email/IP/phone; the oracle
-    knows the closed-form redacted string."""
-    from html_parser_spark.operators.textstats import redact_pii
+    """Both per-doc text transforms in one row set: PII scrub over
+    text with planted email/IP/phone (the oracle knows the
+    closed-form redacted string) joined with Unicode NFC + ws/case
+    normalization of the raw text (norm_text)."""
+    from html_parser_spark.operators.textstats import (
+        normalize_text, redact_pii)
 
-    planted = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
         "doc_id",
         F.expr(
             "text || ' mail a' || CAST(doc_id AS STRING) || "
             "'@ex.com ip 10.1.2.' || CAST(doc_id % 250 AS STRING) || "
             "' tel +1 (555) 010-' || CAST(doc_id AS STRING)"
         ).alias("text"))
-    return redact_pii(planted, ["doc_id"])
+    return redact_pii(planted, ["doc_id"]).join(
+        normalize_text(docs, ["doc_id"]), "doc_id")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Deterministic GPT-style sequence packing of the documents
+    table into 200-token packs over 8 hash buckets; the oracle
+    re-derives the md5 layout order, the per-bucket running token
+    offsets, and the floor(start/target) pack assignment."""
+    from html_parser_spark.plans.pipeline import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), target_tokens=200,
+                          buckets=8)
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -870,7 +880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "normalize_text": _q_normalize_text,
         "link_hosts": _q_link_hosts,
         "canonical_urls": _q_canonical_urls,
         "term_freq": _q_term_freq,
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "corpus_mix": _q_corpus_mix,
         "dsir": _q_dsir,
+        "pack_sequences": _q_pack_sequences,
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
@@ -1303,12 +1313,6 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents))""",
         "lang_id": _lang_id_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
-        "normalize_text": """
-            SELECT doc_id,
-                   lower(trim(regexp_replace(nfc_normalize(text),
-                                             '\\s+', ' ', 'g')))
-                     AS norm_text
-            FROM documents""",
         "link_hosts": f"""
             SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com'
                      AS host,
@@ -1357,8 +1361,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS n_ipv4,
                    CAST(1 AS INT) AS n_phone,
                    text || ' mail <EMAIL> ip <IP> tel <PHONE>'
-                     AS redacted
+                     AS redacted,
+                   lower(trim(regexp_replace(nfc_normalize(text),
+                                             '\\s+', ' ', 'g')))
+                     AS norm_text
             FROM documents""",
+        "pack_sequences": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || '#b0'), 1, 8))::BIGINT % 8 AS b,
+                     md5(CAST(doc_id AS VARCHAR) || '#o0') AS h
+              FROM documents),
+            laid AS (
+              SELECT doc_id, n_tokens, b, h,
+                     sum(n_tokens) OVER (PARTITION BY b
+                       ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+              FROM base)
+            SELECT doc_id,
+                   CAST(b AS VARCHAR) || '-' ||
+                     CAST(CAST(floor(start / 200.0) AS BIGINT)
+                          AS VARCHAR) AS pack_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY b, floor(start / 200.0)
+                     ORDER BY h, doc_id) AS INT) AS pack_pos,
+                   CAST(n_tokens AS INT) AS n_tokens
+            FROM laid""",
         "repetition_stats": f"""
             WITH d AS (
               SELECT doc_id,

@@ -210,3 +210,63 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
                            text_col="extracted_text")
          .write.mode("append").parquet(checkpoint_dir))
     return len(todo)
+
+
+def pack_sequences(df: DataFrame, target_tokens: int,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   buckets: int = 4096, seed: int = 0) -> DataFrame:
+    """Deterministic sequence packing — the training-export step that
+    lays documents end-to-end into fixed-token-budget packs (the
+    GPT-style "pack short documents into one training sequence"
+    stage; public practice since Brown et al. 2020 §2.3 trained on
+    packed multi-document contexts).
+
+    Docs are laid out in a deterministic pseudo-random order (md5
+    order hash, key tiebreak) inside ``buckets`` independent hash
+    buckets; each doc's pack is ``floor(start_offset /
+    target_tokens)`` of its whitespace-token start offset in that
+    layout, so a pack holds consecutive whole documents and rolls
+    over once the budget is crossed (a straddling doc belongs to the
+    pack where it starts — packs overflow by at most one document,
+    the standard no-split tradeoff).  Token counts are whitespace
+    words (same CJK caveat as ``textstats.words_col``).
+
+    Returns one row per input row:
+    (key, pack_id, pack_pos, n_tokens) — pack_id = "bucket-local" is
+    globally unique, pack_pos is the 1-based position of the doc
+    inside its pack.  The full assignment is a pure function of
+    (data, seed): identical at any cluster size, input order, or
+    retry history, like every sampling/shard operator here.
+
+    Scale shape: packing is inherently sequential WITHIN a pack (each
+    doc's pack depends on the cumulative length before it), so the
+    parallelism unit is the bucket: one window cumsum per bucket, no
+    global sort, no driver-side state.  Size ``buckets`` so a
+    bucket's docs fit a reducer (100 TB / 4096 ~ 25 GB; raise it for
+    bigger corpora — bucket count only changes WHICH packs form,
+    determinism holds at any setting).  Everything is JVM codegen:
+    md5/conv builtins, two window passes keyed by the same partition
+    spec, one exchange on the bucket id.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key_col).cast("string")
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    b = (F.conv(F.substring(
+            F.md5(F.concat(k, F.lit(f"#b{seed:d}"))), 1, 8), 16, 10)
+         .cast("long") % buckets)
+    h = F.md5(F.concat(k, F.lit(f"#o{seed:d}")))
+    base = df.select(F.col(key_col), n.alias("n_tokens"),
+                     b.alias("_b"), h.alias("_h"))
+    w = (Window.partitionBy("_b").orderBy("_h", key_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = (base.withColumn("_local",
+                              F.floor(start / F.lit(target_tokens))))
+    wp = Window.partitionBy("_b", "_local").orderBy("_h", key_col)
+    return packed.select(
+        key_col,
+        F.concat_ws("-", F.col("_b").cast("string"),
+                    F.col("_local").cast("string")).alias("pack_id"),
+        F.row_number().over(wp).cast("int").alias("pack_pos"),
+        F.col("n_tokens").cast("int").alias("n_tokens"))

@@ -222,6 +222,39 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
     assert sizes[0] > 125 and sizes[-1] < 500
 
 
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: every doc lands in exactly one pack; packs
+    hold consecutive whole docs with every doc STARTING before the
+    token budget (overflow <= one straddling doc); pack_pos is dense
+    1..m; and the whole assignment is a pure function of the data —
+    identical after repartitioning/reversing the input."""
+    from html_parser_spark.plans.pipeline import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i % 7) + 1)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, target_tokens=10, buckets=2).collect()
+    assert len(out) == 60 and len({r.doc_id for r in out}) == 60
+
+    packs: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.pack_id, r.pack_pos)):
+        packs.setdefault(r.pack_id, []).append(r)
+    for pid, members in packs.items():
+        assert [m.pack_pos for m in members] == \
+            list(range(1, len(members) + 1))
+        # every member's start offset inside the pack < target
+        start = 0
+        for m in members:
+            assert start < 10
+            start += m.n_tokens
+
+    out2 = pack_sequences(
+        spark.createDataFrame(rows[::-1], "doc_id long, text string")
+        .repartition(11), target_tokens=10, buckets=2).collect()
+    assert sorted((r.doc_id, r.pack_id, r.pack_pos) for r in out) == \
+        sorted((r.doc_id, r.pack_id, r.pack_pos) for r in out2)
+
+
 def test_bucketed_join_is_co_located(spark, tmp_path):
     """Two tables bucketed on conv_id join WITHOUT any Exchange on
     either side — the co-located-join strategy for 100 TB
