@@ -172,14 +172,18 @@ def _q_token_stats(spark, sf_dir):
 
 def _q_dsir(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023) of every doc
-    against a planted target slice (doc_id % 5 == 0): hashed
-    unigram+bigram bucket models with add-1 smoothing. The oracle
-    re-derives the md5 bucketing, both models, and the per-doc
-    log-ratio sums — the full importance-weighting math."""
-    from html_parser_spark.operators.sampling import dsir_logweights
+    against a planted target slice (doc_id % 5 == 0), joined with
+    the hashed-n-gram LM cross-entropy under the same target model
+    (the CCNet perplexity-filtering analogue): hashed unigram+bigram
+    bucket models with add-1 smoothing. The oracle re-derives the
+    md5 bucketing, both models, the per-doc log-ratio sums AND the
+    per-gram cross-entropy."""
+    from html_parser_spark.operators.sampling import (
+        dsir_logweights, ngram_xent)
     docs = _docs(spark, sf_dir)
-    return dsir_logweights(docs, docs.filter("doc_id % 5 = 0"),
-                           buckets=1000)
+    target = docs.filter("doc_id % 5 = 0")
+    return dsir_logweights(docs, target, buckets=1000).join(
+        ngram_xent(docs, target, buckets=1000), "doc_id")
 
 
 def _q_quality(spark, sf_dir):
@@ -1286,10 +1290,18 @@ def oracle_sql() -> dict[str, str]:
                    - ln((cq.cq + 1.0) / (nq.nq + 1000.0)) AS lr
               FROM cq LEFT JOIN cp USING (b), np, nq),
             s AS (SELECT bk.doc_id, sum(lr.lr) AS s
-                  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id)
+                  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
+            x AS (SELECT bk.doc_id,
+                         sum(ln((coalesce(cp.cp, 0) + 1.0)
+                                / (np.np + 1000.0))) AS xs,
+                         count(*) AS xn
+                  FROM bk LEFT JOIN cp USING (b), np
+                  GROUP BY bk.doc_id)
             SELECT d0.doc_id,
-                   round(coalesce(s.s, 0.0), 3) AS dsir_logw
-            FROM documents d0 LEFT JOIN s USING (doc_id)""",
+                   round(coalesce(s.s, 0.0), 3) AS dsir_logw,
+                   round(-x.xs / x.xn, 3) AS ngram_xent
+            FROM documents d0 LEFT JOIN s USING (doc_id)
+            LEFT JOIN x USING (doc_id)""",
         "quality_score": f"""
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS n_chars,

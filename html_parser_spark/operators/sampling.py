@@ -55,6 +55,7 @@ __all__ = [
     "hashed_ngram_buckets",
     "dsir_logweights",
     "dsir_select",
+    "ngram_xent",
 ]
 
 #: 2^32 — the hash prefix below is 8 hex digits = 32 bits.
@@ -237,6 +238,49 @@ def dsir_logweights(df: DataFrame, target_df: DataFrame,
             .select(key_col,
                     F.round(F.coalesce(F.col("_s"), F.lit(0.0)),
                             ndigits).alias("dsir_logw")))
+
+
+def ngram_xent(df: DataFrame, target_df: DataFrame,
+               key_col: str = "doc_id", text_col: str = "text",
+               target_text_col: str | None = None,
+               buckets: int = 10_000, alpha: float = 1.0,
+               ndigits: int = 3) -> DataFrame:
+    """Hashed-n-gram LM cross-entropy per gram — the engine's
+    analogue of CCNet's LM-perplexity quality dimension (Wenzek et
+    al. 2020 §4.3 ranks documents by the perplexity of a reference
+    LM; here the LM is the add-``alpha`` bucket model of
+    ``target_df``, the same model family DSIR uses):
+
+        xent(x) = -(1/n_grams) * sum_grams log p_target(bucket)
+
+    Lower = more target-like; thresholding on it is perplexity
+    filtering.  Returns (key, ngram_xent) for every input row
+    (gram-free rows get NULL — there is no length to normalize by),
+    rounded to ``ndigits`` for engine portability.
+
+    Scale shape: identical to :func:`dsir_logweights` minus the q
+    model — one partial-aggregated bucket count (<= ``buckets``
+    rows, broadcast), explode -> broadcast join -> per-doc
+    partial-agg sum/count, one O(rows) exchange.
+    """
+    tcol = target_text_col or text_col
+    tgt = (_bucket_counts(target_df, tcol, buckets)
+           .withColumnRenamed("c", "cp"))
+    n_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0))).first()[0]
+    denom_p = float(n_p) + alpha * buckets
+    raw = df.select(
+        F.col(key_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets))
+        .alias("b"))
+    lp = F.log((F.coalesce(F.col("cp"), F.lit(0)) + F.lit(alpha))
+               / F.lit(denom_p))
+    agg = (raw.join(F.broadcast(tgt), "b", "left")
+           .groupBy(key_col)
+           .agg(F.sum(lp).alias("_s"), F.count("*").alias("_n")))
+    return (df.select(key_col).join(agg, key_col, "left")
+            .select(key_col,
+                    F.round(-F.col("_s") / F.col("_n"),
+                            ndigits).alias("ngram_xent")))
 
 
 def dsir_select(df: DataFrame, target_df: DataFrame, k: int,

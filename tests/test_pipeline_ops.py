@@ -764,6 +764,22 @@ def test_dsir_weights_select_and_determinism(spark):
     assert got == pytest.approx(expect)
     assert got[0] > got[2] and got[1] > got[3] and got[4] == 0.0
 
+    # CCNet-analogue cross-entropy under the same target model:
+    # re-derived per doc; target-vocab docs read as lower-xent
+    xent_expect = {}
+    for did, t in rows:
+        gs = grams(t)
+        if not gs:
+            xent_expect[did] = None
+            continue
+        s = sum(m.log((cp.get(bucket(g), 0) + alpha) / (np_ + alpha * B))
+                for g in gs)
+        xent_expect[did] = round(-s / len(gs), 3)
+    xent_got = {r.doc_id: r.ngram_xent for r in
+                sampling.ngram_xent(df, target, buckets=B).collect()}
+    assert xent_got == pytest.approx(xent_expect)
+    assert xent_got[0] < xent_got[2] and xent_got[1] < xent_got[3]
+
     sel = sampling.dsir_select(df, target, k=2, buckets=B).collect()
     sel2 = sampling.dsir_select(df.repartition(7), target, k=2,
                                 buckets=B).collect()
