@@ -15,6 +15,16 @@ For conversation-level rollups (e.g. turns per conv per window) we
 add the standard watermark + window aggregation, which IS stateful —
 kept separate so the hot extraction path never pays state-store
 costs.
+
+Documented scope — corpus-frequency operators are batch-only: the
+ops whose semantics quantify over the WHOLE corpus at once
+(`dedup.dedup_lines` line frequencies, `sampling.dsir_logweights` /
+`ngram_xent` model fitting, `plans.pipeline.pack_sequences` layout
+offsets) have no bounded-state streaming form — their answer for
+row X changes when row Y arrives arbitrarily later. The streaming
+analogue is the standard lambda split: fit/count on a batch
+snapshot, apply the frozen model statelessly in the stream (exactly
+how `decontaminate_stream` applies a frozen eval-shingle set).
 """
 
 from __future__ import annotations
