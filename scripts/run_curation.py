@@ -28,6 +28,10 @@ Stages (each one of the independently-oracle-verified operators):
    hash-Bernoulli sampling so language strata follow the requested
    training-mix weights (`sampling.mix_corpus`); the keep set is a
    pure function of the data, identical at any cluster size.
+   With ``--dsir-target T.parquet --dsir-keep K``, DSIR importance
+   resampling (`sampling.dsir_select`) then keeps the K rows most
+   like the target distribution, deterministically (Gumbel-top-k
+   over hashed-n-gram log-ratio weights).
 7. **write** — surviving rows as parquet; ``--shards N`` instead
    exports N deterministic content-hash training shards
    (`plans.pipeline.write_training_shards`) — or (Iceberg append in
@@ -80,6 +84,13 @@ def main() -> None:
                          "(operators.sampling.mix_corpus); omitted = "
                          "stage skipped")
     ap.add_argument("--mix-seed", type=int, default=0)
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-distribution texts "
+                         "(column 'text'); enables DSIR importance "
+                         "resampling (sampling.dsir_select) after "
+                         "dedup — keeps the --dsir-keep rows most "
+                         "like the target, deterministically")
+    ap.add_argument("--dsir-keep", type=int, default=1000)
     ap.add_argument("--decontaminate-mode", default="drop",
                     choices=("drop", "scrub"),
                     help="drop = remove the whole conversation on any "
@@ -212,6 +223,22 @@ def main() -> None:
                                key_col="text", seed=args.mix_seed)
         funnel["after_mix"] = survivors.count()
 
+    # 6b. DSIR selection (importance resampling toward a target
+    # distribution — an alternative/complement to stratum mixing):
+    # Gumbel-top-k over hashed-n-gram log-ratio weights; the kept
+    # set is a pure function of (data, target, seed)
+    if args.dsir_target:
+        from html_parser_spark.operators.sampling import dsir_select
+        tgt = spark.read.parquet(args.dsir_target)
+        keyed_s = survivors.withColumn(
+            "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+        picked = dsir_select(keyed_s, tgt, k=args.dsir_keep,
+                             key_col="doc_key", seed=args.mix_seed)
+        survivors = (keyed_s.join(picked.select("doc_key"),
+                                  "doc_key", "left_semi")
+                     .drop("doc_key"))
+        funnel["after_dsir"] = survivors.count()
+
     # 7. write + report
     if args.shards:
         from html_parser_spark.plans.pipeline import (
@@ -226,9 +253,10 @@ def main() -> None:
         survivors.write.mode("overwrite").parquet(args.output)
     report = {
         "funnel": funnel,
-        "kept_ratio": round(funnel.get("after_mix",
-                                       funnel["after_dedup"])
-                            / max(funnel["input_turns"], 1), 4),
+        "kept_ratio": round(
+            funnel.get("after_dsir",
+                       funnel.get("after_mix", funnel["after_dedup"]))
+            / max(funnel["input_turns"], 1), 4),
         "wall_sec": round(time.monotonic() - t0, 2),
         "output": args.output,
         "langs": allow,
