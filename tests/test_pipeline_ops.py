@@ -811,6 +811,42 @@ def test_dedup_lines_ccnet(spark):
     assert (out[2].n_lines, out[2].n_dup_lines) == (3, 2)
 
 
+def test_dedup_lines_idempotent_and_layout_invariant(spark):
+    """Randomized (seeded) corpus: scrubbing a second time removes
+    nothing (all surviving lines had corpus count 1, exempt-short
+    and blank lines stay exempt), and the result is identical after
+    repartitioning the input."""
+    import random
+
+    rng = random.Random(20260817)
+    boiler = ["Accept all cookies today", "Subscribe to the newsletter",
+              "Copyright Example Site", "ok", ""]
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(120):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.4:
+                lines.append(rng.choice(boiler))
+            else:
+                lines.append(" ".join(rng.choices(vocab,
+                                                  k=rng.randint(3, 8))))
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    once = dedup.dedup_lines(df)
+    out1 = {r.doc_id: r.clean_text for r in once.collect()}
+    again = dedup.dedup_lines(
+        once.select("doc_id", F.col("clean_text").alias("text")))
+    for r in again.collect():
+        assert r.n_dup_lines == 0
+        assert r.clean_text == out1[r.doc_id]
+
+    out2 = {r.doc_id: r.clean_text for r in
+            dedup.dedup_lines(df.repartition(13)).collect()}
+    assert out1 == out2
+
+
 def test_passage_dup_spans(spark):
     """Lee-et-al-class passage dedup: a 9-word passage shared by 3
     docs is found at each doc's word offset; adjacent duplicated
