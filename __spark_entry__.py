@@ -346,13 +346,25 @@ def _q_redact_pii(spark, sf_dir):
 
 
 def _q_pack_sequences(spark, sf_dir):
-    """Deterministic GPT-style sequence packing of the documents
-    table into 200-token packs over 8 hash buckets; the oracle
-    re-derives the md5 layout order, the per-bucket running token
-    offsets, and the floor(start/target) pack assignment."""
-    from html_parser_spark.plans.pipeline import pack_sequences
-    return pack_sequences(_docs(spark, sf_dir), target_tokens=200,
-                          buckets=8)
+    """The composed training-export prep: chunk long docs into
+    40-token windows with a 10-token overlap stride, then
+    deterministically pack the chunks into 120-token packs over 8
+    hash buckets. The oracle re-derives the chunk-count formula, the
+    window slices, the md5 layout order, the per-bucket running
+    token offsets, and the floor(start/target) pack assignment."""
+    from html_parser_spark.plans.pipeline import (
+        chunk_documents, pack_sequences)
+    chunks = chunk_documents(_docs(spark, sf_dir), max_tokens=40,
+                             overlap=10)
+    keyed = chunks.withColumn(
+        "chunk_key", F.concat_ws("#", "doc_id", "chunk_idx"))
+    packed = pack_sequences(keyed, target_tokens=120,
+                            key_col="chunk_key",
+                            text_col="chunk_text", buckets=8)
+    return (keyed.select("chunk_key", "doc_id", "chunk_idx")
+            .join(packed, "chunk_key")
+            .select("doc_id", "chunk_idx", "pack_id", "pack_pos",
+                    "n_tokens"))
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -1379,27 +1391,43 @@ def oracle_sql() -> dict[str, str]:
                      AS norm_text
             FROM documents""",
         "pack_sequences": """
-            WITH base AS (
+            WITH d AS (
               SELECT doc_id,
-                     len(regexp_split_to_array(trim(text), '\\s+'))
-                       AS n_tokens,
-                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                        || '#b0'), 1, 8))::BIGINT % 8 AS b,
-                     md5(CAST(doc_id AS VARCHAR) || '#o0') AS h
+                     regexp_split_to_array(trim(text), '\\s+') AS w
               FROM documents),
+            nc AS (
+              SELECT doc_id, w,
+                     greatest(1, CAST(ceil((len(w) - 10) / 30.0)
+                                      AS BIGINT)) AS k
+              FROM d),
+            c AS (SELECT doc_id, w, unnest(range(0, k)) AS ci
+                  FROM nc),
+            ch AS (
+              SELECT doc_id, ci,
+                     len(w[CAST(ci*30+1 AS BIGINT) :
+                           CAST(ci*30+40 AS BIGINT)]) AS n_tokens,
+                     CAST(doc_id AS VARCHAR) || '#' ||
+                       CAST(ci AS VARCHAR) AS key
+              FROM c),
+            base AS (
+              SELECT doc_id, ci, key, n_tokens,
+                     ('0x' || substr(md5(key || '#b0'), 1, 8))::BIGINT
+                       % 8 AS b,
+                     md5(key || '#o0') AS h
+              FROM ch),
             laid AS (
-              SELECT doc_id, n_tokens, b, h,
+              SELECT doc_id, ci, key, n_tokens, b, h,
                      sum(n_tokens) OVER (PARTITION BY b
-                       ORDER BY h, doc_id
+                       ORDER BY h, key
                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
               FROM base)
-            SELECT doc_id,
+            SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
                    CAST(b AS VARCHAR) || '-' ||
-                     CAST(CAST(floor(start / 200.0) AS BIGINT)
+                     CAST(CAST(floor(start / 120.0) AS BIGINT)
                           AS VARCHAR) AS pack_id,
                    CAST(row_number() OVER (
-                     PARTITION BY b, floor(start / 200.0)
-                     ORDER BY h, doc_id) AS INT) AS pack_pos,
+                     PARTITION BY b, floor(start / 120.0)
+                     ORDER BY h, key) AS INT) AS pack_pos,
                    CAST(n_tokens AS INT) AS n_tokens
             FROM laid""",
         "repetition_stats": f"""

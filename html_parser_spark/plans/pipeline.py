@@ -270,3 +270,46 @@ def pack_sequences(df: DataFrame, target_tokens: int,
                     F.col("_local").cast("string")).alias("pack_id"),
         F.row_number().over(wp).cast("int").alias("pack_pos"),
         F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int,
+                    key_col: str = "doc_id", text_col: str = "text",
+                    overlap: int = 0) -> DataFrame:
+    """Split long documents into ``max_tokens``-token windows with
+    ``overlap`` carried tokens — the context-window chunking step
+    that precedes packing in a training-export pipeline (pack short
+    docs, split long ones; overlap preserves cross-boundary context,
+    the standard stride trick).  Tokens are whitespace words (same
+    CJK caveat as ``textstats.words_col``).
+
+    Returns one row per chunk: (key, chunk_idx, chunk_text,
+    n_tokens); chunk i covers words [i*step, i*step + max_tokens)
+    with step = max_tokens - overlap, and every doc yields >= 1
+    chunk (an empty doc yields one empty chunk), so no input row is
+    silently dropped.
+
+    Scale shape: pure map — one JVM projection computing the chunk
+    count, one ``explode`` fan-out, slices materialized from the
+    per-row words array.  No shuffle, no Python, composes with
+    :func:`pack_sequences` downstream (chunk -> pack gives
+    uniform-budget training sequences).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.size(w) - F.lit(overlap)) / F.lit(step))
+        .cast("long"))
+    base = df.select(
+        F.col(key_col), w.alias("_w"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        .alias("chunk_idx"))
+    piece = F.slice("_w", F.col("chunk_idx").cast("int") * step + 1,
+                    max_tokens)
+    return base.select(
+        key_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"))

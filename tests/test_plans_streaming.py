@@ -222,6 +222,35 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
     assert sizes[0] > 125 and sizes[-1] < 500
 
 
+def test_chunk_documents(spark):
+    """Context-window chunking: stride = max - overlap, chunk i
+    covers words [i*stride, i*stride + max); short and empty docs
+    yield exactly one chunk; chunks reassemble the doc when
+    overlap=0."""
+    from html_parser_spark.plans.pipeline import chunk_documents
+
+    words = [f"w{i}" for i in range(11)]
+    rows = [(0, " ".join(words)), (1, "a b c"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = chunk_documents(df, max_tokens=5, overlap=2)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in out.collect()}
+    # doc 0: 11 words, stride 3 -> ceil((11-2)/3) = 3 chunks
+    assert got[(0, 0)] == (" ".join(words[0:5]), 5)
+    assert got[(0, 1)] == (" ".join(words[3:8]), 5)
+    assert got[(0, 2)] == (" ".join(words[6:11]), 5)
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(2, 0)] == ("", 1)      # empty doc -> one empty chunk
+    assert len(got) == 5
+
+    # overlap=0 chunks partition the doc exactly
+    parts = [r.chunk_text for r in
+             chunk_documents(df.filter("doc_id = 0"), max_tokens=4)
+             .orderBy("chunk_idx").collect()]
+    assert " ".join(parts).split() == words
+
+
 def test_pack_sequences_invariants(spark):
     """Sequence packing: every doc lands in exactly one pack; packs
     hold consecutive whole docs with every doc STARTING before the
