@@ -562,21 +562,43 @@ def passage_dup_spans(df: DataFrame, key_col: str = "doc_id",
     is bounded by single-document length. Every stage is pure-JVM
     codegen — no Python in the path.
     """
-    from pyspark.sql import Window
-
-    words = words_col(F.col(text_col))
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))))
-    hashed = (df.filter(F.size(words) >= k)
-              .select(F.col(key_col).alias("key"),
-                      F.posexplode(shingles).alias("pos", "h")))
+    hashed = _positional_shingle_hashes(df, key_col, text_col, k)
     dup_h = (hashed.groupBy("h")
              .agg(F.count("*").alias("c"))
              .filter(F.col("c") >= min_count)
              .select("h"))
     dup = hashed.join(dup_h, "h").select("key", "pos")
     return _merge_dup_positions(dup, key_col, k)
+
+
+def _positional_shingle_hashes(df: DataFrame, key_col: str,
+                               text_col: str, n: int) -> DataFrame:
+    """(key, pos, h): every word ``n``-shingle of every row as a
+    64-bit xxhash WITH its word position (no dedup — positions are
+    the point).  Shared by corpus-frequency passage dedup and
+    span-level decontamination so the shingle definition cannot
+    de-synchronize between the twins."""
+    words = words_col(F.col(text_col))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))))
+    return (df.filter(F.size(words) >= n)
+            .select(F.col(key_col).alias("key"),
+                    F.posexplode(shingles).alias("pos", "h")))
+
+
+def _eval_shingle_hashes(eval_df: DataFrame, text_col: str, n: int,
+                         broadcast_eval: bool) -> DataFrame:
+    """(h): DISTINCT 64-bit hashes of the eval table's word
+    ``n``-shingles, broadcast by default (eval sets are megabytes
+    against a 100 TB corpus).  Shared by drop-mode and span-mode
+    decontamination."""
+    ev = (eval_df
+          .select(F.explode(
+              shingles_col(F.col(text_col), n)).alias("_s"))
+          .select(F.xxhash64("_s").alias("h"))
+          .distinct())
+    return F.broadcast(ev) if broadcast_eval else ev
 
 
 def _merge_dup_positions(dup: DataFrame, key_col: str,
@@ -660,13 +682,8 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
     Shingles are compared as 64-bit xxhash values, the same
     output-bounded pattern as :func:`passage_dup_spans`.
     """
-    ev = (eval_df
-          .select(F.explode(
-              shingles_col(F.col(eval_text_col), n)).alias("_s"))
-          .select(F.xxhash64("_s").alias("h"))
-          .distinct())
-    if broadcast_eval:
-        ev = F.broadcast(ev)
+    ev = _eval_shingle_hashes(eval_df, eval_text_col, n,
+                              broadcast_eval)
     corpus = df.select(
         F.col(key_col),
         F.explode(shingles_col(F.col(text_col), n)).alias("_s"),
@@ -709,20 +726,9 @@ def contaminated_spans(df: DataFrame, eval_df: DataFrame,
     island merge of :func:`passage_dup_spans` — window state bounded
     by single-document length, nothing corpus-sized shuffled beyond
     the flagged positions themselves."""
-    ev = (eval_df
-          .select(F.explode(
-              shingles_col(F.col(eval_text_col), n)).alias("_s"))
-          .select(F.xxhash64("_s").alias("h"))
-          .distinct())
-    if broadcast_eval:
-        ev = F.broadcast(ev)
-    words = words_col(F.col(text_col))
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))))
-    hashed = (df.filter(F.size(words) >= n)
-              .select(F.col(key_col).alias("key"),
-                      F.posexplode(shingles).alias("pos", "h")))
+    ev = _eval_shingle_hashes(eval_df, eval_text_col, n,
+                              broadcast_eval)
+    hashed = _positional_shingle_hashes(df, key_col, text_col, n)
     flagged = hashed.join(ev, "h", "left_semi").select("key", "pos")
     return _merge_dup_positions(flagged, key_col, n)
 

@@ -406,6 +406,11 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
         for m in _OBJ_RE.finditer(payload):
             objects[int(m.group(1))] = m.group(2)
 
+        # LAST catalog in file order wins: an incremental update
+        # (§7.5.6) may append the revised catalog under a NEW object
+        # id, which duplicate-id shadowing alone would not see —
+        # taking the last one approximates the xref chain for new
+        # ids exactly as dict overwrite does for reused ids.
         root = None
         for oid, body in objects.items():
             head = body.split(b"stream", 1)[0]
@@ -413,7 +418,6 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
                 mp = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", head)
                 if mp:
                     root = int(mp.group(1))
-                    break
 
         page_ids = _walk_page_tree(objects, root) \
             if root is not None else []
@@ -425,7 +429,19 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
                     rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", head)
                 if not mc:
                     continue
-                parts = [t for r in _REF_RE.finditer(mc.group(1))
+                cref = mc.group(1)
+                if not cref.lstrip().startswith(b"["):
+                    # a single indirect /Contents may point at the
+                    # stream itself OR at an object holding an ARRAY
+                    # of stream refs (both legal, §7.7.3.3); follow
+                    # one level into the array form
+                    rid = int(_REF_RE.search(cref).group(1))
+                    tgt = objects.get(rid, b"")
+                    if b"stream" not in tgt:
+                        marr = re.search(rb"\[(.*?)\]", tgt, re.S)
+                        if marr:
+                            cref = marr.group(1)
+                parts = [t for r in _REF_RE.finditer(cref)
                          if (t := _object_stream_text(
                              objects, int(r.group(1)))) is not None]
                 if parts:

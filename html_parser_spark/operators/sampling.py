@@ -85,15 +85,23 @@ def stratified_sample(
     """Keep each row of stratum ``s`` iff its hash draw < ``fractions[s]``.
 
     Strata absent from ``fractions`` are dropped (fraction 0).  The
-    filter is a single map-only JVM stage; the fractions map is a tiny
-    literal (one entry per stratum), never a join.
+    filter is a single map-only JVM stage; the fractions map is TWO
+    array literals probed with ``array_position`` — not a per-stratum
+    CASE chain, which at a languages x sources stratification
+    (thousands of strata) would blow Janino's 64 KB generated-method
+    limit and drop the whole stage to interpreted eval (the same
+    failure mode documented on ``textstats.lang_id``); two literal
+    nodes keep the plan O(1) in stratum count.  Never a join.
     """
     u = uniform_hash_col(F.col(key_col), seed)
-    frac = F.lit(0.0)
-    for stratum, fraction in fractions.items():
-        frac = F.when(
-            F.col(strata_col) == F.lit(stratum),
-            F.lit(float(fraction))).otherwise(frac)
+    if not fractions:
+        return df.filter(F.lit(False))
+    keys_arr = F.lit([str(s) for s in fractions])
+    fracs_arr = F.lit([float(v) for v in fractions.values()])
+    pos = F.array_position(keys_arr, F.col(strata_col).cast("string"))
+    frac = F.when(pos > 0,
+                  F.element_at(fracs_arr, pos.cast("int"))) \
+        .otherwise(F.lit(0.0))
     return df.filter(u < frac)
 
 
@@ -160,8 +168,8 @@ def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
     bits mod ``buckets`` (the engine's portable hash: the DuckDB
     oracle rebuilds it as ``('0x' || substr(md5(g),1,8))::BIGINT %
     buckets``)."""
-    w = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
-                 lambda x: F.length(x) > 0)
+    from html_parser_spark.operators.textstats import words_col
+    w = F.filter(words_col(F.lower(text)), lambda x: F.length(x) > 0)
     bis = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -223,7 +231,9 @@ def dsir_logweights(df: DataFrame, target_df: DataFrame,
         .alias("b"))
     q = raw.groupBy("b").agg(F.count("*").alias("cq"))
     n_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0))).first()[0]
-    n_q = raw.count()
+    # total grams from the (<= buckets rows) aggregate q itself — a
+    # separate raw.count() would re-explode the whole corpus
+    n_q = q.agg(F.coalesce(F.sum("cq"), F.lit(0))).first()[0]
     denom_p = float(n_p) + alpha * buckets
     denom_q = float(n_q) + alpha * buckets
     ratio = (q.join(tgt, "b", "left")

@@ -191,6 +191,11 @@ def kmeans_centroids(df: DataFrame, k: int = 4, rounds: int = 10,
 
     Stops early when no centroid moves more than ``tol`` in any
     coordinate. Empty clusters keep their previous centroid.
+    Degenerate inputs cannot corrupt training: vectors whose length
+    differs from the init dimension (or null vectors) are excluded
+    up front, and a row whose similarities are all NaN assigns to
+    list 0 (``array_position`` miss) and is dropped rather than
+    silently folded into the LAST centroid via the -1 index.
     """
     first = (df.orderBy(key_col).limit(k)
              .select(F.col(vec_col).alias("v")).collect())
@@ -198,16 +203,21 @@ def kmeans_centroids(df: DataFrame, k: int = 4, rounds: int = 10,
     if len(cents) < k:
         raise ValueError(f"need >= {k} vectors to init {k} centroids")
     dim = len(cents[0])
-    vecs = df.select(F.col(vec_col).alias("v"))
+    vecs = (df.select(F.col(vec_col).alias("v"))
+            .filter(F.size("v") == dim))
     for _ in range(rounds):
-        assigned = ivf_assign(vecs, cents, "v")
+        assigned = ivf_assign(vecs, cents, "v") \
+            .filter(F.col("_list") > 0)
         rows = (assigned.groupBy("_list")
                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
                        for i in range(dim)])
                 .collect())
         new = list(cents)
         for r in rows:
-            new[r._list - 1] = [float(r[f"m{i}"]) for i in range(dim)]
+            means = [r[f"m{i}"] for i in range(dim)]
+            if any(m is None or m != m for m in means):
+                continue   # degenerate cluster: keep previous centroid
+            new[r._list - 1] = [float(m) for m in means]
         moved = max(abs(a - b) for nc, oc in zip(new, cents)
                     for a, b in zip(nc, oc))
         cents = new

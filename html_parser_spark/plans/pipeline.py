@@ -251,7 +251,8 @@ def pack_sequences(df: DataFrame, target_tokens: int,
     from pyspark.sql import Window
 
     k = F.col(key_col).cast("string")
-    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    from html_parser_spark.operators.textstats import words_col
+    n = F.size(words_col(F.col(text_col)))
     b = (F.conv(F.substring(
             F.md5(F.concat(k, F.lit(f"#b{seed:d}"))), 1, 8), 16, 10)
          .cast("long") % buckets)
@@ -294,10 +295,12 @@ def chunk_documents(df: DataFrame, max_tokens: int,
     :func:`pack_sequences` downstream (chunk -> pack gives
     uniform-budget training sequences).
     """
+    from html_parser_spark.operators.textstats import words_col
+
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = words_col(F.col(text_col))
     n_chunks = F.greatest(
         F.lit(1).cast("long"),
         F.ceil((F.size(w) - F.lit(overlap)) / F.lit(step))

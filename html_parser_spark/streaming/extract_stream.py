@@ -126,10 +126,16 @@ def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
     one document, contamination is decidable per row — so this is a
     stateless filter: the eval shingle-hash set is collected ONCE at
     plan time (eval sets are megabytes by definition; same
-    budget as the batch broadcast) and shipped as an array literal,
-    each row checked with ``arrays_overlap`` on its own xxhash64
-    shingles. Pure JVM, append-mode-safe, identical keep/drop
-    decisions to the batch operator."""
+    budget as the batch broadcast) and shipped as ONE typed array
+    literal — a single plan node however many hashes it holds, not
+    one ``lit`` child per hash, which at the realistic 10^5-10^6
+    eval shingles would balloon plan construction and serialization
+    for every micro-batch. Each row is checked with
+    ``arrays_overlap`` on its own xxhash64 shingles (cost O(|ev|)
+    per row — fine for benchmark-sized eval sets; an eval side too
+    big for that is too big for the batch broadcast too). Pure JVM,
+    append-mode-safe, identical keep/drop decisions to the batch
+    operator."""
     from html_parser_spark.operators.dedup import shingles_col
 
     ev = [r.h for r in (eval_df.select(
@@ -139,7 +145,7 @@ def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
         return stream_df
     row_hashes = F.transform(
         shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
-    ev_lit = F.array(*[F.lit(h) for h in ev])
+    ev_lit = F.lit(sorted(ev))   # one Literal node, array<bigint>
     return stream_df.filter(~F.arrays_overlap(row_hashes, ev_lit))
 
 

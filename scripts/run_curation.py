@@ -137,7 +137,7 @@ def main() -> None:
                               F.concat_ws("#", "conv_id", "turn_idx")))
         dl = dedup.dedup_lines(keyed0, key_col="doc_key",
                                text_col="extracted_text",
-                               min_count=args.dedup_lines)
+                               min_count=args.dedup_lines).cache()
         ex = (dl.join(keyed0.select("doc_key", "conv_id", "turn_idx"),
                       "doc_key")
               .select("conv_id", "turn_idx",
@@ -220,7 +220,8 @@ def main() -> None:
                            ["conv_id", "turn_idx"])
                      .cache())
         survivors = mix_corpus(survivors, "lang", weights,
-                               key_col="text", seed=args.mix_seed)
+                               key_col="text", seed=args.mix_seed) \
+            .drop("lang")   # keep output schema identical to non-mix runs
         funnel["after_mix"] = survivors.count()
 
     # 6b. DSIR selection (importance resampling toward a target

@@ -1289,6 +1289,40 @@ def test_pdf_nested_page_tree_and_contents_array():
     assert extract_pdf_text_bytes(doc) == (3, "A-A-tail\nB!\nC!")
 
 
+def test_pdf_contents_indirect_array_and_last_catalog_wins():
+    """Two review regressions: (a) /Contents may be a single indirect
+    reference to an object that IS an array of stream refs
+    (§7.7.3.3) — both streams' text must come out, not an empty
+    page; (b) an incremental update appending a revised catalog
+    under a NEW object id must win over the original catalog
+    (last in file order approximates the xref chain)."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    indirect_array = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 5 0 R >>",
+        5: b"[6 0 R 7 0 R]",
+        6: _stream_obj(b"part one "),
+        7: _stream_obj(b"part two"),
+    })
+    assert extract_pdf_text_bytes(indirect_array) == \
+        (1, "part one part two")
+
+    updated = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"stale"),
+        # appended incremental update: new catalog, extended tree
+        25: b"<< /Type /Catalog /Pages 26 0 R >>",
+        26: b"<< /Type /Pages /Kids [3 0 R 27 0 R] /Count 2 >>",
+        27: b"<< /Type /Page /Contents 28 0 R >>",
+        28: _stream_obj(b"appended"),
+    })
+    assert extract_pdf_text_bytes(updated) == (2, "stale\nappended")
+
+
 def test_pdf_kids_cycle_guard_and_treeless_fallback():
     """A reference cycle in /Kids terminates; a file with no catalog
     keeps the legacy behavior (count /Type /Page, object-id order)."""
