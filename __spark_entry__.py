@@ -187,12 +187,28 @@ def _q_dsir(spark, sf_dir):
 
 
 def _q_quality(spark, sf_dir):
+    """Heuristic quality features joined with the model-based tier:
+    a GPT-3-style logistic-regression quality classifier (Brown et
+    al. 2020 appendix A class) trained IN the query on a planted
+    split (pos = doc_id % 2 == 0), 2 full-batch GD iterations over
+    256 hashed-n-gram buckets. The oracle re-derives the unrolled
+    training — both gradient passes, the rounded weight updates —
+    and the final per-doc probability, so the fit itself is
+    verified, not just the scores."""
+    from html_parser_spark.operators.classifier import (
+        quality_lr_score, train_quality_lr)
     from html_parser_spark.operators.textstats import quality_score
-    out = quality_score(_docs(spark, sf_dir), ["doc_id"])
-    return out.select(
+
+    docs = _docs(spark, sf_dir)
+    out = quality_score(docs, ["doc_id"]).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_words").cast("long").alias("n_words"),
         "avg_word_len", "alpha_ratio", "stopword_ratio")
+    weights = train_quality_lr(docs.filter("doc_id % 2 = 0"),
+                               docs.filter("doc_id % 2 = 1"),
+                               buckets=256, iters=2)
+    return out.join(quality_lr_score(docs, weights, ["doc_id"]),
+                    "doc_id")
 
 
 #: planted multi-language fixture (one clean sample sentence per
@@ -1315,26 +1331,83 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d0 LEFT JOIN s USING (doc_id)
             LEFT JOIN x USING (doc_id)""",
         "quality_score": f"""
-            SELECT doc_id,
-                   CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(n_words AS BIGINT) AS n_words,
-                   round(CAST(n_chars AS DOUBLE)/n_words, 3)
-                     AS avg_word_len,
-                   round(CAST(n_alpha AS DOUBLE)/n_chars, 3)
-                     AS alpha_ratio,
-                   round(CAST(n_stop AS DOUBLE)/n_words, 3)
-                     AS stopword_ratio
-            FROM (SELECT doc_id, length(text) AS n_chars,
-                         len(w) AS n_words,
-                         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                           AS n_alpha,
-                         len(list_filter(w,
-                             x -> list_contains({_STOPLIST}, x)))
-                           AS n_stop
-                  FROM (SELECT doc_id, text,
-                               regexp_split_to_array(trim(text), '\\s+')
-                                 AS w
-                        FROM documents))""",
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     round(CAST(n_chars AS DOUBLE)/n_words, 3)
+                       AS avg_word_len,
+                     round(CAST(n_alpha AS DOUBLE)/n_chars, 3)
+                       AS alpha_ratio,
+                     round(CAST(n_stop AS DOUBLE)/n_words, 3)
+                       AS stopword_ratio
+              FROM (SELECT doc_id, length(text) AS n_chars,
+                           len(w) AS n_words,
+                           length(regexp_replace(text, '[^A-Za-z]', '',
+                                                 'g')) AS n_alpha,
+                           len(list_filter(w,
+                               x -> list_contains({_STOPLIST}, x)))
+                             AS n_stop
+                    FROM (SELECT doc_id, text,
+                                 regexp_split_to_array(trim(text),
+                                                       '\\s+') AS w
+                          FROM documents))),
+            -- unrolled 2-iteration logistic-regression fit (lr=0.5,
+            -- 256 hashed unigram+bigram buckets, weights rounded to
+            -- 6 digits per update — exactly classifier.py)
+            lwords AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END
+                       AS y,
+                     list_filter(regexp_split_to_array(
+                         trim(lower(text)), '\\s+'),
+                       x -> len(x) > 0) AS lw
+              FROM documents),
+            g AS (
+              SELECT doc_id, y,
+                     unnest(lw || CASE WHEN len(lw) >= 2
+                       THEN list_transform(range(1, len(lw)),
+                              i -> lw[i] || ' ' || lw[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS gram
+              FROM lwords),
+            occ AS (
+              SELECT doc_id, y,
+                     ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256
+                       AS b
+              FROM g),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lwords),
+            w1 AS (SELECT b,
+                          round(0.5 * sum(y - 0.5) / max(nn.n), 6)
+                            AS w
+                   FROM occ, nn GROUP BY b),
+            b1 AS (SELECT round(0.5 * sum(y - 0.5) / max(nn.n), 6)
+                            AS bias
+                   FROM lwords, nn),
+            msum AS (SELECT occ.doc_id, sum(w1.w) AS s1
+                     FROM occ JOIN w1 USING (b)
+                     GROUP BY occ.doc_id),
+            r2 AS (SELECT l.doc_id,
+                          l.y - 1.0/(1.0 + exp(-(b1.bias
+                            + coalesce(m.s1, 0)))) AS r
+                   FROM lwords l LEFT JOIN msum m USING (doc_id),
+                        b1),
+            w2 AS (SELECT occ.b,
+                          round(max(w1.w)
+                                + 0.5 * sum(r2.r) / max(nn.n), 6) AS w
+                   FROM occ JOIN r2 USING (doc_id)
+                   JOIN w1 ON occ.b = w1.b, nn
+                   GROUP BY occ.b),
+            b2 AS (SELECT round(max(b1.bias)
+                               + 0.5 * sum(r2.r) / max(nn.n), 6)
+                            AS bias
+                   FROM r2, b1, nn),
+            sc AS (SELECT occ.doc_id, sum(w2.w) AS s
+                   FROM occ JOIN w2 USING (b) GROUP BY occ.doc_id)
+            SELECT q.*,
+                   round(1.0/(1.0 + exp(-(b2.bias
+                                          + coalesce(sc.s, 0)))), 3)
+                     AS lr_prob
+            FROM q LEFT JOIN sc USING (doc_id), b2""",
         "lang_id": _lang_id_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
         "link_hosts": f"""

@@ -714,6 +714,59 @@ def test_dedup_canonical_star_long_chain(spark):
     assert [r.id for r in out if r.is_canonical] == [0]
 
 
+def test_quality_lr_classifier(spark):
+    """GPT-3-style LR quality classifier: the full 2-iteration GD fit
+    is re-derived in pure Python (hashed buckets, margins, sigmoid
+    residuals, rounded mean-gradient updates) and must match exactly;
+    the model separates target-like from spam-like text; the fit is
+    identical after repartitioning both classes."""
+    import hashlib
+    import math as m
+
+    from html_parser_spark.operators.classifier import (
+        quality_lr_score, train_quality_lr)
+
+    B, lr, iters = 64, 0.5, 2
+    pos_rows = [(i, "well written prose with varied vocabulary "
+                    "and clear structure") for i in range(6)]
+    neg_rows = [(i, "buy now click here buy now click here spam")
+                for i in range(6, 12)]
+
+    def buckets(t):
+        ws = [x for x in t.lower().strip().split() if x]
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+                for g in grams]
+
+    feats = [(1.0, buckets(t)) for _, t in pos_rows] + \
+            [(0.0, buckets(t)) for _, t in neg_rows]
+    n = len(feats)
+    bias, w = 0.0, [0.0] * B
+    for _ in range(iters):
+        grads, bgrad = [0.0] * B, 0.0
+        for y, bs in feats:
+            r = y - 1.0 / (1.0 + m.exp(-(bias + sum(w[b] for b in bs))))
+            bgrad += r
+            for b in bs:
+                grads[b] += r
+        w = [round(w[b] + lr * grads[b] / n, 6) for b in range(B)]
+        bias = round(bias + lr * bgrad / n, 6)
+    expect = [bias] + w
+
+    pos = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    got = train_quality_lr(pos, neg, buckets=B, iters=iters, lr=lr)
+    assert got == pytest.approx(expect)
+    got2 = train_quality_lr(pos.repartition(5), neg.repartition(3),
+                            buckets=B, iters=iters, lr=lr)
+    assert got == got2
+
+    sc = {r.doc_id: r.lr_prob for r in
+          quality_lr_score(pos.unionByName(neg), got,
+                           ["doc_id"]).collect()}
+    assert sc[0] > 0.5 > sc[6]
+
+
 def test_dsir_weights_select_and_determinism(spark):
     """DSIR importance weights: re-derived exactly in pure Python
     (md5 buckets, add-alpha smoothing, log-ratio sums) for every
