@@ -468,8 +468,25 @@ def _q_dedup_lines(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    from html_parser_spark.operators.dedup import simhash
-    return simhash(_docs(spark, sf_dir))
+    """Both SimHash arms in one row set, tagged by `variant`: the
+    64-bit signatures (id_b carries the signature, hamming = -1) and
+    the banded near-dup pairs (hamming = exact bit distance); the
+    oracle re-derives the md5 bit votes AND the 16-bit-band pigeonhole
+    join from scratch."""
+    from html_parser_spark.operators.dedup import (
+        simhash, simhash_near_dup_pairs)
+    docs = _docs(spark, sf_dir)
+    sig = simhash(docs).select(
+        F.lit("sig").alias("variant"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("simhash").alias("id_b"),
+        F.lit(-1).cast("int").alias("hamming"))
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).select(
+        F.lit("pair").alias("variant"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"))
+    return sig.unionByName(pairs)
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -655,11 +672,6 @@ def _q_dedup_components(spark, sf_dir):
     star = connected_components_star(pairs).withColumnRenamed(
         "component", "component_star")
     return minlabel.join(star, "id")
-
-
-def _q_simhash_pairs(spark, sf_dir):
-    from html_parser_spark.operators.dedup import simhash_near_dup_pairs
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def _tmpl(spark, sf_dir, sql_expr: str):
@@ -866,6 +878,25 @@ def _q_content_blocks(spark, sf_dir):
     return content_blocks(_tmpl(spark, sf_dir, _T_CONTENT))
 
 
+#: planted table layout: a header row, a data row carrying doc_id, a
+#: data row carrying the document prose, plus a second one-cell table
+#: — exercises multi-table numbering, th/td, entity decode, collapse
+_T_TABLE = (
+    "'<p>intro</p><table><tr><th>k</th><th>v &amp; w</th></tr>"
+    "<tr><td>id</td><td>' || CAST(doc_id AS VARCHAR) || '</td></tr>"
+    "<tr><td>body</td><td> ' || text || ' </td></tr></table>"
+    "<table><tr><td>x' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'</td></tr></table>'")
+
+
+def _q_tables(spark, sf_dir):
+    """Structured table extraction (cells as rows, document-order
+    numbering); the oracle predicts every cell in closed form from
+    the planted layout."""
+    from html_parser_spark.operators.content import extract_tables
+    return extract_tables(_tmpl(spark, sf_dir, _T_TABLE))
+
+
 def _q_main_content(spark, sf_dir):
     """Boilerplate-stripped article text per turn (content blocks
     joined) — the north rule's main-content extraction tier above
@@ -933,7 +964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_knn": _q_cosine_knn,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -947,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": _q_strip_markup,
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
+        "tables": _q_tables,
         "bom_stats": _q_bom_stats,
         "media_meta": _q_media_meta,
         "media_pixels": _q_media_pixels,
@@ -1530,8 +1561,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LSH_BANDS_CTE}
             SELECT id_a, id_b FROM cand""",
         "simhash": f"""
-            WITH {_SIMHASH64_CTE}
-            SELECT doc_id, simhash FROM sig""",
+            WITH {_SIMHASH64_CTE},
+            bands AS (
+              SELECT doc_id, simhash, b AS band,
+                     (simhash >> CAST(16 * b AS INT)) & 65535 AS bv
+              FROM sig, (SELECT unnest(range(0, 4)) AS b))
+            SELECT 'sig' AS variant, CAST(doc_id AS BIGINT) AS id_a,
+                   simhash AS id_b, CAST(-1 AS INTEGER) AS hamming
+            FROM sig
+            UNION ALL
+            SELECT DISTINCT 'pair', CAST(a.doc_id AS BIGINT),
+                   CAST(b.doc_id AS BIGINT),
+                   CAST(bit_count(xor(a.simhash, b.simhash))
+                        AS INTEGER)
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "dedup_canonical": """
             WITH RECURSIVE e0 AS (
               SELECT doc_id AS u, doc_id + 1 AS v FROM documents
@@ -1724,19 +1770,6 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dup_lines
             FROM d JOIN ls USING (doc_id)
             LEFT JOIN agg a USING (doc_id)""",
-        "simhash_pairs": f"""
-            WITH {_SIMHASH64_CTE},
-            bands AS (
-              SELECT doc_id, simhash, b AS band,
-                     (simhash >> CAST(16 * b AS INT)) & 65535 AS bv
-              FROM sig, (SELECT unnest(range(0, 4)) AS b))
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash))
-                        AS INTEGER) AS hamming
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bv = b.bv
-             AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard": f"""
             WITH {_LSH_BANDS_CTE},
             sh AS ({_SHINGLES}),
@@ -1879,6 +1912,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT id, 0, 3, 'closing words here ' || id,
                    CAST(4 AS INT), 0.0, true FROM d""",
+        "tables": f"""
+            WITH d AS (SELECT {_ID} AS id, doc_id,
+                  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll
+                  FROM documents)
+            SELECT id AS conv_id, 0 AS turn_idx, 0 AS table_seq,
+                   0 AS row_seq, 0 AS cell_seq, true AS is_header,
+                   'k' AS cell_text FROM d
+            UNION ALL SELECT id, 0, 0, 0, 1, true, 'v & w' FROM d
+            UNION ALL SELECT id, 0, 0, 1, 0, false, 'id' FROM d
+            UNION ALL SELECT id, 0, 0, 1, 1, false, id FROM d
+            UNION ALL SELECT id, 0, 0, 2, 0, false, 'body' FROM d
+            UNION ALL SELECT id, 0, 0, 2, 1, false, coll FROM d
+            UNION ALL SELECT id, 0, 1, 0, 0, false,
+                      'x' || CAST(doc_id % 7 AS VARCHAR) FROM d""",
         "main_content": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
                    trim(regexp_replace(text, '\\s+', ' ', 'g')) ||

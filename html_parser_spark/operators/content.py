@@ -60,6 +60,16 @@ MAIN_SCHEMA = T.StructType([
     T.StructField("n_content_blocks", T.IntegerType()),
 ])
 
+TABLES_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("table_seq", T.IntegerType()),
+    T.StructField("row_seq", T.IntegerType()),
+    T.StructField("cell_seq", T.IntegerType()),
+    T.StructField("is_header", T.BooleanType()),
+    T.StructField("cell_text", T.StringType()),
+])
+
 
 def _blocks(doc: str, cfg: ParserConfig,
             min_words: int, max_link_density: float):
@@ -145,3 +155,105 @@ def main_content(df: DataFrame, cfg: ParserConfig = CONTENT_CONFIG,
         yield sep.join(kept), len(blocks), len(kept)
 
     return _fanout_arrow(df, text_col, MAIN_SCHEMA, per_turn)
+
+
+def _table_cells(doc: str, cfg: ParserConfig):
+    """One event-stream pass -> [(table_seq, row_seq, cell_seq,
+    is_header, cell_text)], DOM-free (a TokeParser-style get_tag walk,
+    HTML::TokeParser POD's examples section pattern — boundary tags
+    consumed in document order, no tree built).
+
+    Soup rules, chosen to match what a browser-serialized table means:
+
+    - tables nest: a ``<table>`` inside a cell flushes the outer cell
+      with the text seen so far; inner cells report under the inner
+      table's own ``table_seq`` (document-order numbering);
+      ``</table>`` returns the walk to the outer table (next
+      ``<tr>``/``<td>`` continues its row numbering).
+    - ``<td>``/``<th>`` or ``<tr>`` implicitly close a still-open
+      cell (the reference tokenizer never synthesizes end tags, so
+      the walk does — same place HTML::TableExtract documents doing
+      it, reimplemented not ported).
+    - a cell before any ``<tr>`` (``<table><td>...``) opens implicit
+      row 0.
+    - text outside any open cell (caption prose, tail soup) is not a
+      cell and is dropped; ``script``/``style`` subtrees are dropped
+      by ``cfg.ignore_elements``.
+    - cell text is entity-decoded (CDATA raw) and
+      whitespace-collapsed, the same text model every other
+      assembly-tier operator uses.
+    """
+    out = []
+    n_tables = 0
+    stack: list[dict] = []
+
+    def close_cell(t):
+        if t["parts"] is not None:
+            out.append((t["idx"], t["row"], t["cell"], t["is_th"],
+                        assemble.collapse_ws("".join(t["parts"]))))
+            t["parts"] = None
+
+    for row in tokenize(doc, cfg):
+        ev = row[0]
+        if ev == "text":
+            if stack and stack[-1]["parts"] is not None:
+                txt = row[9] if row[9] is not None else doc[row[1]:row[2]]
+                stack[-1]["parts"].append(
+                    txt if row[4] else decode_entities(txt, True))
+        elif ev == "start" or ev == "end":
+            toks = row[3]
+            if not toks:
+                continue
+            t0 = toks[0]
+            tn = ascii_lower(t0 if isinstance(t0, str)
+                             else doc[t0[0]:t0[1]])
+            if ev == "start":
+                if tn == "table":
+                    if stack:
+                        close_cell(stack[-1])
+                    stack.append({"idx": n_tables, "row": -1,
+                                  "cell": -1, "parts": None,
+                                  "is_th": False})
+                    n_tables += 1
+                elif stack:
+                    t = stack[-1]
+                    if tn == "tr":
+                        close_cell(t)
+                        t["row"] += 1
+                        t["cell"] = -1
+                    elif tn == "td" or tn == "th":
+                        close_cell(t)
+                        if t["row"] < 0:
+                            t["row"] = 0
+                        t["cell"] += 1
+                        t["parts"] = []
+                        t["is_th"] = tn == "th"
+            else:
+                if tn == "table":
+                    if stack:
+                        close_cell(stack[-1])
+                        stack.pop()
+                elif stack and (tn == "td" or tn == "th" or tn == "tr"):
+                    close_cell(stack[-1])
+    while stack:
+        close_cell(stack[-1])
+        stack.pop()
+    return out
+
+
+def extract_tables(df: DataFrame, cfg: ParserConfig = CONTENT_CONFIG,
+                   text_col: str = "text") -> DataFrame:
+    """transcripts -> one row per table cell: (conv_id, turn_idx,
+    table_seq, row_seq, cell_seq, is_header, cell_text).
+
+    Structured-data recovery for the training-data pipeline: tables
+    carry aligned facts (spec sheets, results grids) that the prose
+    extractors flatten into word soup; downstream consumers want them
+    as rows. Same fused Arrow fan-out as the flagship extractor —
+    map-only, shuffle-free, skew-immune, so the plan is unchanged at
+    100 TB."""
+
+    def per_turn(doc):
+        yield from _table_cells(doc, cfg)
+
+    return _fanout_arrow(df, text_col, TABLES_SCHEMA, per_turn)

@@ -98,6 +98,13 @@ def content_blocks_stream(stream_df: DataFrame, **kw) -> DataFrame:
     return content_blocks(stream_df, **kw)
 
 
+def tables_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """Structured table-cell extraction over a stream — the batch
+    operator verbatim (per-turn Arrow fan-out, stateless, append)."""
+    from html_parser_spark.operators.content import extract_tables
+    return extract_tables(stream_df, **kw)
+
+
 def pdf_text_stream(stream_df: DataFrame, **kw) -> DataFrame:
     """PDF text extraction over a stream of binary payloads — the
     batch Arrow codec stage verbatim (stateless map, append mode)."""

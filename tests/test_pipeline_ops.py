@@ -1208,6 +1208,45 @@ def test_content_blocks_edge_cases(spark):
     ]
 
 
+def test_extract_tables_grid_and_soup(spark):
+    """Structured table recovery: header/data cells in document
+    order; soup rules (implicit row, unclosed cells, nested table
+    numbering); entity decode + ws collapse on cell text; script
+    subtrees dropped."""
+    from html_parser_spark.operators import content
+
+    grid = ('<h2>t</h2><table><tr><th>k</th><th>v &amp; w</th></tr>'
+            '<tr><td> id \n</td><td>42</td></tr></table>'
+            '<table><tr><td>x</td></tr></table>')
+    soup = ('<table><td>a<td>b<tr><th>c'
+            '<table><tr><td>inner</td></tr></table>tail'
+            '<tr><td>d</table>after')
+    scripted = ('<table><tr><td><script>var x = "<td>no";</script>'
+                'keep &lt;it&gt;</td></tr></table>')
+    df = spark.createDataFrame(
+        [("c", 0, grid), ("c", 1, soup), ("c", 2, scripted),
+         ("c", 3, "no tables here"), ("c", 4, None)],
+        "conv_id string, turn_idx int, text string")
+    rows = sorted(content.extract_tables(df).collect(),
+                  key=lambda r: (r.turn_idx, r.table_seq,
+                                 r.row_seq, r.cell_seq))
+    got = [(r.turn_idx, r.table_seq, r.row_seq, r.cell_seq,
+            r.is_header, r.cell_text) for r in rows]
+    assert got == [
+        (0, 0, 0, 0, True, "k"),
+        (0, 0, 0, 1, True, "v & w"),
+        (0, 0, 1, 0, False, "id"),
+        (0, 0, 1, 1, False, "42"),
+        (0, 1, 0, 0, False, "x"),
+        (1, 0, 0, 0, False, "a"),
+        (1, 0, 0, 1, False, "b"),
+        (1, 0, 1, 0, True, "c"),
+        (1, 0, 2, 0, False, "d"),
+        (1, 1, 0, 0, False, "inner"),
+        (2, 0, 0, 0, False, "keep <it>"),
+    ]
+
+
 def test_pdf_text_extraction(spark, docs):
     """Complete valid Flate PDFs -> text with layout newlines; page
     count from /Type /Page objects."""

@@ -404,13 +404,15 @@ def test_dedup_exact_stream(spark, tmp_path):
 def test_content_and_pdf_plans_shuffle_free(spark):
     """The new content/pdf operators keep the per-turn plan shape:
     one Arrow map stage, zero Exchange."""
-    from html_parser_spark.operators.content import main_content
+    from html_parser_spark.operators.content import (
+        extract_tables, main_content)
     from html_parser_spark.operators.pdf import (
         extract_pdf_text, synth_pdf_payloads)
 
     tr = spark.createDataFrame([("c", 0, "<p>words here now</p>")],
                                "conv_id string, turn_idx int, text string")
     assert "Exchange" not in _plan(main_content(tr))
+    assert "Exchange" not in _plan(extract_tables(tr))
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert "Exchange" not in _plan(
         extract_pdf_text(synth_pdf_payloads(docs)))
@@ -543,6 +545,32 @@ def test_main_content_stream_matches_batch(spark, tmp_path):
         "SELECT * FROM cb_stream").collect()))
     exp_b = sorted(map(tuple, content_blocks(tr).collect()))
     assert got_b == exp_b and len(got_b) > 8  # >1 block per turn
+
+
+def test_tables_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for extract_tables (stateless per-turn
+    fan-out, append mode)."""
+    from html_parser_spark.operators.content import extract_tables
+    from html_parser_spark.streaming import extract_stream as es
+
+    tr = spark.createDataFrame(
+        [("c1", i, "user",
+          f"<table><tr><th>h{i}</th></tr><tr><td>v &amp; {i}</td>"
+          "<td>w</td></tr></table>", None)
+         for i in range(6)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    src = str(tmp_path / "tbl_src")
+    tr.write.parquet(src)
+    stream = es.read_transcript_stream(spark, src, tr.schema)
+    q = (es.tables_stream(stream)
+         .writeStream.format("memory").queryName("tbl_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM tbl_stream").collect()))
+    exp = sorted(map(tuple, extract_tables(tr).collect()))
+    assert got == exp and len(got) == 18  # 3 cells x 6 turns
 
 
 def test_pdf_and_media_stream_match_batch(spark, tmp_path):
