@@ -852,12 +852,30 @@ def _q_bom_stats(spark, sf_dir):
 
 
 def _q_media_meta(spark, sf_dir):
-    """Real container-header decode over blobs with genuine PNG/JPEG/
-    GIF headers; the oracle recomputes the embedded dims in closed
-    form, so the byte-level parser is verified against real bytes."""
+    """Both byte-plumbing media arms in one variant-tagged row set:
+    container-header decode over blobs with genuine PNG/JPEG/GIF
+    headers (variant='meta': k=n_bytes, s=format, w/h=dims) and
+    frame sampling (variant='frame': k=frame_idx, s=frame_hash,
+    w=h=-1). The oracle recomputes the embedded dims and the frame
+    hashes in closed form, so both byte-level paths are verified
+    against real bytes."""
     from html_parser_spark.operators.media import (
-        decode_image_meta, synth_image_payloads)
-    return decode_image_meta(synth_image_payloads(_docs(spark, sf_dir)))
+        decode_image_meta, sample_frames, synth_image_payloads,
+        with_binary)
+    docs = _docs(spark, sf_dir)
+    meta = decode_image_meta(synth_image_payloads(docs)).select(
+        F.lit("meta").alias("variant"), "doc_id",
+        F.col("n_bytes").cast("int").alias("k"),
+        F.col("format").alias("s"),
+        F.col("width").cast("int").alias("w"),
+        F.col("height").cast("int").alias("h"))
+    frames = sample_frames(with_binary(docs)).select(
+        F.lit("frame").alias("variant"), "doc_id",
+        F.col("frame_idx").cast("int").alias("k"),
+        F.col("frame_hash").alias("s"),
+        F.lit(-1).cast("int").alias("w"),
+        F.lit(-1).cast("int").alias("h"))
+    return meta.unionByName(frames)
 
 
 #: planted page layout for the boilerplate-removal heuristics: short
@@ -926,9 +944,35 @@ def _q_pdf_text(spark, sf_dir):
     return extract_pdf_text(synth_pdf_payloads(_docs(spark, sf_dir)))
 
 
-def _q_frame_sample(spark, sf_dir):
-    from html_parser_spark.operators.media import sample_frames, with_binary
-    return sample_frames(with_binary(_docs(spark, sf_dir)))
+def _q_render_conv(spark, sf_dir):
+    """Chat-template conversation assembly: each document becomes a
+    3-turn conversation (user ask / assistant body / tool result),
+    rendered back into ONE training document per conv with role tags
+    in stable turn order. The turns are unioned out of document
+    order (2, 0, 1) and repartitioned, so the query itself witnesses
+    the ordering invariant; the oracle re-renders every turn and
+    string_aggs them ORDER BY turn_idx."""
+    from html_parser_spark.operators.sessions import render_conversations
+    docs = _docs(spark, sf_dir)
+
+    def turn(idx, role, text_col, tool):
+        return docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(idx).cast("int").alias("turn_idx"),
+            F.lit(role).alias("role"),
+            text_col.alias("text"),
+            (F.lit(tool) if tool else F.lit(None)).cast("string")
+            .alias("tool"))
+
+    t0 = turn(0, "user",
+              F.concat(F.lit("ask "), F.col("doc_id").cast("string")),
+              None)
+    t1 = turn(1, "assistant", F.col("text"), None)
+    t2 = turn(2, "tool",
+              F.concat(F.lit("result "),
+                       F.col("doc_id").cast("string")), "search")
+    turns = t2.unionByName(t0).unionByName(t1).repartition(8)
+    return render_conversations(turns)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -978,11 +1022,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "tables": _q_tables,
+        "render_conv": _q_render_conv,
         "bom_stats": _q_bom_stats,
         "media_meta": _q_media_meta,
         "media_pixels": _q_media_pixels,
         "pdf_text": _q_pdf_text,
-        "frame_sample": _q_frame_sample,
     }
 
 
@@ -1942,15 +1986,36 @@ def oracle_sql() -> dict[str, str]:
                      AS maybe_undecoded_utf8
             FROM documents""",
         "media_meta": """
-            SELECT doc_id,
+            SELECT 'meta' AS variant, doc_id,
                    CAST(CASE CAST(doc_id % 3 AS INT)
                         WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END
-                        + length(text) AS INTEGER) AS n_bytes,
+                        + length(text) AS INTEGER) AS k,
                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-                        WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-                   CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS width,
-                   CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS height
-            FROM documents""",
+                        WHEN 1 THEN 'jpeg' ELSE 'gif' END AS s,
+                   CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS w,
+                   CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS h
+            FROM documents
+            UNION ALL
+            SELECT 'frame', doc_id, CAST(i AS INTEGER),
+                   md5(substr(text, CAST(i*64+1 AS INTEGER), 64)),
+                   CAST(-1 AS INTEGER), CAST(-1 AS INTEGER)
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, CAST(ceil(length(text)/64.0)
+                                               AS BIGINT))) AS i
+                  FROM documents)""",
+        "render_conv": f"""
+            WITH t AS (
+              SELECT {_ID} AS conv_id, 0 AS i,
+                     '<|user|>ask ' || {_ID} AS r FROM documents
+              UNION ALL
+              SELECT {_ID}, 1, '<|assistant|>' || text
+              FROM documents
+              UNION ALL
+              SELECT {_ID}, 2, '<|tool:search|>result ' || {_ID}
+              FROM documents)
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(r, chr(10) ORDER BY i) AS doc
+            FROM t GROUP BY conv_id""",
         "pdf_text": f"""
             SELECT doc_id, CAST(2 AS INT) AS n_pages,
                    'Hello doc ' || {_ID} || ' (escaped)' || chr(10) ||
@@ -1974,13 +2039,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((x + y + 3 * doc_id) % 256) AS BIGINT)
                      AS b_sum
             FROM px GROUP BY doc_id, w, h""",
-        "frame_sample": """
-            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-                   md5(substr(text, CAST(i*64+1 AS INTEGER), 64))
-                     AS frame_hash
-            FROM (SELECT doc_id, text,
-                         unnest(range(0, CAST(ceil(length(text)/64.0)
-                                               AS BIGINT))) AS i
-                  FROM documents)""",
     }
     return out

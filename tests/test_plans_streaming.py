@@ -143,6 +143,42 @@ def test_sessionize_batch(spark):
     }
 
 
+def test_render_conversations(spark):
+    """Chat-template assembly: role/tool tags, null text/role, and
+    stability — the doc is identical whatever the input row order or
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators.sessions import render_conversations
+
+    rows = [
+        ("c1", 2, "tool", "it is 9", "clock"),
+        ("c1", 0, "user", "what time", None),
+        ("c1", 1, "assistant", None, None),
+        ("c2", 0, None, "solo", None),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, "
+              "text string, tool string")
+    df = spark.createDataFrame(rows, schema)
+    got = {r.conv_id: (r.n_turns, r.doc)
+           for r in render_conversations(df).collect()}
+    assert got == {
+        "c1": (3, "<|user|>what time\n<|assistant|>\n"
+                  "<|tool:clock|>it is 9"),
+        "c2": (1, "<||>solo"),
+    }
+    # stability under reshuffle + reversed input order
+    df2 = spark.createDataFrame(list(reversed(rows)), schema) \
+        .repartition(7, F.col("turn_idx"))
+    got2 = {r.conv_id: (r.n_turns, r.doc)
+            for r in render_conversations(df2).collect()}
+    assert got2 == got
+    # exactly one exchange (the conv_id hash agg), no Python stage
+    plan = render_conversations(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Python" not in plan
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions emit when the
     event-time watermark passes their idle deadline; state stays three
