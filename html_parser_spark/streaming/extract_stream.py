@@ -25,6 +25,10 @@ row X changes when row Y arrives arbitrarily later. The streaming
 analogue is the standard lambda split: fit/count on a batch
 snapshot, apply the frozen model statelessly in the stream (exactly
 how `decontaminate_stream` applies a frozen eval-shingle set).
+`sessions.render_conversations` is batch-scope for the same reason a
+conversation is only renderable once complete; the streaming path is
+sessionize_stream (emit on watermark) followed by a batch render of
+closed sessions.
 """
 
 from __future__ import annotations
