@@ -32,7 +32,10 @@ Stages (each one of the independently-oracle-verified operators):
    resampling (`sampling.dsir_select`) then keeps the K rows most
    like the target distribution, deterministically (Gumbel-top-k
    over hashed-n-gram log-ratio weights).
-7. **write** — surviving rows as parquet; ``--shards N`` instead
+7. **render** (``--render-conversations``) — re-assemble surviving
+   turns into one chat-template document per conversation
+   (`sessions.render_conversations`, stable turn order), then
+   **write** — surviving rows as parquet; ``--shards N`` instead
    exports N deterministic content-hash training shards
    (`plans.pipeline.write_training_shards`) — or (Iceberg append in
    deployment) + a JSON funnel report (rows in/out per stage — the
@@ -97,6 +100,12 @@ def main() -> None:
                          "eval overlap (conservative default); scrub = "
                          "excise just the overlapping word spans and "
                          "keep the rest of each turn")
+    ap.add_argument("--render-conversations", action="store_true",
+                    dest="render",
+                    help="re-assemble surviving turns into ONE "
+                         "chat-template document per conversation "
+                         "(role/tool tags, stable turn order) before "
+                         "the write — the training-export shape")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
@@ -240,16 +249,34 @@ def main() -> None:
                      .drop("doc_key"))
         funnel["after_dsir"] = survivors.count()
 
+    # 6c. optional conversation re-assembly: surviving turns join
+    # back their role/tool from the source and render as one
+    # chat-template document per conversation (stable turn order);
+    # downstream consumers get whole conversations, not loose turns
+    if args.render:
+        from html_parser_spark.operators.sessions import (
+            render_conversations)
+        withroles = survivors.join(
+            tr.select("conv_id", "turn_idx", "role", "tool"),
+            ["conv_id", "turn_idx"], "left")
+        survivors = render_conversations(withroles).cache()
+        funnel["rendered_convs"] = survivors.count()
+
     # 7. write + report
     if args.shards:
         from html_parser_spark.plans.pipeline import (
             write_training_shards)
-        keyed_out = survivors.withColumn(
-            "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+        if args.render:
+            keyed_out = survivors.withColumn("doc_key", F.col("conv_id"))
+            order_cols = ("conv_id",)
+        else:
+            keyed_out = survivors.withColumn(
+                "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+            order_cols = ("conv_id", "turn_idx")
         write_training_shards(keyed_out, args.output,
                               n_shards=args.shards,
                               key_col="doc_key",
-                              order_cols=("conv_id", "turn_idx"))
+                              order_cols=order_cols)
     else:
         survivors.write.mode("overwrite").parquet(args.output)
     report = {
