@@ -267,15 +267,16 @@ def main() -> None:
         from html_parser_spark.plans.pipeline import (
             write_training_shards)
         if args.render:
-            keyed_out = survivors.withColumn("doc_key", F.col("conv_id"))
+            keyed_out, key_col = survivors, "conv_id"
             order_cols = ("conv_id",)
         else:
             keyed_out = survivors.withColumn(
                 "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+            key_col = "doc_key"
             order_cols = ("conv_id", "turn_idx")
         write_training_shards(keyed_out, args.output,
                               n_shards=args.shards,
-                              key_col="doc_key",
+                              key_col=key_col,
                               order_cols=order_cols)
     else:
         survivors.write.mode("overwrite").parquet(args.output)
