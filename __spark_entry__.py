@@ -898,13 +898,17 @@ def _q_content_blocks(spark, sf_dir):
 
 #: planted table layout: a header row, a data row carrying doc_id, a
 #: data row carrying the document prose, plus a second one-cell table
-#: — exercises multi-table numbering, th/td, entity decode, collapse
+#: whose cell carries closed-form colspan/rowspan (the rowspan varies
+#: per doc_id; a bogus colspan="x" on the id cell must read as 1) —
+#: exercises multi-table numbering, th/td, entity decode, collapse
 _T_TABLE = (
     "'<p>intro</p><table><tr><th>k</th><th>v &amp; w</th></tr>"
-    "<tr><td>id</td><td>' || CAST(doc_id AS VARCHAR) || '</td></tr>"
+    "<tr><td colspan=\"x\">id</td><td>' || CAST(doc_id AS VARCHAR) ||"
+    " '</td></tr>"
     "<tr><td>body</td><td> ' || text || ' </td></tr></table>"
-    "<table><tr><td>x' || CAST(doc_id % 7 AS VARCHAR) || "
-    "'</td></tr></table>'")
+    "<table><tr><td colspan=\"2\" rowspan=\"' || "
+    "CAST(1 + doc_id % 3 AS VARCHAR) || '\">x' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '</td></tr></table>'")
 
 
 def _q_tables(spark, sf_dir):
@@ -1959,16 +1963,24 @@ def oracle_sql() -> dict[str, str]:
         "tables": f"""
             WITH d AS (SELECT {_ID} AS id, doc_id,
                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll
-                  FROM documents)
+                  FROM documents),
+            one AS (SELECT CAST(1 AS INT) AS s)
             SELECT id AS conv_id, 0 AS turn_idx, 0 AS table_seq,
                    0 AS row_seq, 0 AS cell_seq, true AS is_header,
-                   'k' AS cell_text FROM d
-            UNION ALL SELECT id, 0, 0, 0, 1, true, 'v & w' FROM d
-            UNION ALL SELECT id, 0, 0, 1, 0, false, 'id' FROM d
-            UNION ALL SELECT id, 0, 0, 1, 1, false, id FROM d
-            UNION ALL SELECT id, 0, 0, 2, 0, false, 'body' FROM d
-            UNION ALL SELECT id, 0, 0, 2, 1, false, coll FROM d
-            UNION ALL SELECT id, 0, 1, 0, 0, false,
+                   s AS colspan, s AS rowspan, 'k' AS cell_text
+            FROM d, one
+            UNION ALL SELECT id, 0, 0, 0, 1, true, s, s, 'v & w'
+            FROM d, one
+            UNION ALL SELECT id, 0, 0, 1, 0, false, s, s, 'id'
+            FROM d, one
+            UNION ALL SELECT id, 0, 0, 1, 1, false, s, s, id
+            FROM d, one
+            UNION ALL SELECT id, 0, 0, 2, 0, false, s, s, 'body'
+            FROM d, one
+            UNION ALL SELECT id, 0, 0, 2, 1, false, s, s, coll
+            FROM d, one
+            UNION ALL SELECT id, 0, 1, 0, 0, false, CAST(2 AS INT),
+                      CAST(1 + doc_id % 3 AS INT),
                       'x' || CAST(doc_id % 7 AS VARCHAR) FROM d""",
         "main_content": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,

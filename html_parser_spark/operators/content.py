@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from html_parser_spark.config import ParserConfig
-from html_parser_spark.functions import assemble
+from html_parser_spark.functions import assemble, project
 from html_parser_spark.functions.entities import decode_entities
 from html_parser_spark.functions.tokenizer import ascii_lower, tokenize
 from html_parser_spark.operators.extract import _fanout_arrow
@@ -67,8 +67,22 @@ TABLES_SCHEMA = T.StructType([
     T.StructField("row_seq", T.IntegerType()),
     T.StructField("cell_seq", T.IntegerType()),
     T.StructField("is_header", T.BooleanType()),
+    T.StructField("colspan", T.IntegerType()),
+    T.StructField("rowspan", T.IntegerType()),
     T.StructField("cell_text", T.StringType()),
 ])
+
+
+def _span_attr(val) -> int:
+    """colspan/rowspan attribute -> int >= 1 (non-numeric, absent, or
+    zero/negative values all mean 1 — browsers' error handling)."""
+    if val is None:
+        return 1
+    try:
+        n = int(str(val).strip())
+    except ValueError:
+        return 1
+    return n if n >= 1 else 1
 
 
 def _blocks(doc: str, cfg: ParserConfig,
@@ -182,6 +196,12 @@ def _table_cells(doc: str, cfg: ParserConfig):
     - cell text is entity-decoded (CDATA raw) and
       whitespace-collapsed, the same text model every other
       assembly-tier operator uses.
+    - ``colspan``/``rowspan`` attributes are reported per cell
+      (browser error handling: absent/non-numeric/<1 -> 1).
+      Numbering stays document-order; resolving spans into grid
+      coordinates is a downstream fold over (row_seq, cell_seq,
+      colspan, rowspan) — the walk reports structure, it does not
+      guess at layout.
     """
     out = []
     n_tables = 0
@@ -190,6 +210,7 @@ def _table_cells(doc: str, cfg: ParserConfig):
     def close_cell(t):
         if t["parts"] is not None:
             out.append((t["idx"], t["row"], t["cell"], t["is_th"],
+                        t["cs"], t["rs"],
                         assemble.collapse_ws("".join(t["parts"]))))
             t["parts"] = None
 
@@ -213,7 +234,7 @@ def _table_cells(doc: str, cfg: ParserConfig):
                         close_cell(stack[-1])
                     stack.append({"idx": n_tables, "row": -1,
                                   "cell": -1, "parts": None,
-                                  "is_th": False})
+                                  "is_th": False, "cs": 1, "rs": 1})
                     n_tables += 1
                 elif stack:
                     t = stack[-1]
@@ -228,6 +249,10 @@ def _table_cells(doc: str, cfg: ParserConfig):
                         t["cell"] += 1
                         t["parts"] = []
                         t["is_th"] = tn == "th"
+                        a = project.attrs(doc, row, cfg)
+                        amap = a[0] if a else {}
+                        t["cs"] = _span_attr(amap.get("colspan"))
+                        t["rs"] = _span_attr(amap.get("rowspan"))
             else:
                 if tn == "table":
                     if stack:
@@ -244,7 +269,8 @@ def _table_cells(doc: str, cfg: ParserConfig):
 def extract_tables(df: DataFrame, cfg: ParserConfig = CONTENT_CONFIG,
                    text_col: str = "text") -> DataFrame:
     """transcripts -> one row per table cell: (conv_id, turn_idx,
-    table_seq, row_seq, cell_seq, is_header, cell_text).
+    table_seq, row_seq, cell_seq, is_header, colspan, rowspan,
+    cell_text).
 
     Structured-data recovery for the training-data pipeline: tables
     carry aligned facts (spec sheets, results grids) that the prose

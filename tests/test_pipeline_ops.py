@@ -1223,13 +1223,22 @@ def test_extract_tables_grid_and_soup(spark):
             '<tr><td>d</table>after')
     scripted = ('<table><tr><td><script>var x = "<td>no";</script>'
                 'keep &lt;it&gt;</td></tr></table>')
+    spans = ('<table><tr><td colspan="3" rowspan="2">a</td>'
+             '<td colspan="0">b</td>'
+             '<td rowspan="-1" colspan="zz">c</td></tr></table>')
     df = spark.createDataFrame(
         [("c", 0, grid), ("c", 1, soup), ("c", 2, scripted),
-         ("c", 3, "no tables here"), ("c", 4, None)],
+         ("c", 3, "no tables here"), ("c", 4, None),
+         ("c", 5, spans)],
         "conv_id string, turn_idx int, text string")
     rows = sorted(content.extract_tables(df).collect(),
                   key=lambda r: (r.turn_idx, r.table_seq,
                                  r.row_seq, r.cell_seq))
+    # colspan/rowspan: reported when valid, browser-style 1 otherwise
+    assert [(r.cell_text, r.colspan, r.rowspan)
+            for r in rows if r.turn_idx == 5] == [
+        ("a", 3, 2), ("b", 1, 1), ("c", 1, 1)]
+    rows = [r for r in rows if r.turn_idx != 5]
     got = [(r.turn_idx, r.table_seq, r.row_seq, r.cell_seq,
             r.is_header, r.cell_text) for r in rows]
     assert got == [
@@ -1245,6 +1254,55 @@ def test_extract_tables_grid_and_soup(spark):
         (1, 1, 0, 0, False, "inner"),
         (2, 0, 0, 0, False, "keep <it>"),
     ]
+
+
+def test_extract_tables_layout_invariance(spark):
+    """Randomized: the recovered cells are invariant to inter-tag
+    whitespace layout (pretty-printed vs minified HTML), and
+    numbering is well-formed (cell_seq strictly increasing within a
+    row, row_seq within a table)."""
+    import random
+    import re
+
+    from html_parser_spark.operators import content
+
+    rng = random.Random(20260818)
+
+    def rand_table(depth):
+        rows = []
+        for ri in range(rng.randint(1, 3)):
+            cells = []
+            for ci in range(rng.randint(1, 3)):
+                tag = rng.choice(("td", "th"))
+                body = " ".join(
+                    f"w{rng.randint(0, 99)}"
+                    for _ in range(rng.randint(0, 3)))
+                if depth < 2 and rng.random() < 0.25:
+                    body += rand_table(depth + 1)
+                close = f"</{tag}>" if rng.random() < 0.7 else ""
+                cells.append(f"<{tag} colspan={rng.randint(1, 3)}>"
+                             f"{body}{close}")
+            rows.append("<tr>" + "".join(cells)
+                        + ("</tr>" if rng.random() < 0.5 else ""))
+        return "<table>" + "".join(rows) + "</table>"
+
+    docs = [rand_table(0) + " tail" for _ in range(12)]
+    pretty = [re.sub(r"><", ">\n   <", d) for d in docs]
+    mk = lambda ds: spark.createDataFrame(
+        [("c", i, d) for i, d in enumerate(ds)],
+        "conv_id string, turn_idx int, text string")
+    key = lambda r: (r.turn_idx, r.table_seq, r.row_seq, r.cell_seq)
+    a = sorted(map(tuple, content.extract_tables(mk(docs)).collect()))
+    b = sorted(map(tuple,
+                   content.extract_tables(mk(pretty)).collect()))
+    assert a == b and len(a) > 20
+    rows = sorted(content.extract_tables(mk(docs)).collect(), key=key)
+    seen = {}
+    for r in rows:
+        k = (r.turn_idx, r.table_seq, r.row_seq)
+        assert r.cell_seq == seen.get(k, -1) + 1  # dense, in order
+        seen[k] = r.cell_seq
+        assert r.colspan >= 1 and r.rowspan >= 1
 
 
 def test_pdf_text_extraction(spark, docs):
