@@ -1967,20 +1967,21 @@ def oracle_sql() -> dict[str, str]:
             one AS (SELECT CAST(1 AS INT) AS s)
             SELECT id AS conv_id, 0 AS turn_idx, 0 AS table_seq,
                    0 AS row_seq, 0 AS cell_seq, true AS is_header,
-                   s AS colspan, s AS rowspan, 'k' AS cell_text
+                   s AS colspan, s AS rowspan,
+                   CAST(0 AS INT) AS grid_col, 'k' AS cell_text
             FROM d, one
-            UNION ALL SELECT id, 0, 0, 0, 1, true, s, s, 'v & w'
+            UNION ALL SELECT id, 0, 0, 0, 1, true, s, s, 1, 'v & w'
             FROM d, one
-            UNION ALL SELECT id, 0, 0, 1, 0, false, s, s, 'id'
+            UNION ALL SELECT id, 0, 0, 1, 0, false, s, s, 0, 'id'
             FROM d, one
-            UNION ALL SELECT id, 0, 0, 1, 1, false, s, s, id
+            UNION ALL SELECT id, 0, 0, 1, 1, false, s, s, 1, id
             FROM d, one
-            UNION ALL SELECT id, 0, 0, 2, 0, false, s, s, 'body'
+            UNION ALL SELECT id, 0, 0, 2, 0, false, s, s, 0, 'body'
             FROM d, one
-            UNION ALL SELECT id, 0, 0, 2, 1, false, s, s, coll
+            UNION ALL SELECT id, 0, 0, 2, 1, false, s, s, 1, coll
             FROM d, one
             UNION ALL SELECT id, 0, 1, 0, 0, false, CAST(2 AS INT),
-                      CAST(1 + doc_id % 3 AS INT),
+                      CAST(1 + doc_id % 3 AS INT), 0,
                       'x' || CAST(doc_id % 7 AS VARCHAR) FROM d""",
         "main_content": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,

@@ -69,6 +69,7 @@ TABLES_SCHEMA = T.StructType([
     T.StructField("is_header", T.BooleanType()),
     T.StructField("colspan", T.IntegerType()),
     T.StructField("rowspan", T.IntegerType()),
+    T.StructField("grid_col", T.IntegerType()),
     T.StructField("cell_text", T.StringType()),
 ])
 
@@ -197,20 +198,24 @@ def _table_cells(doc: str, cfg: ParserConfig):
       whitespace-collapsed, the same text model every other
       assembly-tier operator uses.
     - ``colspan``/``rowspan`` attributes are reported per cell
-      (browser error handling: absent/non-numeric/<1 -> 1).
-      Numbering stays document-order; resolving spans into grid
-      coordinates is a downstream fold over (row_seq, cell_seq,
-      colspan, rowspan) — the walk reports structure, it does not
-      guess at layout.
+      (browser error handling: absent/non-numeric/<1 -> 1), and the
+      walk resolves them into a ``grid_col``: the visual column the
+      cell starts in, accounting for earlier cells' colspans in the
+      row and rowspan overhang from prior rows (the standard HTML
+      table layout algorithm). ``cell_seq`` stays document-order.
+      Spans are clamped to 1000 for occupancy bookkeeping (the
+      reported values are as parsed) so a hostile ``rowspan="1e9"``
+      cannot blow up walk memory.
     """
     out = []
     n_tables = 0
     stack: list[dict] = []
+    _OCC_CAP = 1000
 
     def close_cell(t):
         if t["parts"] is not None:
             out.append((t["idx"], t["row"], t["cell"], t["is_th"],
-                        t["cs"], t["rs"],
+                        t["cs"], t["rs"], t["gc"],
                         assemble.collapse_ws("".join(t["parts"]))))
             t["parts"] = None
 
@@ -234,7 +239,8 @@ def _table_cells(doc: str, cfg: ParserConfig):
                         close_cell(stack[-1])
                     stack.append({"idx": n_tables, "row": -1,
                                   "cell": -1, "parts": None,
-                                  "is_th": False, "cs": 1, "rs": 1})
+                                  "is_th": False, "cs": 1, "rs": 1,
+                                  "gc": 0, "cur": 0, "occ": {}})
                     n_tables += 1
                 elif stack:
                     t = stack[-1]
@@ -242,6 +248,10 @@ def _table_cells(doc: str, cfg: ParserConfig):
                         close_cell(t)
                         t["row"] += 1
                         t["cell"] = -1
+                        t["cur"] = 0
+                        # past rows can't affect layout any more
+                        t["occ"] = {r: c for r, c in t["occ"].items()
+                                    if r >= t["row"]}
                     elif tn == "td" or tn == "th":
                         close_cell(t)
                         if t["row"] < 0:
@@ -253,6 +263,17 @@ def _table_cells(doc: str, cfg: ParserConfig):
                         amap = a[0] if a else {}
                         t["cs"] = _span_attr(amap.get("colspan"))
                         t["rs"] = _span_attr(amap.get("rowspan"))
+                        r0, occ = t["row"], t["occ"]
+                        c = t["cur"]
+                        taken = occ.get(r0, set())
+                        while c in taken:
+                            c += 1
+                        t["gc"] = c
+                        cs = min(t["cs"], _OCC_CAP)
+                        for rr in range(r0, r0 + min(t["rs"], _OCC_CAP)):
+                            occ.setdefault(rr, set()).update(
+                                range(c, c + cs))
+                        t["cur"] = c + cs
             else:
                 if tn == "table":
                     if stack:
@@ -270,7 +291,7 @@ def extract_tables(df: DataFrame, cfg: ParserConfig = CONTENT_CONFIG,
                    text_col: str = "text") -> DataFrame:
     """transcripts -> one row per table cell: (conv_id, turn_idx,
     table_seq, row_seq, cell_seq, is_header, colspan, rowspan,
-    cell_text).
+    grid_col, cell_text).
 
     Structured-data recovery for the training-data pipeline: tables
     carry aligned facts (spec sheets, results grids) that the prose

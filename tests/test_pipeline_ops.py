@@ -1225,7 +1225,8 @@ def test_extract_tables_grid_and_soup(spark):
                 'keep &lt;it&gt;</td></tr></table>')
     spans = ('<table><tr><td colspan="3" rowspan="2">a</td>'
              '<td colspan="0">b</td>'
-             '<td rowspan="-1" colspan="zz">c</td></tr></table>')
+             '<td rowspan="-1" colspan="zz">c</td></tr>'
+             '<tr><td>u</td><td>v</td></tr></table>')
     df = spark.createDataFrame(
         [("c", 0, grid), ("c", 1, soup), ("c", 2, scripted),
          ("c", 3, "no tables here"), ("c", 4, None),
@@ -1234,10 +1235,13 @@ def test_extract_tables_grid_and_soup(spark):
     rows = sorted(content.extract_tables(df).collect(),
                   key=lambda r: (r.turn_idx, r.table_seq,
                                  r.row_seq, r.cell_seq))
-    # colspan/rowspan: reported when valid, browser-style 1 otherwise
-    assert [(r.cell_text, r.colspan, r.rowspan)
+    # colspan/rowspan reported (browser-style 1 for bad values) and
+    # resolved into grid columns: a spans cols 0-2 of rows 0-1, so
+    # row 1's cells start at grid_col 3
+    assert [(r.cell_text, r.colspan, r.rowspan, r.grid_col)
             for r in rows if r.turn_idx == 5] == [
-        ("a", 3, 2), ("b", 1, 1), ("c", 1, 1)]
+        ("a", 3, 2, 0), ("b", 1, 1, 3), ("c", 1, 1, 4),
+        ("u", 1, 1, 3), ("v", 1, 1, 4)]
     rows = [r for r in rows if r.turn_idx != 5]
     got = [(r.turn_idx, r.table_seq, r.row_seq, r.cell_seq,
             r.is_header, r.cell_text) for r in rows]
@@ -1297,12 +1301,17 @@ def test_extract_tables_layout_invariance(spark):
                    content.extract_tables(mk(pretty)).collect()))
     assert a == b and len(a) > 20
     rows = sorted(content.extract_tables(mk(docs)).collect(), key=key)
-    seen = {}
+    seen, gcol = {}, {}
     for r in rows:
         k = (r.turn_idx, r.table_seq, r.row_seq)
         assert r.cell_seq == seen.get(k, -1) + 1  # dense, in order
         seen[k] = r.cell_seq
         assert r.colspan >= 1 and r.rowspan >= 1
+        # grid columns advance by at least the previous colspan
+        prev = gcol.get(k)
+        if prev is not None:
+            assert r.grid_col >= prev[0] + prev[1]
+        gcol[k] = (r.grid_col, r.colspan)
 
 
 def test_pdf_text_extraction(spark, docs):
