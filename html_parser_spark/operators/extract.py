@@ -519,11 +519,31 @@ def bom_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: entities whose decode is a plain substring swap when they appear
+#: in strict '&name;' form — the overwhelmingly common web cases;
+#: amp is swapped LAST so '&amp;lt;' -> '&lt;' (one decode pass, the
+#: reference's semantics). Case-sensitive on purpose: '&AMP;' etc.
+#: fall through to the full scanner.
+_FAST_ENTS = (("lt", "<"), ("gt", ">"), ("quot", '"'),
+              ("apos", "'"), ("nbsp", " "))
+#: a row is fast-decodable iff every '&' starts one of those strict
+#: forms — anything else (no ';', numeric, exotic names, prefix
+#: forms) routes to the full scanner, so the tier is conservative
+_FAST_GATE = r"&(?!(?:amp|lt|gt|quot|apos|nbsp);)"
+
+
 def decode_entities_col(col, expand_prefix: bool = False):
     """Vectorized entity decode as a scalar pandas UDF (SURVEY.md P5).
 
-    The '&' pre-mask (SURVEY.md O10) skips untouched rows without even
-    entering the scanner.
+    Three tiers inside one Arrow batch, cheapest first: rows without
+    '&' pass through untouched (the SURVEY.md O10 pre-mask); rows
+    whose every '&' is a strict common entity (`_FAST_GATE`) decode
+    via C-speed vectorized substring swaps; only the remainder runs
+    the per-row reference-exact scanner. The gate is exact, not
+    heuristic — on gated rows the swap chain and the scanner agree by
+    construction (the only '&'s present are the five strict forms
+    plus '&amp;', applied last), so tiering never changes a result,
+    it only moves rows off the slow path.
     """
     from html_parser_spark.functions.entities import decode_entities
 
@@ -533,9 +553,18 @@ def decode_entities_col(col, expand_prefix: bool = False):
         if not mask.any():
             return s
         out = s.copy()
-        out[mask] = s[mask].map(
-            lambda x: decode_entities(x, expand_prefix)
-        )
+        amp = s[mask]
+        easy = ~amp.str.contains(_FAST_GATE, regex=True, na=True)
+        if easy.any():
+            fast = amp[easy]
+            for name, ch in _FAST_ENTS:
+                fast = fast.str.replace(f"&{name};", ch, regex=False)
+            out[fast.index] = fast.str.replace("&amp;", "&",
+                                               regex=False)
+        hard = amp[~easy]
+        if len(hard):
+            out[hard.index] = hard.map(
+                lambda x: decode_entities(x, expand_prefix))
         return out
 
     return _decode(col)

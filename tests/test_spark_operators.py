@@ -131,6 +131,37 @@ def test_decode_entities_col(spark):
     assert got == ["<x> \xe5", "no entities", "€!"]
 
 
+def test_decode_entities_col_tier_equivalence(spark):
+    """The three-tier decode (no-&, fast swap chain, full scanner)
+    must be indistinguishable from running the reference-exact
+    scanner on every row — including rows that straddle the gate
+    (strict common entities mixed with exotic/unterminated/numeric
+    forms, '&amp;'-escaping, null)."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.functions.entities import decode_entities
+
+    cases = [
+        "plain",                       # tier 1
+        "&lt;b&gt; &amp; &quot;q&quot; &apos;a&apos;&nbsp;end",  # 2
+        "&amp;lt; stays one level",    # tier 2, escaping order
+        "&lt;&unknown; mixed",         # tier 3 (exotic name)
+        "&lt no semicolon",            # tier 3 (bare known entity)
+        "&#60;&lt;",                   # tier 3 (numeric)
+        "&ltx; &quote;",               # tier 3 (near-miss names)
+        "&AMP; case",                  # tier 3 (case-sensitive gate)
+        "& alone",                     # tier 3
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["d"] for r in
+           df.select(ops.decode_entities_col(F.col("s")).alias("d"))
+           .collect()]
+    exp = [decode_entities(c, False) if c is not None else None
+           for c in cases]
+    assert got == exp
+
+
 def test_batch_and_partition_invariance(spark):
     """Reinterpretation of t/parser.t chunk-size invariance: identical
     results for 1 vs many partitions and small vs large Arrow batches."""
