@@ -142,3 +142,39 @@ def test_content_blocks_kernel_never_raises(doc: str):
         assert txt and txt == collapse_ws(txt)
         assert n_words >= 1
         assert 0.0 <= ld <= 1.0
+
+
+#: table-ish soup: the delimiters plus the tags the walk dispatches
+#: on, concatenated token-wise so real (and broken) table structures
+#: appear often
+_table_soup = st.lists(
+    st.one_of(
+        st.sampled_from(list("<>&;=\"' /!-")),
+        st.sampled_from(["table", "tr", "td", "th", "/table", "/tr",
+                         "/td", "colspan", "rowspan", "1", "99",
+                         "x", "script"]),
+        st.text(st.characters(max_codepoint=0x2FF), max_size=4),
+    ),
+    max_size=80,
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc=_table_soup)
+def test_table_walker_never_raises(doc: str):
+    """_table_cells is total over arbitrary tag soup, and its output
+    is structurally well-formed: dense document-order cell numbering
+    per (table, row), spans >= 1, and grid_col >= cell_seq (each
+    earlier cell occupies at least one column)."""
+    from html_parser_spark.operators.content import (
+        _table_cells, CONTENT_CONFIG)
+
+    seen: dict = {}
+    for (tab, row, cell, is_th, cs, rs, gc, txt) in _table_cells(
+            doc, CONTENT_CONFIG):
+        assert tab >= 0 and row >= 0 and cell >= 0
+        assert cs >= 1 and rs >= 1 and gc >= cell
+        assert isinstance(txt, str) and isinstance(is_th, bool)
+        k = (tab, row)
+        assert cell == seen.get(k, -1) + 1
+        seen[k] = cell
