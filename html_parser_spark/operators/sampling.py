@@ -62,6 +62,15 @@ __all__ = [
 _HASH_SPACE = 4294967296.0
 
 
+def md5_prefix_long(col: Column) -> Column:
+    """First 32 md5 bits of ``col`` as a long — THE portable hash
+    every sampling/packing operator shares (and every DuckDB oracle
+    rebuilds as ``('0x' || substr(md5(x),1,8))::BIGINT``). One
+    definition so a future tweak cannot silently desynchronize the
+    call sites from each other or from the oracles."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def uniform_hash_col(key: Column, seed: int = 0) -> Column:
     """Deterministic uniform ``[0, 1)`` double from ``md5(key#seed)``.
 
@@ -70,9 +79,9 @@ def uniform_hash_col(key: Column, seed: int = 0) -> Column:
     parity) and independent of partitioning.  Changing ``seed`` gives
     an independent draw for the same key.
     """
-    h = F.substring(
-        F.md5(F.concat(key.cast("string"), F.lit(f"#{seed:d}"))), 1, 8)
-    return F.conv(h, 16, 10).cast("double") / F.lit(_HASH_SPACE)
+    h = md5_prefix_long(
+        F.concat(key.cast("string"), F.lit(f"#{seed:d}")))
+    return h.cast("double") / F.lit(_HASH_SPACE)
 
 
 def stratified_sample(
@@ -178,10 +187,7 @@ def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
                                   F.element_at(w, i + 1))),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(w, bis)
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
-        .cast("long") % buckets)
+    return F.transform(grams, lambda g: md5_prefix_long(g) % buckets)
 
 
 def _bucket_counts(df: DataFrame, text_col: str,
@@ -223,13 +229,16 @@ def dsir_logweights(df: DataFrame, target_df: DataFrame,
     Nothing corpus-sized is broadcast or re-shuffled.
     """
     tcol = target_text_col or text_col
+    # both model aggregates are <= buckets rows; cache them so the
+    # eager n_p/n_q totals below don't buy a full re-explode of each
+    # corpus when the final action re-evaluates the plan
     tgt = (_bucket_counts(target_df, tcol, buckets)
-           .withColumnRenamed("c", "cp"))
+           .withColumnRenamed("c", "cp").cache())
     raw = df.select(
         F.col(key_col),
         F.explode(hashed_ngram_buckets(F.col(text_col), buckets))
         .alias("b"))
-    q = raw.groupBy("b").agg(F.count("*").alias("cq"))
+    q = raw.groupBy("b").agg(F.count("*").alias("cq")).cache()
     n_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0))).first()[0]
     # total grams from the (<= buckets rows) aggregate q itself — a
     # separate raw.count() would re-explode the whole corpus
@@ -275,7 +284,7 @@ def ngram_xent(df: DataFrame, target_df: DataFrame,
     """
     tcol = target_text_col or text_col
     tgt = (_bucket_counts(target_df, tcol, buckets)
-           .withColumnRenamed("c", "cp"))
+           .withColumnRenamed("c", "cp").cache())  # <= buckets rows
     n_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0))).first()[0]
     denom_p = float(n_p) + alpha * buckets
     raw = df.select(

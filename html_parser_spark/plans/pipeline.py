@@ -60,10 +60,12 @@ def stable_sorted(df: DataFrame) -> DataFrame:
 
 
 def partition_metrics(df: DataFrame, batch_id: int = 0,
-                      text_col: str = "extracted_text") -> DataFrame:
+                      text_col: str | None = "extracted_text"
+                      ) -> DataFrame:
     """Per-partition lineage rows computed in the same pass shape the
     real pipeline uses (one Arrow scan, no shuffle): partition id,
-    row/char counts, wall seconds."""
+    row/char counts, wall seconds. ``text_col=None`` (or a column the
+    batch lacks) counts rows only, n_chars 0."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -73,7 +75,8 @@ def partition_metrics(df: DataFrame, batch_id: int = 0,
         chars = 0
         for pdf in batches:
             rows += len(pdf)
-            chars += int(pdf[text_col].str.len().fillna(0).sum())
+            if text_col is not None and text_col in pdf.columns:
+                chars += int(pdf[text_col].str.len().fillna(0).sum())
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         yield pd.DataFrame({
             "batch_id": [batch_id], "partition_id": [pid],
@@ -124,8 +127,13 @@ def write_training_shards(df: DataFrame, path: str,
 
     Scale shape: one hash-partition Exchange (no global sort — the
     sort is within-partition), shard sizes balanced by hash
-    uniformity (CLT: ±~1/sqrt(rows-per-shard) relative spread), one
-    output file per shard via the partition==shard alignment.
+    uniformity (CLT: ±~1/sqrt(rows-per-shard) relative spread). Note
+    the repartition hashes the shard VALUE, so several shards can
+    share a task (and ~1/e of tasks are empty) — one file per shard
+    still holds because all rows of a shard co-locate and the
+    partitionBy writer splits a task's output on the sorted shard
+    column; raise ``n_shards``'s task count upstream if per-task
+    memory for 2-4 co-resident shards is a concern.
     """
     order = list(order_cols) if order_cols else [key_col]
     shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
@@ -168,18 +176,27 @@ def _warn_if_not_pruned(part: DataFrame, batch_col: str) -> None:
 
 
 def completed_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:
-    """Batch ids already committed to the checkpoint table."""
-    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+    """Batch ids already committed to the checkpoint table. Read via
+    Spark (not driver-local os.path) so URI-form and remote
+    checkpoint locations (file://, hdfs://, s3a://) resume correctly
+    instead of silently re-running everything."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (spark.read.parquet(checkpoint_dir)
+                .select("batch_id").distinct().collect())
+    except AnalysisException:  # first run: checkpoint does not exist
         return set()
-    rows = (spark.read.parquet(checkpoint_dir)
-            .select("batch_id").distinct().collect())
     return {r.batch_id for r in rows}
 
 
 def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
-                  checkpoint_dir: str, batch_col: str = "batch_id") -> int:
+                  checkpoint_dir: str, batch_col: str = "batch_id",
+                  text_col: str | None = "extracted_text") -> int:
     """Process only batches absent from the checkpoint table; write
     output + lineage per batch. Returns number of batches executed.
+    ``text_col`` names the column whose characters the lineage rows
+    count (None, or a column the output lacks, counts rows only).
 
     Exactly-once contract: each batch writes its own partition
     subdirectory ``out_dir/<batch_col>=<b>`` in OVERWRITE mode, and
@@ -200,14 +217,31 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
     done = completed_batches(spark, checkpoint_dir)
     todo = [r[0] for r in
             df.select(batch_col).distinct().collect() if r[0] not in done]
+    # Fail BEFORE any output write on batch ids the int32 lineage
+    # schema cannot commit — otherwise the batch parquet lands, the
+    # checkpoint append dies in the executors, and every resume
+    # re-runs into the same crash. (Iceberg deployment: widen
+    # LINEAGE_SCHEMA alongside the checkpoint table's DDL.)
+    bad = [b for b in todo
+           if not isinstance(b, int) or not -2**31 <= b < 2**31]
+    if bad:
+        raise ValueError(
+            f"run_resumable: batch ids must be int32 (lineage schema); "
+            f"got {bad[:3]!r}{'...' if len(bad) > 3 else ''} in "
+            f"{batch_col!r}. Null ids usually mean unstaged input — "
+            f"partition the source by {batch_col!r} first.")
     for i, b in enumerate(sorted(todo)):
         part = df.filter(F.col(batch_col) == b).drop(batch_col)
         if i == 0:
             _warn_if_not_pruned(part, batch_col)
         sub = os.path.join(out_dir, f"{batch_col}={b}")
         part.write.mode("overwrite").parquet(sub)
-        (partition_metrics(part, batch_id=b,
-                           text_col="extracted_text")
+        # lineage describes the files just WRITTEN (read back from
+        # sub), not a second execution of the extraction plan — the
+        # batch's compute runs once, and the counts match the output
+        # even if an upstream stage were nondeterministic
+        (partition_metrics(spark.read.parquet(sub), batch_id=b,
+                           text_col=text_col)
          .write.mode("append").parquet(checkpoint_dir))
     return len(todo)
 
@@ -250,12 +284,15 @@ def pack_sequences(df: DataFrame, target_tokens: int,
     """
     from pyspark.sql import Window
 
+    if target_tokens < 1:
+        raise ValueError("need target_tokens >= 1")
     k = F.col(key_col).cast("string")
     from html_parser_spark.operators.textstats import words_col
-    n = F.size(words_col(F.col(text_col)))
-    b = (F.conv(F.substring(
-            F.md5(F.concat(k, F.lit(f"#b{seed:d}"))), 1, 8), 16, 10)
-         .cast("long") % buckets)
+    # NULL text = 0 tokens (size(NULL) is NULL and would otherwise
+    # poison the cumulative sum and collapse pack_ids)
+    n = F.coalesce(F.size(words_col(F.col(text_col))), F.lit(0))
+    from html_parser_spark.operators.sampling import md5_prefix_long
+    b = md5_prefix_long(F.concat(k, F.lit(f"#b{seed:d}"))) % buckets
     h = F.md5(F.concat(k, F.lit(f"#o{seed:d}")))
     base = df.select(F.col(key_col), n.alias("n_tokens"),
                      b.alias("_b"), h.alias("_h"))
@@ -300,7 +337,10 @@ def chunk_documents(df: DataFrame, max_tokens: int,
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    w = words_col(F.col(text_col))
+    # NULL text chunks like the empty doc (one empty chunk), instead
+    # of being silently dropped by explode(NULL)
+    w = F.coalesce(words_col(F.col(text_col)),
+                   F.array().cast("array<string>"))
     n_chunks = F.greatest(
         F.lit(1).cast("long"),
         F.ceil((F.size(w) - F.lit(overlap)) / F.lit(step))

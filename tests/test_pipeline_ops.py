@@ -462,6 +462,75 @@ def test_resume_partition_pruned_and_idempotent(spark, tmp_path):
     lineage = spark.read.parquet(ckpt)
     assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 30
 
+    # URI-form checkpoint path: completed batches still resolve (no
+    # silent full re-run on file://-style locations)
+    assert pipeline.completed_batches(
+        spark, "file://" + ckpt) == {0, 1, 2}
+
+
+def test_run_resumable_guards(spark, tmp_path):
+    """The generic-input surface fails FAST and cleanly: batch ids
+    the int32 lineage schema cannot commit (nulls, strings, >2^31)
+    raise before any output lands; a custom/absent text column counts
+    rows with zero chars instead of crashing the lineage write."""
+    import pytest
+
+    from html_parser_spark.plans import pipeline
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    bad_null = spark.createDataFrame(
+        [(1, "x", None), (2, "y", 0)],
+        "doc_id long, extracted_text string, batch_id int")
+    with pytest.raises(ValueError, match="int32"):
+        pipeline.run_resumable(spark, bad_null, out, ckpt)
+    bad_str = spark.createDataFrame(
+        [(1, "x", "2026-08-17")],
+        "doc_id long, extracted_text string, batch_id string")
+    with pytest.raises(ValueError, match="int32"):
+        pipeline.run_resumable(spark, bad_str, out, ckpt)
+    assert not (tmp_path / "o").exists()  # nothing half-written
+
+    ok = spark.createDataFrame(
+        [(i, f"t{i}", i % 2) for i in range(6)],
+        "doc_id long, body string, batch_id int")
+    assert pipeline.run_resumable(spark, ok, out, ckpt,
+                                  text_col="body") == 2
+    lineage = spark.read.parquet(ckpt)
+    assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 6
+    assert lineage.agg(F.sum("n_chars")).collect()[0][0] == 12  # 't0'..
+    # absent text col: rows counted, chars 0, no crash
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    assert pipeline.run_resumable(spark, ok.drop("body"), out2, ckpt2,
+                                  text_col="body") == 2
+    l2 = spark.read.parquet(ckpt2)
+    assert l2.agg(F.sum("n_rows")).collect()[0][0] == 6
+    assert l2.agg(F.sum("n_chars")).collect()[0][0] == 0
+
+
+def test_pack_and_chunk_null_text(spark):
+    """NULL text is a first-class row: pack_sequences scores it as 0
+    tokens with a well-formed bucket-local pack_id (no collapsed bare-
+    bucket ids), chunk_documents yields its one empty chunk instead
+    of dropping the row, and bad target_tokens fails fast."""
+    import pytest
+
+    from html_parser_spark.plans.pipeline import (
+        chunk_documents, pack_sequences)
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")],
+        "doc_id long, text string")
+    packed = {r.doc_id: r for r in
+              pack_sequences(df, target_tokens=10).collect()}
+    assert len(packed) == 3
+    assert packed[2].n_tokens == 0
+    assert "-" in packed[2].pack_id  # bucket-local, not bare bucket
+    chunks = {r.doc_id: r for r in
+              chunk_documents(df, max_tokens=2).collect()}
+    assert chunks[2].chunk_text == "" and chunks[2].n_tokens == 0
+    with pytest.raises(ValueError, match="target_tokens"):
+        pack_sequences(df, target_tokens=0)
+
 
 # ------------------------------------------------------------- streaming
 
