@@ -99,6 +99,11 @@ def minhash_signatures(df: DataFrame, key_col: str = "doc_id",
       K is large or shingles are long enough that digesting them K
       times actually shows up. Requires num_hashes <= 8.
     """
+    if family not in ("md5k", "md5slice"):
+        raise ValueError(f"unknown minhash family {family!r} "
+                         "(md5k | md5slice) — a typo must not "
+                         "silently fall through to md5k and "
+                         "desynchronize stored signatures")
     with_sh = df.select(F.col(key_col),
                         shingles_col(F.col(text_col), n).alias("_sh"))
     if family == "md5slice":
@@ -141,6 +146,11 @@ def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
     drops degenerate buckets (e.g. empty-text docs all hashing alike)
     before the quadratic self-join.
     """
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"band_size ({band_size}) bands — a remainder would "
+            "silently discard signature columns and lower recall")
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -156,7 +166,12 @@ def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
     counts = (exploded.groupBy("band_idx", "band_key")
               .agg(F.count("*").alias("n"))
               .filter((F.col("n") > 1) & (F.col("n") <= max_bucket)))
-    kept = exploded.join(F.broadcast(counts.select("band_idx", "band_key")),
+    # no broadcast hint: the surviving-buckets table is corpus-derived
+    # (O(duplicated docs x bands) rows at web scale) — forcing it
+    # through the driver would hit the broadcast limit exactly when
+    # dedup matters most; AQE broadcasts it at runtime when it IS
+    # small (same rule ngram_jaccard_pairs documents)
+    kept = exploded.join(counts.select("band_idx", "band_key"),
                          ["band_idx", "band_key"])
     a = kept.alias("a")
     b = kept.alias("b")
@@ -193,6 +208,10 @@ def simhash(df: DataFrame, key_col: str = "doc_id",
     nib = ("(position(substr(m, CAST(b div 4 AS INT) + 1, 1) "
            "IN '0123456789abcdef') - 1)")
     bit = f"(shiftright({nib}, CAST(b % 4 AS INT)) & 1)"
+    # split(trim(.), '\s+') is the SQL-string spelling of
+    # textstats.words_col (this expr is built as selectExpr text, so
+    # the Column helper can't be composed in directly) — keep the two
+    # in lockstep, the DuckDB oracle re-derives this exact tokenization
     votes = (
         f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
         f"x -> md5(x)), array_repeat(CAST(0 AS BIGINT), 64), "
@@ -770,7 +789,9 @@ def dedup_lines(df: DataFrame, key_col: str = "doc_id",
     themselves, so hash-equality standing in for string-equality is
     itself checked.
     """
-    lines = F.split(F.col(text_col), "\n")
+    # NULL text degrades to the empty doc so the output contract
+    # (clean_text/n_lines defined for EVERY input row) holds
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     ex = df.select(F.col(key_col).alias("key"),
                    F.posexplode(lines).alias("idx", "line"))
     norm = F.trim(F.regexp_replace(F.regexp_replace(

@@ -178,7 +178,11 @@ def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
     oracle rebuilds it as ``('0x' || substr(md5(g),1,8))::BIGINT %
     buckets``)."""
     from html_parser_spark.operators.textstats import words_col
-    w = F.filter(words_col(F.lower(text)), lambda x: F.length(x) > 0)
+    # NULL text = the gram-free doc (empty bucket array), not a NULL
+    # that silently drops the row from gradients/weights and returns
+    # NULL scores downstream (classifier, DSIR, xent all fold on this)
+    w = F.filter(words_col(F.lower(F.coalesce(text, F.lit("")))),
+                 lambda x: F.length(x) > 0)
     bis = F.when(
         F.size(w) >= 2,
         F.transform(

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float|double> columns in pure
-    JVM expressions (double math)."""
+    JVM expressions (double math). A zero-norm (or null) vector has
+    no defined cosine and yields NULL — guarded explicitly because
+    Spark 4's default ANSI mode turns the bare division into a
+    job-killing DIVIDE_BY_ZERO on the first degenerate row."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
@@ -39,7 +42,8 @@ def cosine_expr(a: Column, b: Column) -> Column:
         a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     nb = F.sqrt(F.aggregate(
         b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def cosine_neighbors(df: DataFrame, query_df: DataFrame,
@@ -197,12 +201,22 @@ def kmeans_centroids(df: DataFrame, k: int = 4, rounds: int = 10,
     list 0 (``array_position`` miss) and is dropped rather than
     silently folded into the LAST centroid via the -1 index.
     """
-    first = (df.orderBy(key_col).limit(k)
+    dim_row = (df.select(F.size(vec_col).alias("d"))
+               .filter(F.col("d") > 0)
+               .groupBy("d").count()
+               .orderBy(F.desc("count"), F.asc("d")).first())
+    if dim_row is None:
+        raise ValueError("no non-empty vectors to train on")
+    dim = dim_row.d  # modal width — deterministic, outlier-immune
+    # init rows pass the same guard as the training vectors: null or
+    # dimension-mismatched vectors among the first k must not crash
+    # init or smuggle a short centroid into the list
+    first = (df.filter(F.size(vec_col) == dim)
+             .orderBy(key_col).limit(k)
              .select(F.col(vec_col).alias("v")).collect())
     cents = [[float(x) for x in r.v] for r in first]
     if len(cents) < k:
         raise ValueError(f"need >= {k} vectors to init {k} centroids")
-    dim = len(cents[0])
     vecs = (df.select(F.col(vec_col).alias("v"))
             .filter(F.size("v") == dim))
     for _ in range(rounds):
@@ -266,7 +280,8 @@ def ivf_neighbors(df: DataFrame, query_df: DataFrame,
     )
 
 
-def lsh_neighbors(df: DataFrame, query_df: DataFrame, dim: int,
+def lsh_neighbors(df: DataFrame, query_df: DataFrame,
+                  dim: int | None = None,
                   key_col: str = "vec_id", vec_col: str = "embedding",
                   query_key: str = "query_id", n_bits: int = 12,
                   threshold: float = 0.2, seed: int = 7) -> DataFrame:
@@ -277,6 +292,13 @@ def lsh_neighbors(df: DataFrame, query_df: DataFrame, dim: int,
     fewer bits or by unioning several seeds. The candidate join is an
     equi-join on the sketch — shuffle is O(corpus), and with a small
     query side the bucket map broadcasts.
+
+    ``dim=None`` (the default) sizes the hyperplanes per row — the
+    safe choice: a static ``dim`` that disagrees with the real vector
+    width null-pads every sketch to bucket 0 and silently turns the
+    bounded equi-join into an O(n x q) cross product (see
+    :func:`lsh_sketch_expr`); pass a static ``dim`` only when the
+    width is enforced upstream and the constant-folding win matters.
     """
     sk = lsh_sketch_expr(vec_col, dim, n_bits, seed)
     corpus = df.select(key_col, vec_col).withColumn("_bucket", sk)

@@ -1705,6 +1705,51 @@ def test_ivf_ann(spark, vecs):
     assert 2 in got2 and 3 in got2  # full probe sweep = exact lists
 
 
+def test_degenerate_inputs_hardening(spark):
+    """Review-driven guards: zero-norm vectors yield NULL cosine
+    instead of an ANSI DIVIDE_BY_ZERO job kill; null/short vectors
+    among the first k rows cannot crash or corrupt k-means init;
+    uneven LSH banding and typo'd minhash families raise instead of
+    silently degrading; NULL text flows through dedup_lines and the
+    LR scorer as the empty/gram-free doc."""
+    import pytest
+
+    from html_parser_spark.operators import dedup
+    from html_parser_spark.operators.classifier import quality_lr_score
+    from html_parser_spark.operators.similarity import (
+        cosine_expr, kmeans_centroids)
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.c for r in vecs.select(
+        "vec_id", cosine_expr(F.col("embedding"),
+                              F.array(F.lit(1.0), F.lit(0.0)))
+        .alias("c")).collect()}
+    assert got[1] is None and got[2] == 1.0 and got[3] == 0.0
+
+    ragged = spark.createDataFrame(
+        [(0, None), (1, [9.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+         (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(ragged, k=2, rounds=2)
+    assert all(len(c) == 2 for c in cents)  # short vec never inits
+
+    docs = spark.createDataFrame([(1, "a b"), (2, None)],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="band"):
+        dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs), num_hashes=8, band_size=3)
+    with pytest.raises(ValueError, match="family"):
+        dedup.minhash_signatures(docs, family="md5_slice")
+
+    dl = {r.doc_id: r for r in dedup.dedup_lines(docs).collect()}
+    assert dl[2].clean_text == "" and dl[2].n_lines == 1
+    lr = {r.doc_id: r.lr_prob for r in quality_lr_score(
+        docs, [0.0, 0.1, -0.1], ["doc_id"]).collect()}
+    assert lr[2] == 0.5  # sigmoid(bias): gram-free, not NULL
+
+
 def test_kmeans_centroids_train_ivf(spark):
     """In-engine Lloyd's k-means: three planted clusters around the
     axes converge to their means in a few rounds from deterministic
