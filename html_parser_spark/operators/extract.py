@@ -212,6 +212,10 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
         # argspec asking for positions turns tracking on even if the
         # preset (e.g. EXTRACT_CONFIG) switched it off
         cfg = cfg.with_(track_positions=True)
+    if "skipped_text" in sel and not cfg.track_skipped_text:
+        # same lazy-enable mirror for the skipped-text accumulator —
+        # without it the selected column would be silently all-null
+        cfg = cfg.with_(track_skipped_text=True)
 
     arrow_fields = [(f.name, _ARROW_TYPES[f.name]) for f in schema]
 

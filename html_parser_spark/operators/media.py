@@ -144,6 +144,9 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None,
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers, no length
                 continue
+            if marker == 0xD9:  # EOI — also standalone (T.81
+                break           # B.1.1.2); reading a length here
+                                # desyncs on concatenated streams
             seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
                                                          0xCC):
@@ -173,11 +176,15 @@ def decode_image_meta(df: DataFrame, key_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [parse_image_header(bytes(p))
-                     for p in pdf[payload_col]]
+            # NULL payloads are first-class rows (optional media
+            # field, outer join): empty-bytes semantics, never a
+            # worker TypeError
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf[payload_col]]
+            metas = [parse_image_header(p) for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf[key_col],
-                "n_bytes": [len(p) for p in pdf[payload_col]],
+                "n_bytes": [len(p) for p in payloads],
                 "format": [m[0] for m in metas],
                 "width": pd.array([m[1] for m in metas],
                                   dtype="Int64"),
@@ -349,7 +356,8 @@ def decode_image_pixels(df: DataFrame, key_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = [decode_png_pixels(bytes(p))
+            res = [decode_png_pixels(bytes(p)) if p is not None
+                   else (None,) * 5
                    for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[key_col],
@@ -383,6 +391,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                if payload is None:  # no payload -> no frames
+                    continue
                 for i, off in enumerate(
                         range(0, len(payload), every_n_bytes)):
                     ids.append(key)

@@ -59,24 +59,46 @@ def token_stats(df: DataFrame, key_cols: list[str],
     )
 
 
+def ws_case_canon(text) -> "F.Column":
+    """Whitespace-collapse + trim + lowercase — the shared canonical
+    text form (fingerprint key; normalize_text adds Unicode NFC on
+    top). One definition so the dedup key and the canonicalizer
+    cannot silently diverge."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def n_stopwords(words) -> "F.Column":
+    """Count of EN_STOPWORDS members in a words array — shared by
+    quality_score and gopher_quality so the stopword dimension is one
+    definition."""
+    stop_arr = F.array(*[F.lit(x) for x in EN_STOPWORDS])
+    return F.size(F.filter(words,
+                           lambda x: F.array_contains(stop_arr, x)))
+
+
 def quality_score(df: DataFrame, key_cols: list[str],
                   text_col: str = "text") -> DataFrame:
     """Heuristic document-quality features: length, word stats, alpha
     ratio, stopword ratio — the standard cheap pre-filters applied
     before expensive dedup/model scoring at corpus scale."""
-    t = F.col(text_col)
+    # NULL text = the empty doc: every feature stays DEFINED (0s),
+    # so downstream threshold filters drop such rows attributably
+    # instead of NULL-propagating them out of every aggregate
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = words_col(t)
     n_chars = F.length(t)
     n_words = F.size(w)
     n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_stop = n_stopwords(w)
+    alpha_ratio = F.when(
+        n_chars > 0, F.round(n_alpha.cast("double") / n_chars, 3)) \
+        .otherwise(F.lit(0.0))
     return df.select(
         *key_cols,
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         F.round(n_chars.cast("double") / n_words, 3).alias("avg_word_len"),
-        F.round(n_alpha.cast("double") / n_chars, 3).alias("alpha_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
         F.round(n_stop.cast("double") / n_words, 3).alias("stopword_ratio"),
     )
 
@@ -233,8 +255,7 @@ def gopher_quality(df: DataFrame, key_cols: list[str],
     alpha_ratio = F.round(
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
         .cast("double") / n_words, 3)
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_stop = n_stopwords(w)
     # TWO projections: features first, rules over the materialized
     # feature columns — referencing the named columns keeps each
     # feature expression in the plan once instead of 6x (the inlined
@@ -285,8 +306,7 @@ def normalize_text(df: DataFrame, key_cols: list[str],
         return s.map(lambda x: unicodedata.normalize(form, x)
                      if isinstance(x, str) else x)
 
-    canon = F.lower(F.trim(F.regexp_replace(
-        _norm(F.col(text_col)), r"\s+", " ")))
+    canon = ws_case_canon(_norm(F.col(text_col)))
     return df.select(*key_cols, canon.alias("norm_text"))
 
 
@@ -364,7 +384,10 @@ def host_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
     partition first), so the hot-host reducer receives combined
     partials, not raw rows.
     """
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    # hostnames are case-insensitive (RFC 3986 §3.2.2) and parse_url
+    # preserves case — lowercase so mixed-case spellings of one host
+    # don't split its statistics
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     return (df.groupBy(host.alias("host"))
             .agg(F.count("*").alias("n_links"),
                  F.countDistinct(url_col).alias("n_unique_urls")))
@@ -450,7 +473,7 @@ def fingerprint(df: DataFrame, key_cols: list[str],
     case-normalized text. The normalization makes near-identical
     crawls (whitespace/case-only diffs) collide, so the fingerprint
     doubles as a cheap fuzzy-dedup key."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    norm = ws_case_canon(F.col(text_col))
     return df.select(
         *key_cols,
         F.md5(norm.cast("binary")).alias("fingerprint"),

@@ -10,8 +10,10 @@ narrow map over the url column.
 Scope notes (documented, not silent): path dot-segment resolution
 (``/a/../b``) and percent-encoding normalization are not applied —
 both change identity semantics in ways a curation pipeline must opt
-into deliberately; relative URLs (no authority) pass through with
-only trim + fragment-strip.
+into deliberately; userinfo (``user:pass@``) is DROPPED from the
+canonical form (credentials never identify content and must not leak
+into dedup keys or host stats); relative URLs (no authority) pass
+through with only trim + fragment-strip.
 """
 
 from __future__ import annotations
@@ -19,16 +21,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: query parameters that never affect content identity (public
-#: tracking-param lists: utm_* campaign tags, click ids)
-TRACKING_PARAM_PATTERNS = ("utm_%", "gclid=%", "fbclid=%", "ref=%")
+#: query-parameter PREFIXES that never affect content identity
+#: (public tracking-param lists: utm_* campaign tags, click ids).
+#: Matched with startswith, not LIKE — in LIKE the '_' of 'utm_%' is
+#: a single-char wildcard and would also strip content params like
+#: 'utmost='.
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid=", "fbclid=", "ref=")
 
 
 def canonical_url_expr(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL as one JVM
     expression tree; relative inputs (NULL host) fall back to
     trim + fragment-strip."""
-    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    # (?s): a '#' fragment may contain embedded newlines (HTML
+    # attribute values span lines); '.' must not stop at them
+    u = F.regexp_replace(F.trim(url), "(?s)#.*$", "")
     proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.parse_url(u, F.lit("HOST")))
     authority = F.parse_url(u, F.lit("AUTHORITY"))
@@ -44,8 +51,8 @@ def canonical_url_expr(url: Column) -> Column:
 
     def _keep(x: Column) -> Column:
         tracking = None
-        for pat in TRACKING_PARAM_PATTERNS:
-            c = x.like(pat)
+        for pre in TRACKING_PARAM_PREFIXES:
+            c = x.startswith(pre)
             tracking = c if tracking is None else (tracking | c)
         return (x != "") & ~tracking
 

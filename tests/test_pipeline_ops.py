@@ -662,6 +662,57 @@ def test_host_counts(spark):
     assert got["a.com"] == (3, 2)
     assert got["b.org"] == (1, 1)
     assert got[None] == (1, 1)  # relative URL -> no authority
+    # hostnames are case-insensitive: mixed-case spellings aggregate
+    mixed = spark.createDataFrame(
+        [("http://Example.COM/a",), ("http://example.com/b",)],
+        "url string")
+    got2 = {r.host: r.n_links
+            for r in textstats.host_counts(mixed).collect()}
+    assert got2 == {"example.com": 2}
+
+
+def test_url_and_text_edge_hardening(spark):
+    """Review-driven edges: LIKE-wildcard tracking params must not
+    strip content params (utmost=), fragments with embedded newlines
+    still strip, NULL payloads flow through the media decoders, the
+    skipped_text argspec lazily enables its accumulator, and
+    quality_score stays DEFINED on null/empty text."""
+    from html_parser_spark.operators.extract import events
+    from html_parser_spark.operators.media import (
+        decode_image_meta, decode_image_pixels, sample_frames)
+    from html_parser_spark.operators.urls import canonicalize_urls
+
+    urls = spark.createDataFrame(
+        [(1, "https://ex.com/?utmost=1&utm_source=x"),
+         (2, "http://h.com/p#a\nb"),
+         (3, "http://alice@ex.com/x")],
+        "doc_id long, url string")
+    canon = {r.doc_id: r.canonical_url
+             for r in canonicalize_urls(urls).collect()}
+    assert canon[1] == "https://ex.com/?utmost=1"  # content param kept
+    assert canon[2] == "http://h.com/p"            # \n fragment gone
+    assert canon[3] == "http://ex.com/x"           # userinfo dropped
+
+    media = spark.createDataFrame([(1, None), (2, b"xy")],
+                                  "doc_id long, payload binary")
+    assert decode_image_meta(media).count() == 2
+    px = {r.doc_id: r.width for r in decode_image_pixels(media).collect()}
+    assert px == {1: None, 2: None}
+    assert sample_frames(media).count() == 1  # null -> no frames
+
+    tr = spark.createDataFrame([("c", 0, "<i>x</i><b>y</b>")],
+                               "conv_id string, turn_idx int, text string")
+    from html_parser_spark.config import ParserConfig
+    ev = events(tr, ParserConfig(reported_events=("end",)),
+                fields=("tagname", "skipped_text")).collect()
+    assert any(r.skipped_text for r in ev)  # lazily enabled, not null
+
+    q = spark.createDataFrame([(1, None), (2, "")],
+                              "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textstats.quality_score(q, ["doc_id"]).collect()}
+    for r in rows.values():
+        assert r.n_chars == 0 and r.alpha_ratio == 0.0
 
 
 def test_minhash_md5slice_family(spark, docs):
