@@ -22,12 +22,14 @@ skew-immune, and the scoring thresholds are plain arguments, so a
 
 from __future__ import annotations
 
+import bisect
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from html_parser_spark.config import ParserConfig
 from html_parser_spark.functions import assemble, project
-from html_parser_spark.functions.entities import decode_entities
 from html_parser_spark.functions.tokenizer import ascii_lower, tokenize
 from html_parser_spark.operators.extract import _fanout_arrow
 
@@ -74,16 +76,23 @@ TABLES_SCHEMA = T.StructType([
 ])
 
 
-def _span_attr(val) -> int:
-    """colspan/rowspan attribute -> int >= 1 (non-numeric, absent, or
-    zero/negative values all mean 1 — browsers' error handling)."""
+_SPAN_DIGITS = re.compile(r"[ \t\n\r\f]*([0-9]+)")
+
+
+def _span_attr(val, cap: int) -> int:
+    """colspan/rowspan attribute -> int in [1, cap], parsed the way
+    the HTML non-negative-integer parser does: leading ASCII digits
+    up to the first non-digit ('2.5' and '2px' read as 2); absent /
+    no digits / zero all mean 1, and values clamp to ``cap`` (the
+    spec clamps colspan to 1000 and rowspan to 65534 — which also
+    bounds the walk's occupancy bookkeeping by construction)."""
     if val is None:
         return 1
-    try:
-        n = int(str(val).strip())
-    except ValueError:
+    m = _SPAN_DIGITS.match(str(val))
+    if not m:
         return 1
-    return n if n >= 1 else 1
+    n = int(m.group(1))
+    return min(max(n, 1), cap)
 
 
 def _blocks(doc: str, cfg: ParserConfig,
@@ -117,8 +126,7 @@ def _blocks(doc: str, cfg: ParserConfig,
     for row in tokenize(doc, cfg):
         ev = row[0]
         if ev == "text":
-            txt = row[9] if row[9] is not None else doc[row[1]:row[2]]
-            decoded = txt if row[4] else decode_entities(txt, True)
+            decoded = project.dtext(doc, row)
             parts.append(decoded)
             if a_depth > 0:
                 link_chars += len(decoded)
@@ -203,14 +211,24 @@ def _table_cells(doc: str, cfg: ParserConfig):
       cell starts in, accounting for earlier cells' colspans in the
       row and rowspan overhang from prior rows (the standard HTML
       table layout algorithm). ``cell_seq`` stays document-order.
-      Spans are clamped to 1000 for occupancy bookkeeping (the
-      reported values are as parsed) so a hostile ``rowspan="1e9"``
-      cannot blow up walk memory.
+      Spans parse like the HTML non-negative-integer parser and are
+      clamped to the spec maxima (colspan 1000, rowspan 65534);
+      occupancy is tracked as disjoint column INTERVALS per row —
+      one (start, end) tuple per touched row, never per-column ints
+      — so hostile spans cannot blow up walk memory.
     """
     out = []
     n_tables = 0
     stack: list[dict] = []
-    _OCC_CAP = 1000
+
+    def first_free(ivs, c):
+        # ivs: (start, end) intervals sorted by start, disjoint
+        for s_, e_ in ivs:
+            if c < s_:
+                break
+            if c < e_:
+                c = e_
+        return c
 
     def close_cell(t):
         if t["parts"] is not None:
@@ -223,9 +241,7 @@ def _table_cells(doc: str, cfg: ParserConfig):
         ev = row[0]
         if ev == "text":
             if stack and stack[-1]["parts"] is not None:
-                txt = row[9] if row[9] is not None else doc[row[1]:row[2]]
-                stack[-1]["parts"].append(
-                    txt if row[4] else decode_entities(txt, True))
+                stack[-1]["parts"].append(project.dtext(doc, row))
         elif ev == "start" or ev == "end":
             toks = row[3]
             if not toks:
@@ -261,19 +277,22 @@ def _table_cells(doc: str, cfg: ParserConfig):
                         t["is_th"] = tn == "th"
                         a = project.attrs(doc, row, cfg)
                         amap = a[0] if a else {}
-                        t["cs"] = _span_attr(amap.get("colspan"))
-                        t["rs"] = _span_attr(amap.get("rowspan"))
+                        t["cs"] = _span_attr(amap.get("colspan"), 1000)
+                        t["rs"] = _span_attr(amap.get("rowspan"),
+                                             65534)
                         r0, occ = t["row"], t["occ"]
-                        c = t["cur"]
-                        taken = occ.get(r0, set())
-                        while c in taken:
-                            c += 1
+                        c = first_free(occ.get(r0, ()), t["cur"])
                         t["gc"] = c
-                        cs = min(t["cs"], _OCC_CAP)
-                        for rr in range(r0, r0 + min(t["rs"], _OCC_CAP)):
-                            occ.setdefault(rr, set()).update(
-                                range(c, c + cs))
-                        t["cur"] = c + cs
+                        iv = (c, c + t["cs"])
+                        # occupancy lookahead capped at 1000 rows
+                        # (the REPORTED rowspan keeps the parsed
+                        # value): one tuple per touched row, and a
+                        # hostile rowspan=65534 costs 1000 tuples,
+                        # not 65k
+                        for rr in range(r0, r0 + min(t["rs"], 1000)):
+                            row_ivs = occ.setdefault(rr, [])
+                            bisect.insort(row_ivs, iv)
+                        t["cur"] = c + t["cs"]
             else:
                 if tn == "table":
                     if stack:

@@ -140,15 +140,23 @@ def _parse_literal_string(s: str, i: int) -> tuple[str, int]:
             if e in _ESCAPES:
                 out.append(_ESCAPES[e])
                 i += 1
-            elif e.isdigit():
+            elif e in "01234567":
+                # octal means 0-7 only: str.isdigit also accepts 8/9
+                # (and Unicode digits), whose int(., 8) ValueError
+                # would escape to the whole-file except and silently
+                # drop the document's entire text
                 oct_s = e
                 i += 1
-                while i < n and s[i].isdigit() and len(oct_s) < 3:
+                while i < n and s[i] in "01234567" and len(oct_s) < 3:
                     oct_s += s[i]
                     i += 1
                 out.append(chr(int(oct_s, 8) & 0xFF))
-            elif e == "\n":
-                i += 1  # line continuation
+            elif e == "\n" or e == "\r":
+                # line continuation: backslash + ANY EOL marker (CR,
+                # LF, or CRLF) is disregarded (ISO 32000-1 7.3.4.2)
+                i += 1
+                if e == "\r" and i < n and s[i] == "\n":
+                    i += 1
             else:
                 out.append(e)
                 i += 1
@@ -477,6 +485,7 @@ def extract_pdf_text(df: DataFrame, key_col: str = "doc_id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             res = [extract_pdf_text_bytes(bytes(p))
+                   if p is not None else (0, "")
                    for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[key_col],

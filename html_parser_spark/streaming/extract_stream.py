@@ -215,9 +215,14 @@ def _session_update(existing: tuple[int, int, int] | None,
 
     The batch is split into runs on intra-batch idle gaps FIRST
     (backfill/replay batches spanning gaps produce the same
-    boundaries as the batch operator); the stored open session merges
-    with the first run when contiguous — ``min`` on the start handles
-    late rows inside the watermark that precede the stored start."""
+    boundaries as the batch operator); the stored open span is then
+    merged into the run sequence POSITIONALLY — sorted by start and
+    joined to whichever neighbors are within ``gap_seconds`` on
+    either side. A signed first-run test would wrongly absorb a run
+    that ends long BEFORE the stored session starts (reachable
+    whenever the watermark delay exceeds the gap), gluing two real
+    sessions across their idle gap and detaching the true
+    continuation."""
     runs: list[tuple[int, int, int]] = []
     rs = re_ = ts_sorted[0]
     n_run = 1
@@ -228,16 +233,15 @@ def _session_update(existing: tuple[int, int, int] | None,
         n_run += 1
         re_ = t
     runs.append((rs, re_, n_run))
-    closed: list[tuple[int, int, int]] = []
-    if existing is not None:
-        start_s, last_s, n = existing
-        r0, r1, rn = runs[0]
-        if r0 - last_s > gap_seconds:
-            closed.append((start_s, last_s, n))
+    spans = sorted(runs + [existing]) if existing is not None else runs
+    merged = [spans[0]]
+    for s, e, k in spans[1:]:
+        ps, pe, pk = merged[-1]
+        if s - pe <= gap_seconds:
+            merged[-1] = (ps, max(pe, e), pk + k)
         else:
-            runs[0] = (min(start_s, r0), max(last_s, r1), n + rn)
-    closed.extend(runs[:-1])
-    return closed, runs[-1]
+            merged.append((s, e, k))
+    return merged[:-1], merged[-1]
 
 
 def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 300,

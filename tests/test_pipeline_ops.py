@@ -1474,6 +1474,24 @@ def test_pdf_parser_robustness():
     # operator scan once consumed zero chars on an unbalanced ')')
     for junk in (b")", b"}{", b")))(((", b"> >", b"<", b"]]"):
         assert _content_text(junk) == ""
+    # \8 and \9 are NOT octal (int(.,8) once escaped to the outer
+    # except and silently dropped the whole document's text); the
+    # undefined escape keeps the char per ISO 32000-1
+    assert _content_text(rb"BT (a\8b \9 \7) Tj ET") == "a8b 9 \x07"
+    # line continuation is backslash + ANY EOL marker: CR, LF, CRLF
+    assert _content_text(b"BT (ab\\\r\ncd ef\\\rgh) Tj ET") == "abcd efgh"
+
+
+def test_pdf_null_payload_row(spark):
+    """A NULL payload row yields (0, '') like the media decoders,
+    never a worker TypeError."""
+    from html_parser_spark.operators.pdf import extract_pdf_text
+
+    df = spark.createDataFrame([(1, None), (2, b"%PDF-1.4")],
+                               "doc_id long, payload binary")
+    got = {r.doc_id: (r.n_pages, r.pdf_text)
+           for r in extract_pdf_text(df).collect()}
+    assert got == {1: (0, ""), 2: (0, "")}
 
 
 def test_pdf_stream_data_ending_in_cr():

@@ -483,6 +483,13 @@ def test_session_update_pure_kernel():
     assert closed == [(0, 120, 3), (1000, 1000, 1)]
     assert open_ == (5000, 5000, 1)
 
+    # a run ending long BEFORE the stored session (watermark delay >
+    # gap) must close as its OWN session, while the later row joins
+    # the stored span — a signed first-run test would glue the 900s
+    # gap and detach the true continuation
+    closed, open_ = _session_update((1000, 1000, 1), [100, 1010], 300)
+    assert closed == [(100, 100, 1)] and open_ == (1000, 1010, 2)
+
 
 def test_minhash_signatures_stream_match_batch(spark, tmp_path):
     """MinHash signatures are a stateless narrow projection, so the
