@@ -576,6 +576,7 @@ def _q_lineage(spark, sf_dir):
     run run_resumable twice (second run must be a no-op), and return
     the deterministic checkpoint-table columns (batch totals —
     partition_id/wall_sec are environment-dependent by design)."""
+    import shutil
     import tempfile
 
     from html_parser_spark.plans.pipeline import run_resumable
@@ -592,10 +593,16 @@ def _q_lineage(spark, sf_dir):
     n2 = run_resumable(spark, staged, f"{tmp}/out", f"{tmp}/ckpt")
     assert n1 == 4 and n2 == 0, (n1, n2)
     lineage = spark.read.parquet(f"{tmp}/ckpt")
-    return (lineage.groupBy(F.col("batch_id").cast("int")
-                            .alias("batch_id"))
-            .agg(F.sum("n_rows").alias("n_rows"),
-                 F.sum("n_chars").alias("n_chars")))
+    totals = (lineage.groupBy(F.col("batch_id").cast("int")
+                              .alias("batch_id"))
+              .agg(F.sum("n_rows").alias("n_rows"),
+                   F.sum("n_chars").alias("n_chars")))
+    # materialize the 4 total rows, then remove the staged copy of
+    # the documents table — repeated gate runs must not accumulate
+    # parquet trees in /tmp until the disk fills
+    rows = totals.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, totals.schema)
 
 
 def _q_dedup_corpus(spark, sf_dir):
@@ -858,7 +865,15 @@ def _q_media_meta(spark, sf_dir):
     frame sampling (variant='frame': k=frame_idx, s=frame_hash,
     w=h=-1). The oracle recomputes the embedded dims and the frame
     hashes in closed form, so both byte-level paths are verified
-    against real bytes."""
+    against real bytes.
+
+    Documented dependency: the engine counts UTF-8 BYTES (payloads
+    are text.encode()) while DuckDB's length/substr count CHARS —
+    equal only because the synthetic corpus text is pure ASCII
+    (DuckDB cannot slice blobs, so a byte-true oracle is not
+    expressible). If the generator ever plants non-ASCII text this
+    oracle must be revisited, and the gate would FAIL loudly, not
+    pass wrongly."""
     from html_parser_spark.operators.media import (
         decode_image_meta, sample_frames, synth_image_payloads,
         with_binary)
@@ -1114,31 +1129,41 @@ def _lsh_bucket_expr(vec_sql: str, n_bits: int = 8, dim: int = 64,
     return "(" + " + ".join(terms) + ")"
 
 
-def _lang_id_oracle() -> str:
-    """DuckDB twin of textstats.lang_id: identical gram profiles
-    (incl. the zh/ja/ko bigrams), identical
-    (len - len(replace))/len(gram) counting, identical argmax +
-    tie-break order, identical codepoint-range CJK fallback — the
-    classifier math is re-derived, not just the expected labels."""
+def _lang_score_sql(col: str) -> tuple[str, str, str, str]:
+    """Shared SQL builder for the lang_id scoring math over column
+    ``col``: (score_cols, best, pred, fb) — ONE definition so the
+    lang_id and curate_corpus oracles cannot drift from each other
+    or from textstats.lang_id."""
     from html_parser_spark.operators.textstats import (
         CJK_SCRIPT_RANGES, LANG_TRIGRAMS)
 
     score_cols = []
     for lang, tris in LANG_TRIGRAMS.items():
         terms = " + ".join(
-            f"(length(t) - length(replace(t, '{tri}', ''))) / {len(tri)}"
+            f"(length({col}) - length(replace({col}, '{tri}', '')))"
+            f" / {len(tri)}"
             for tri in tris)
         score_cols.append(f"({terms}) AS s_{lang}")
     langs = list(LANG_TRIGRAMS)
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     pred = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
     fb = " ".join(
-        f"WHEN length(regexp_replace(t, '[^{rng}]', '', 'g')) > 0 "
+        f"WHEN length(regexp_replace({col}, '[^{rng}]', '', 'g')) > 0 "
         f"THEN '{lang}'" for lang, rng in CJK_SCRIPT_RANGES)
+    return ", ".join(score_cols), best, pred, fb
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of textstats.lang_id: identical gram profiles
+    (incl. the zh/ja/ko bigrams), identical
+    (len - len(replace))/len(gram) counting, identical argmax +
+    tie-break order, identical codepoint-range CJK fallback — the
+    classifier math is re-derived, not just the expected labels."""
+    score_cols, best, pred, fb = _lang_score_sql("t")
     return f"""
         WITH d AS (SELECT doc_id, lower({_T_LANG}) AS t
                    FROM documents),
-        s AS (SELECT doc_id, t, {", ".join(score_cols)} FROM d),
+        s AS (SELECT doc_id, t, {score_cols} FROM d),
         b AS (SELECT doc_id, {best} AS best, * FROM s)
         SELECT doc_id,
                CASE WHEN best <= 0 THEN (CASE {fb} ELSE 'other' END)
@@ -1158,21 +1183,7 @@ def _curate_corpus_oracle() -> str:
     trigram-shingle MinHash signatures -> LSH bands -> recursive-CTE
     components -> keep the min-id canonical per cluster. Every stage
     re-derived."""
-    from html_parser_spark.operators.textstats import (
-        CJK_SCRIPT_RANGES, LANG_TRIGRAMS)
-
-    score_cols = []
-    for lang, tris in LANG_TRIGRAMS.items():
-        terms = " + ".join(
-            f"(length(lt) - length(replace(lt, '{tri}', ''))) / {len(tri)}"
-            for tri in tris)
-        score_cols.append(f"({terms}) AS s_{lang}")
-    langs = list(LANG_TRIGRAMS)
-    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
-    pred = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
-    fb = " ".join(
-        f"WHEN length(regexp_replace(lt, '[^{rng}]', '', 'g')) > 0 "
-        f"THEN '{lang}'" for lang, rng in CJK_SCRIPT_RANGES)
+    score_cols, best, pred, fb = _lang_score_sql("lt")
     aggs = ", ".join(f"min(md5(s || '#{i}')) AS h{i}" for i in range(8))
     return f"""
         WITH RECURSIVE ex AS MATERIALIZED (
@@ -1209,7 +1220,7 @@ def _curate_corpus_oracle() -> str:
                     AND gq.symbol_ratio <= 0.1
                     AND gq.alpha_word_ratio >= 0.8
                     AND gq.n_stopwords >= 2),
-        lsc AS (SELECT doc_id, {", ".join(score_cols)}, lt
+        lsc AS (SELECT doc_id, {score_cols}, lt
                 FROM (SELECT doc_id, lower(text) AS lt FROM step2)),
         lb AS (SELECT doc_id, {best} AS best, * FROM lsc),
         lp AS (SELECT doc_id,

@@ -85,6 +85,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+    if replicate < 1:
+        # sequence(0, replicate-1) with replicate=0 auto-steps DOWN
+        # to [0, -1] and silently doubles the corpus instead of
+        # emptying it — fail fast on the misconfiguration
+        raise SystemExit("SPARK_GRAFT_REPLICATE must be >= 1")
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

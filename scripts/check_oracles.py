@@ -38,6 +38,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    only = set(sys.argv[1:])
+    known = set(entrymod.queries())
+    unknown = only - known
+    if unknown:
+        # a typo'd or renamed query name must not produce a green
+        # gate that verified nothing
+        print(f"UNKNOWN query names: {sorted(unknown)}")
+        return 2
+
     from pyspark.sql import SparkSession
 
     spark = (SparkSession.builder.master("local[8]")

@@ -67,7 +67,15 @@ spark.stop()
 def run(cpus: int) -> dict:
     out = subprocess.run([sys.executable, "-c", RUN_ONE, str(cpus)],
                          capture_output=True, text=True, timeout=900)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # surface the child JVM's real error instead of dying on a
+        # bare IndexError with the traceback discarded
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"child bench (local[{cpus}]) failed "
+            f"rc={out.returncode}; stderr above")
+    line = lines[-1]
     return json.loads(line)
 
 
@@ -113,7 +121,7 @@ inside real capacity.
 | local[{n_small}] | {small['turns']:,} | {small['sec']} | {small['turns_per_sec']:,} |
 | local[{n_big}] | {big['turns']:,} | {big['sec']} | {big['turns_per_sec']:,} |
 
-**Scaling efficiency = ({big['turns_per_sec']:,} / {small['turns_per_sec']:,}) / {n_big // n_small}
+**Scaling efficiency = ({big['turns_per_sec']:,} / {small['turns_per_sec']:,}) / {n_big / n_small:g}
 = {eff}** (target >= 0.8).
 
 The two arms alternate over {rounds} interleaved trials
