@@ -45,6 +45,21 @@ def collapse_ws(s: str) -> str:
     return _WS_RUN.sub(" ", _WS_EDGE.sub("", s))
 
 
+def _textify(doc: str, row, cfg: ParserConfig, tname: str, spec) -> str:
+    """TokeParser::_textify (TokeParser.pm:66-80): a callable spec is
+    invoked with (tagname, attrs dict) — the coderef form; otherwise
+    the spec names the attribute, with Perl-falsy specs ('', '0')
+    falling back to "alt" (`$alt || "alt"`); a missing attribute
+    yields "[TAG]"."""
+    a = project.attrs(doc, row, cfg)
+    attrs = a[0] if a else {}
+    if callable(spec):
+        return str(spec(tname, attrs))
+    name = spec if _perl_true(spec) else "alt"
+    alt = attrs.get(name)
+    return alt if alt is not None else "[%s]" % tname.upper()
+
+
 def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
              textify=DEFAULT_TEXTIFY, start: int = 0) -> tuple[str, int]:
     """TokeParser::get_text (TokeParser.pm:83-112).
@@ -76,11 +91,8 @@ def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
             tag = tname
             if ev is EV_START:
                 if tname in textify:
-                    a = project.attrs(doc, row, cfg)
-                    alt = a[0].get(textify[tname]) if a else None
-                    parts.append(
-                        alt if alt is not None else "[%s]" % tname.upper()
-                    )
+                    parts.append(_textify(doc, row, cfg, tname,
+                                          textify[tname]))
                     i += 1
                     continue
             else:
@@ -122,11 +134,8 @@ def get_phrase(doc: str, rows, cfg: ParserConfig,
         elif ev is EV_START or ev is EV_END:
             tname = project.tagname(doc, row, cfg)
             if ev is EV_START and tname in textify:
-                a = project.attrs(doc, row, cfg)
-                alt = a[0].get(textify[tname]) if a else None
-                parts.append(
-                    alt if alt is not None else "[%s]" % tname.upper()
-                )
+                parts.append(_textify(doc, row, cfg, tname,
+                                      textify[tname]))
                 i += 1
                 continue
             if tname not in PHRASE_TAGS:
@@ -155,6 +164,14 @@ def get_tag(doc: str, rows, cfg: ParserConfig, want=(),
 
 
 _HEAD_TEXT_TAGS = ("title", "noscript", "object", "command")
+
+
+def _perl_true(v) -> bool:
+    """Perl truthiness for attribute values: undef, '', and '0' are
+    false (HeadParser's `if ($attr->{name})` / `$prompt || '?'` and
+    TokeParser's `$alt || "alt"` all test THIS, not Python truth —
+    the string '0' must behave as false)."""
+    return v is not None and v != "" and v != "0"
 
 
 def head_headers(doc: str, rows, cfg: ParserConfig) -> list[tuple[str, str]]:
@@ -186,10 +203,13 @@ def head_headers(doc: str, rows, cfg: ParserConfig) -> list[tuple[str, str]]:
                 flush()
             if tag == "meta":
                 key = attr.get("http-equiv")
-                if not key:
-                    if attr.get("name"):
+                # http-equiv tests DEFINED+LENGTH (so '0' is a valid
+                # key), while name/charset test PERL truth (so '0'
+                # suppresses them) — HeadParser.pm:199-209 verbatim
+                if key is None or key == "":
+                    if _perl_true(attr.get("name")):
                         key = "X-Meta-" + attr["name"][:1].upper() + attr["name"][1:]
-                    elif attr.get("charset"):
+                    elif _perl_true(attr.get("charset")):
                         headers.append(("X-Meta-Charset", attr["charset"]))
                         continue
                     else:
@@ -203,7 +223,9 @@ def head_headers(doc: str, rows, cfg: ParserConfig) -> list[tuple[str, str]]:
                     ("Content-Base", _WS_EDGE.sub("", attr["href"]))
                 )
             elif tag == "isindex":
-                headers.append(("Isindex", attr.get("prompt") or "?"))
+                prompt = attr.get("prompt")
+                headers.append(
+                    ("Isindex", prompt if _perl_true(prompt) else "?"))
             elif tag in _HEAD_TEXT_TAGS:
                 cur_tag = tag
             elif tag == "link":
@@ -275,6 +297,11 @@ def _unquote_span(doc: str, beg: int, end: int,
 #: value back into a quoted span (eg/hrefsub re-quotes with &quot;)
 _QUOTE_ESCAPE = {'"': "&quot;", "'": "&#39;", "`": "&#96;"}
 
+#: chars a rewritten value cannot carry UNQUOTED anywhere without
+#: changing the tag's structure (whitespace splits attrs, '>' closes
+#: the tag); a LEADING quote char additionally starts a quoted parse
+_UNQUOTABLE = re.compile(r"[ \t\n\r\f>]")
+
 
 def rewrite_links(doc: str, rows, cfg: ParserConfig, rewrite) -> str:
     """eg/hrefsub pattern (`/root/reference/eg/hrefsub`): rewrite link
@@ -311,6 +338,15 @@ def rewrite_links(doc: str, rows, cfg: ParserConfig, rewrite) -> str:
                     # (the reference's eg/hrefsub re-quotes likewise)
                     q = doc[val_t[0]]
                     new = new.replace(q, _QUOTE_ESCAPE[q])
+                elif (_UNQUOTABLE.search(new)
+                      or new[:1] in ('"', "'")
+                      or (cfg.backquote and new[:1] == "`")):
+                    # splicing into an UNQUOTED span: a new value with
+                    # whitespace / '>' / a leading quote would change
+                    # the tag's structure (extra boolean attrs, early
+                    # tag close) — re-quote it the way eg/hrefsub
+                    # always does (double quotes, '"' -> &quot;)
+                    new = '"%s"' % new.replace('"', "&quot;")
                 edits.append((vb, ve, new))
     if not edits:
         return doc

@@ -117,14 +117,15 @@ def synth_transcripts(spark: SparkSession, n_turns: int,
         " ",
     )
 
-    snippet_cases = F.when(F.lit(False), F.lit(""))
     pick = F.pmod(F.abs(F.xxhash64("id", F.lit(seed + 2))),
                   F.lit(len(_SNIPPETS)))
+    snippet_cases = None
     for idx, tpl in enumerate(_SNIPPETS):
         expr_sql = tpl.replace("{w}", "w").replace("{w2}", "w2")
-        snippet_cases = F.when(pick == idx, F.expr(expr_sql)) \
-            if idx == 0 else snippet_cases.when(pick == idx,
-                                                F.expr(expr_sql))
+        snippet_cases = (F.when(pick == idx, F.expr(expr_sql))
+                         if snippet_cases is None
+                         else snippet_cases.when(pick == idx,
+                                                 F.expr(expr_sql)))
 
     base = df.select(
         "id",
@@ -141,7 +142,11 @@ def synth_transcripts(spark: SparkSession, n_turns: int,
     )
     return base.select(
         F.col("conv_id"),
-        F.col("id").cast("int").alias("turn_idx"),
+        # pmod keeps turn_idx a non-negative int32 even past 2^31
+        # synthetic rows (a bare CAST would wrap negative and break
+        # the stable (conv_id, turn_idx) total order)
+        F.pmod(F.col("id"), F.lit(2**31)).cast("int")
+        .alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
         F.when(role == "tool", F.lit("search")).alias("tool"),

@@ -179,6 +179,38 @@ def test_headparser_golden():
     assert "ISINDEX" not in d
 
 
+def test_headparser_perl_falsy_attrs():
+    """Perl truthiness parity (verified against the compiled
+    reference): name='0' and charset='0' suppress the header,
+    prompt='0' falls back to '?', but http-equiv='0' IS a valid key
+    (HeadParser tests defined+length there, not truth)."""
+    assert head_of('<meta name="0" content="x">') == []
+    assert head_of('<meta charset="0">') == []
+    assert head_of('<isindex prompt="0">') == [("Isindex", "?")]
+    assert head_of('<meta http-equiv="0" content="y">') == [("0", "y")]
+
+
+def test_textify_falsy_spec_and_coderef():
+    """TokeParser._textify parity: a Perl-falsy textify value falls
+    back to the 'alt' attribute ($alt || \"alt\"); a callable spec is
+    the coderef form."""
+    from html_parser_spark.config import ParserConfig
+    from html_parser_spark.functions import assemble
+    from html_parser_spark.functions.tokenizer import tokenize
+
+    cfg = ParserConfig()
+    doc = '<img alt="pic">t'
+    rows = tokenize(doc, cfg)
+    assert assemble.get_text(doc, rows, cfg, None,
+                             textify={"img": ""})[0] == "pict"
+    assert assemble.get_text(doc, rows, cfg, None,
+                             textify={"img": "0"})[0] == "pict"
+    got = assemble.get_text(
+        doc, rows, cfg, None,
+        textify={"img": lambda t, a: f"<{t}:{a.get('alt')}>"})[0]
+    assert got == "<img:pic>t"
+
+
 def test_headparser_bom_and_title_tag_soup():
     headers = head_of("﻿\n<title>Hi <foo></title>")
     assert headers == [("Title", "Hi <foo>")]

@@ -64,6 +64,18 @@ class TestRewriteLinks:
         assert [u for _, _, _, u in links] == [
             '/a?q="v"&s=\'w\'', "/b?q=\"v\"&s='w'"]
 
+    def test_unquoted_span_requoted_when_structural(self):
+        # a new value with whitespace/'>'/leading quote spliced into
+        # an UNQUOTED span would change the tag's structure (extra
+        # boolean attrs, early close) — re-quoted like eg/hrefsub
+        doc = "<a href=/old>x</a><img src=/i>"
+        rw = lambda t, n, r: {"/old": "/new path", "/i": '"q'}[r]
+        got = assemble.rewrite_links(doc, _rows(doc), CFG, rw)
+        assert got == ('<a href="/new path">x</a>'
+                       '<img src="&quot;q">')
+        links = assemble.extract_links(got, _rows(got), CFG)
+        assert [u for _, _, _, u in links] == ["/new path", '"q']
+
     def test_backquote_unquote_only_when_enabled(self):
         doc = "<a href=`/q`>"
         rw = lambda tag, name, raw: raw.upper()
