@@ -244,7 +244,7 @@ class _Emitter:
         ):
             tag = self.pending_end_tag
             self.pending_end_tag = None
-            self.report(EV_END, beg, beg, [tag], is_cdata)
+            self.report(EV_END, beg, beg, [tag], is_cdata, ms)
 
         offset, line, column = self.offset, self.line, self.column
 
@@ -326,13 +326,15 @@ class _Emitter:
             None,
         ))
 
-    def finish(self) -> list[tuple]:
-        # eof tail of parse() (hparser.c:1805-1813)
+    def finish(self, ms: int = _MS_NONE) -> list[tuple]:
+        # eof tail of parse() (hparser.c:1805-1813); ms is the live
+        # marked-section state so END_DOCUMENT inside <![ignore[ is
+        # suppressed like every other event (hparser.c:220)
         if self.pend_spans is not None:
             self._flush_pending_text()
         self.ignoring_element = None
         self.report(EV_END_DOCUMENT, len(self.doc), len(self.doc), None,
-                    False)
+                    False, ms)
         return self.rows
 
 
@@ -428,14 +430,21 @@ class _Parser:
             tokens.append(None if v < 0 else m.span(3))
             s = m.end()
         self._report(EV_START, beg, s, tokens)
-        if not self.cfg.xml_mode:
-            tb, te = tokens[0]
-            tag = ascii_lower(doc[tb:te])
-            cdata = LITERAL_MODE_ELEMS.get(tag)
-            if cdata is not None:
-                self.literal_mode = tag
-                self.is_cdata = cdata
+        self._maybe_enter_literal(tokens[0])
         return s
+
+    def _maybe_enter_literal(self, tag_span) -> None:
+        """Shared literal-mode entry for the regex fast path and the
+        FSM (hparser.c:1398-1410): ONE definition so the two start
+        parsers cannot silently diverge on literal elements."""
+        if self.cfg.xml_mode:
+            return
+        tb, te = tag_span
+        tag = ascii_lower(self.doc[tb:te])
+        cdata = LITERAL_MODE_ELEMS.get(tag)
+        if cdata is not None:
+            self.literal_mode = tag
+            self.is_cdata = cdata
 
     def _parse_start(self, beg: int) -> int | None:
         # hparser.c:1267-1438
@@ -536,12 +545,7 @@ class _Parser:
                 # artificial end event (hparser.c:1394-1396)
                 self._report(EV_END, s, s, tokens[:1])
             elif not cfg.xml_mode:
-                tb, te = tokens[0]
-                tag = ascii_lower(doc[tb:te])
-                cdata = LITERAL_MODE_ELEMS.get(tag)
-                if cdata is not None:
-                    self.literal_mode = tag
-                    self.is_cdata = cdata
+                self._maybe_enter_literal(tokens[0])
             return s
         return None
 
@@ -853,9 +857,12 @@ class _Parser:
                             s += 1
                             if t != end_text:
                                 self._report(EV_TEXT, t, end_text)
+                            # E_END fires BEFORE is_cdata clears
+                            # (hparser.c:1594-1597): the end-tag row
+                            # records is_cdata=True like the reference
+                            self._report(EV_END, end_text, s, [end_token])
                             self.literal_mode = None
                             self.is_cdata = False
-                            self._report(EV_END, end_text, s, [end_token])
                             t = s
 
             # marked-section CDATA/RCDATA scan (hparser.c:1604-1628)
@@ -905,6 +912,11 @@ class _Parser:
                                 t = s
                                 continue
                     s += 1
+                # the lone-']'-at-EOF path advances one past end (the
+                # C scan reads its NUL terminator there); clamp so the
+                # boundary backscan below never indexes doc[end]
+                if s > end:
+                    s = end
             else:
                 nxt = doc.find("<", s, end)
                 s = nxt if nxt >= 0 else end
@@ -1009,7 +1021,7 @@ def tokenize(doc: str, cfg: ParserConfig,
     if s < end:
         em.report(EV_TEXT, s, end, None, p.is_cdata, p.ms)
 
-    rows = em.finish()
+    rows = em.finish(p.ms)
     if not emit_document_events and rows and rows[-1][0] == EV_END_DOCUMENT:
         rows.pop()
     return rows

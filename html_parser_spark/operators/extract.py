@@ -54,6 +54,37 @@ def _to_arrow_type(dt):
     raise TypeError(f"unmapped Spark type: {dt}")
 
 
+def _pa_arr(vals, typ):
+    """pa.array with a lone-surrogate fallback: the reference's
+    byte-granular entity decoder can emit strings that are not valid
+    Unicode (bug-for-bug surrogate chop, entities.py); Arrow rejects
+    them with UnicodeEncodeError, which would kill the whole task for
+    one pathological document. The happy path pays nothing; on
+    failure each offending string degrades to U+FFFD replacement
+    (the only representable form in parquet/Arrow anyway).
+    """
+    import pyarrow as pa
+
+    def fix(v):
+        if isinstance(v, str):
+            try:
+                v.encode("utf-8")
+                return v
+            except UnicodeEncodeError:
+                return (v.encode("utf-16", "surrogatepass")
+                        .decode("utf-16", "replace"))
+        if isinstance(v, list):
+            return [fix(x) for x in v]
+        if isinstance(v, dict):
+            return {fix(k): fix(x) for k, x in v.items()}
+        return v
+
+    try:
+        return pa.array(vals, typ)
+    except UnicodeEncodeError:
+        return pa.array([fix(v) for v in vals], typ)
+
+
 def _fanout_arrow(df: DataFrame, text_col: str, schema: T.StructType,
                   per_turn) -> DataFrame:
     """Generic per-turn fan-out operator: ``per_turn(doc)`` yields one
@@ -86,7 +117,7 @@ def _fanout_arrow(df: DataFrame, text_col: str, schema: T.StructType,
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(cols["conv_id"], pa.string()),
                      pa.array(cols["turn_idx"], pa.int32())]
-                    + [pa.array(cols[n], typ) for n, typ in val_fields],
+                    + [_pa_arr(cols[n], typ) for n, typ in val_fields],
                     names=names)
 
     return df.select(F.col("conv_id").cast("string"),
@@ -133,7 +164,7 @@ def extract_text(df: DataFrame, cfg: ParserConfig = EXTRACT_CONFIG,
                 nch.append(len(doc))
             yield pa.RecordBatch.from_arrays(
                 [rb.column("conv_id"), rb.column("turn_idx"),
-                 pa.array(ex, pa.string()), pa.array(tr, pa.string()),
+                 _pa_arr(ex, pa.string()), _pa_arr(tr, pa.string()),
                  pa.array(nev, pa.int32()), pa.array(nch, pa.int32())],
                 names=EXTRACT_SCHEMA.fieldNames())
 
@@ -370,10 +401,10 @@ def events(df: DataFrame, cfg: ParserConfig = ParserConfig(),
                     if name == "attrs" and w_attrs:
                         arrays.append(pa.MapArray.from_arrays(
                             pa.array(attr_offs, pa.int32()),
-                            pa.array(attr_keys, pa.string()),
-                            pa.array(attr_vals, pa.string())))
+                            _pa_arr(attr_keys, pa.string()),
+                            _pa_arr(attr_vals, pa.string())))
                     else:
-                        arrays.append(pa.array(cols[name], type=typ))
+                        arrays.append(_pa_arr(cols[name], typ))
                 yield pa.RecordBatch.from_arrays(
                     arrays, names=[name for name, _ in arrow_fields])
 
@@ -567,8 +598,15 @@ def decode_entities_col(col, expand_prefix: bool = False):
                                                regex=False)
         hard = amp[~easy]
         if len(hard):
-            out[hard.index] = hard.map(
-                lambda x: decode_entities(x, expand_prefix))
+            def dec(x):
+                r = decode_entities(x, expand_prefix)
+                try:
+                    r.encode("utf-8")
+                    return r
+                except UnicodeEncodeError:  # bug-for-bug surrogate
+                    return (r.encode("utf-16", "surrogatepass")
+                            .decode("utf-16", "replace"))
+            out[hard.index] = hard.map(dec)
         return out
 
     return _decode(col)

@@ -1482,6 +1482,44 @@ def test_pdf_parser_robustness():
     assert _content_text(b"BT (ab\\\r\ncd ef\\\rgh) Tj ET") == "abcd efgh"
 
 
+def test_invalid_unicode_entity_doc_survives(spark):
+    """The reference's byte-granular surrogate chop can produce text
+    that is not valid Unicode (kept bug-for-bug in decode_entities);
+    the Arrow boundary must degrade it to U+FFFD instead of letting
+    one pathological document kill the whole task (and the marked-
+    section scan must not crash on a document ending in ']')."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.config import EXTRACT_CONFIG, ParserConfig
+    from html_parser_spark.functions.tokenizer import tokenize
+    from html_parser_spark.operators import extract as ops
+
+    bad = "&#xD800;&#xFFFF;éab&#xDC00;"
+    doc = f'<p a="{bad}">{bad}</p>'
+    tr = spark.createDataFrame(
+        [("c", 0, doc), ("c", 1, "<p>fine</p>")],
+        "conv_id string, turn_idx int, text string")
+    got = {r.turn_idx: r.extracted_text
+           for r in ops.extract_text(tr, EXTRACT_CONFIG).collect()}
+    assert "�" in got[0] and got[1] == " fine "
+    # full events surface (dtext + attr map carry the decoded value)
+    assert ops.events(tr, ParserConfig()).count() == 6
+    dec = tr.select(ops.decode_entities_col(F.col("text"))
+                    .alias("d")).collect()
+    assert all(r.d.encode("utf-8") is not None for r in dec)
+
+    # marked-section EOF-']' crash regression (matches the compiled
+    # reference's observable output)
+    cfg = ParserConfig(marked_sections=True)
+    assert [(r[0], "<![include[x]"[r[1]:r[2]])
+            for r in tokenize("<![include[x]", cfg)] == [("text", "x]")]
+    assert tokenize("<![ignore[foo]]", cfg) == []
+    # events synthesized at EOF inside <![ignore[ are suppressed like
+    # the reference (the live ms state reaches them now)
+    rows = tokenize("<title>x<![ignore[<b>", cfg)
+    assert [r[0] for r in rows] == ["start", "text"]
+
+
 def test_pdf_null_payload_row(spark):
     """A NULL payload row yields (0, '') like the media decoders,
     never a worker TypeError."""
