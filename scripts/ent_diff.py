@@ -64,12 +64,9 @@ def main() -> int:
     cases = ["".join(rng.choice(FRAGS)
                      for _ in range(rng.randint(1, 12)))
              for _ in range(n)]
-    here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.Popen(
-        ["perl", os.path.join(here, "ent_dump.pl")],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
-    out, _ = proc.communicate(
-        "".join(json.dumps(c) + "\n" for c in cases), timeout=600)
+    from ref_diff import _run_perl
+    out = _run_perl("ent_dump.pl",
+                    "".join(json.dumps(c) + "\n" for c in cases))
     lines = [l for l in out.split("\n") if l]
     assert len(lines) == len(cases), (len(lines), len(cases))
 

@@ -46,6 +46,33 @@ PIECES = [
     "naïve Ünïcøde ", "<A HREF=X>", "<t\u00e9>", "&#x10FFFF;",
 ]
 
+
+def _run_perl(script, payload, timeout=600):
+    """Drive a perl dump helper with explicit UTF-8 (perl emits raw
+    UTF-8 regardless of locale), surfacing its stderr/returncode
+    instead of dying on an empty-output assert, and killing the child
+    on timeout."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.Popen(
+        ["perl", os.path.join(here, script)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, encoding="utf-8")
+    try:
+        out, err = proc.communicate(payload, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    if proc.returncode != 0:
+        sys.stderr.write(err[-4000:])
+        raise RuntimeError(
+            f"{script} failed rc={proc.returncode} — is the reference "
+            "built at /tmp/refbuild? (see .claude/skills/verify)")
+    return out
+
 CONFIGS: list[dict] = [
     {},
     {"unbroken_text": 1},
@@ -186,15 +213,15 @@ def main() -> int:
         else:
             doc = "".join(rng.choice(PIECES)
                           for _ in range(rng.randint(1, 25)))
-        cases.append((doc, CONFIGS[t % len(CONFIGS)]))
+        # independent draw: doc type cycles with period 4 and
+        # 28 % 4 == 0, so t % len(CONFIGS) would pair each config
+        # with only ONE doc type forever (7 configs would only ever
+        # see byte soup, 21 would never see it)
+        cases.append((doc, CONFIGS[rng.randrange(len(CONFIGS))]))
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.Popen(
-        ["perl", os.path.join(here, "ref_dump.pl")],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
     payload = "".join(
         json.dumps({"doc": d, "opts": o}) + "\n" for d, o in cases)
-    out, _ = proc.communicate(payload, timeout=600)
+    out = _run_perl("ref_dump.pl", payload)
     # split on \n only: decoded docs may contain NEL/U+2028 etc.
     ref_all = [json.loads(l) for l in out.split("\n") if l.strip()]
     assert len(ref_all) == len(cases), (len(ref_all), len(cases))

@@ -141,9 +141,13 @@ def main() -> None:
     # does not distort word/stopword stats; the survivors are then
     # whitespace-collapsed exactly like trimmed_text.
     if args.dedup_lines:
+        # cache: dedup_lines scans this twice (line frequencies +
+        # reassembly) and the doc_key re-join once more — without the
+        # cache each pass re-runs the fused extract over the corpus
         keyed0 = (ex0.select("conv_id", "turn_idx", "extracted_text")
                   .withColumn("doc_key",
-                              F.concat_ws("#", "conv_id", "turn_idx")))
+                              F.concat_ws("#", "conv_id", "turn_idx"))
+                  .cache())
         dl = dedup.dedup_lines(keyed0, key_col="doc_key",
                                text_col="extracted_text",
                                min_count=args.dedup_lines).cache()
@@ -171,7 +175,7 @@ def main() -> None:
 
     # 3. language gate
     allow = [x.strip() for x in args.langs.split(",") if x.strip()]
-    lang = textstats.lang_id(step2, ["conv_id", "turn_idx"])
+    lang = textstats.lang_id(step2, ["conv_id", "turn_idx"]).cache()
     ok_l = (lang.filter(F.col("lang_pred").isin(allow))
             .select("conv_id", "turn_idx"))
     step3 = step2.join(ok_l, ["conv_id", "turn_idx"], "left_semi").cache()
@@ -188,14 +192,22 @@ def main() -> None:
                 "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
             spans = dedup.contaminated_spans(
                 keyed3, ev, key_col="doc_key", n=args.eval_ngram)
-            step3 = (dedup.remove_dup_passages(
-                         keyed3, spans=spans, key_col="doc_key",
-                         k=args.eval_ngram)
-                     .join(keyed3.select("doc_key", "conv_id",
-                                         "turn_idx"), "doc_key")
-                     .select("conv_id", "turn_idx",
-                             F.col("scrubbed_text").alias("text"))
-                     .cache())
+            scrubbed = (dedup.remove_dup_passages(
+                            keyed3, spans=spans, key_col="doc_key",
+                            k=args.eval_ngram)
+                        .join(keyed3.select("doc_key", "conv_id",
+                                            "turn_idx"), "doc_key")
+                        .select("conv_id", "turn_idx",
+                                F.col("scrubbed_text").alias("text"))
+                        .cache())
+            # the informative number in scrub mode is how many turns
+            # LOST spans (row count is preserved by construction)
+            funnel["scrubbed_turns"] = (
+                spans.select("doc_key").distinct().count())
+            # a turn that was ENTIRELY a benchmark item scrubs to
+            # empty — an empty training row is worse than dropping it
+            step3 = scrubbed.filter(
+                F.length(F.trim("text")) > 0).cache()
         else:
             step3 = dedup.decontaminate(
                 step3, ev, key_col="conv_id", n=args.eval_ngram).cache()
@@ -266,17 +278,16 @@ def main() -> None:
     if args.shards:
         from html_parser_spark.plans.pipeline import (
             write_training_shards)
-        if args.render:
-            keyed_out, key_col = survivors, "conv_id"
-            order_cols = ("conv_id",)
-        else:
-            keyed_out = survivors.withColumn(
-                "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
-            key_col = "doc_key"
-            order_cols = ("conv_id", "turn_idx")
-        write_training_shards(keyed_out, args.output,
+        # shard on conv_id in BOTH modes: no synthetic column leaks
+        # into the exported schema, and all turns of a conversation
+        # co-locate in one shard (what a training loader wants);
+        # (conv_id, turn_idx) ordering keeps the within-shard layout
+        # deterministic
+        order_cols = (("conv_id",) if args.render
+                      else ("conv_id", "turn_idx"))
+        write_training_shards(survivors, args.output,
                               n_shards=args.shards,
-                              key_col=key_col,
+                              key_col="conv_id",
                               order_cols=order_cols)
     else:
         survivors.write.mode("overwrite").parquet(args.output)

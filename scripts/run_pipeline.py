@@ -61,8 +61,7 @@ def main() -> None:
     from html_parser_spark.sources.transcripts import wrap_documents
 
     t0 = time.monotonic()
-    if os.path.isdir(os.path.join(args.input)) and os.path.exists(
-            os.path.join(args.input, "documents.parquet")):
+    if os.path.exists(os.path.join(args.input, "documents.parquet")):
         tr = wrap_documents(spark, args.input)
     else:
         tr = spark.read.parquet(args.input)
@@ -71,7 +70,18 @@ def main() -> None:
     extracted = extract_text(salted, EXTRACT_CONFIG).withColumn(
         "batch_id",
         F.pmod(F.xxhash64("conv_id"), F.lit(args.batches)).cast("int"))
-    n_run = pipeline.run_resumable(spark, extracted, args.output,
+    # STAGE the extraction partitioned by batch_id before the
+    # resumable loop — run_resumable's per-batch filter must be a
+    # PARTITION filter (its documented contract); feeding it the live
+    # extraction plan would re-execute the expensive fused extract
+    # once per batch (O(batches x corpus)) and resume could never
+    # re-read only the unfinished file groups
+    staged_dir = os.path.join(args.output + "_staged")
+    if pipeline.completed_batches(spark, args.checkpoint) == set():
+        extracted.write.mode("overwrite") \
+            .partitionBy("batch_id").parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
+    n_run = pipeline.run_resumable(spark, staged, args.output,
                                    args.checkpoint)
 
     lineage = spark.read.parquet(args.checkpoint)

@@ -93,13 +93,10 @@ def main() -> int:
     docs = ["".join(rng.choice(PIECES)
                     for _ in range(rng.randint(1, 20)))
             for _ in range(n)]
-    here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.Popen(
-        ["perl", os.path.join(here, "toke_dump.pl")],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
-    out, _ = proc.communicate(
-        "".join(json.dumps({"doc": d}) + "\n" for d in docs),
-        timeout=600)
+    from ref_diff import _run_perl
+    out = _run_perl("toke_dump.pl",
+                    "".join(json.dumps({"doc": d}) + "\n"
+                            for d in docs))
     lines = [l for l in out.split("\n") if l]
     assert len(lines) == len(docs), (len(lines), len(docs))
     nf = 0
