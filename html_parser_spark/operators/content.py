@@ -76,13 +76,14 @@ TABLES_SCHEMA = T.StructType([
 ])
 
 
-_SPAN_DIGITS = re.compile(r"[ \t\n\r\f]*([0-9]+)")
+_SPAN_DIGITS = re.compile(r"[ \t\n\r\f]*\+?([0-9]+)")
 
 
 def _span_attr(val, cap: int) -> int:
     """colspan/rowspan attribute -> int in [1, cap], parsed the way
     the HTML non-negative-integer parser does: leading ASCII digits
-    up to the first non-digit ('2.5' and '2px' read as 2); absent /
+    up to the first non-digit ('2.5' and '2px' read as 2, and a
+    leading '+' is accepted: '+2' reads as 2); absent /
     no digits / zero all mean 1, and values clamp to ``cap`` (the
     spec clamps colspan to 1000 and rowspan to 65534 — which also
     bounds the walk's occupancy bookkeeping by construction)."""

@@ -148,9 +148,10 @@ def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
     """
     if num_hashes % band_size != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into "
-            f"band_size ({band_size}) bands — a remainder would "
-            "silently discard signature columns and lower recall")
+            f"band_size ({band_size}) must divide num_hashes "
+            f"({num_hashes}) evenly ({num_hashes}/{band_size} bands) "
+            "— a remainder would silently discard signature columns "
+            "and lower recall")
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -81,9 +81,11 @@ def quality_score(df: DataFrame, key_cols: list[str],
     """Heuristic document-quality features: length, word stats, alpha
     ratio, stopword ratio — the standard cheap pre-filters applied
     before expensive dedup/model scoring at corpus scale."""
-    # NULL text = the empty doc: every feature stays DEFINED (0s),
-    # so downstream threshold filters drop such rows attributably
-    # instead of NULL-propagating them out of every aggregate
+    # NULL text = the empty doc: every feature stays DEFINED (no
+    # NULLs propagate out of aggregates). Note Spark's split("")
+    # yields [""], so an empty/NULL doc reports n_words=1 (one empty
+    # word), n_chars=0 — filter empty docs on n_chars == 0, not
+    # n_words == 0
     t = F.coalesce(F.col(text_col), F.lit(""))
     w = words_col(t)
     n_chars = F.length(t)
