@@ -1146,11 +1146,14 @@ def _lang_score_sql(col: str) -> tuple[str, str, str, str]:
         score_cols.append(f"({terms}) AS s_{lang}")
     langs = list(LANG_TRIGRAMS)
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # 2nd-greatest profile score -> lang_margin = best - second
+    second = ("(list_sort([" + ", ".join(f"s_{l}" for l in langs)
+              + "]))[-2]")
     pred = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
     fb = " ".join(
         f"WHEN length(regexp_replace({col}, '[^{rng}]', '', 'g')) > 0 "
         f"THEN '{lang}'" for lang, rng in CJK_SCRIPT_RANGES)
-    return ", ".join(score_cols), best, pred, fb
+    return ", ".join(score_cols), best, pred, fb, second
 
 
 def _lang_id_oracle() -> str:
@@ -1159,17 +1162,19 @@ def _lang_id_oracle() -> str:
     (len - len(replace))/len(gram) counting, identical argmax +
     tie-break order, identical codepoint-range CJK fallback — the
     classifier math is re-derived, not just the expected labels."""
-    score_cols, best, pred, fb = _lang_score_sql("t")
+    score_cols, best, pred, fb, second = _lang_score_sql("t")
     return f"""
         WITH d AS (SELECT doc_id, lower({_T_LANG}) AS t
                    FROM documents),
         s AS (SELECT doc_id, t, {score_cols} FROM d),
-        b AS (SELECT doc_id, {best} AS best, * FROM s)
+        b AS (SELECT doc_id, {best} AS best, {second} AS second, *
+              FROM s)
         SELECT doc_id,
                CASE WHEN best <= 0 THEN (CASE {fb} ELSE 'other' END)
                     {pred}
                     ELSE 'other' END AS lang_pred,
-               CAST(best AS BIGINT) AS lang_score
+               CAST(best AS BIGINT) AS lang_score,
+               CAST(best - second AS BIGINT) AS lang_margin
         FROM b"""
 
 
@@ -1183,7 +1188,7 @@ def _curate_corpus_oracle() -> str:
     trigram-shingle MinHash signatures -> LSH bands -> recursive-CTE
     components -> keep the min-id canonical per cluster. Every stage
     re-derived."""
-    score_cols, best, pred, fb = _lang_score_sql("lt")
+    score_cols, best, pred, fb, _second = _lang_score_sql("lt")
     aggs = ", ".join(f"min(md5(s || '#{i}')) AS h{i}" for i in range(8))
     return f"""
         WITH RECURSIVE ex AS MATERIALIZED (

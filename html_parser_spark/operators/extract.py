@@ -612,14 +612,58 @@ def decode_entities_col(col, expand_prefix: bool = False):
     return _decode(col)
 
 
+#: a row is fast-ENCODABLE iff it is printable-ASCII + \n\r\t: inside
+#: that charset the default unsafe set (Entities.pm:462) collapses to
+#: exactly & < > " ' — so a vectorized swap chain (amp FIRST, so the
+#: '&'s introduced by the other swaps are never re-encoded) agrees
+#: with the reference encoder by construction. Anything with controls
+#: or non-ASCII routes to the per-row encoder (named vs numeric
+#: lookup per char).
+_FAST_ENC_GATE = "[^\\n\\r\\t -~]"
+
+
 def encode_entities_col(col, unsafe_chars: str | None = None):
-    """Vectorized entity encode (SURVEY.md P7)."""
-    from html_parser_spark.functions.entities import encode_entities
+    """Vectorized entity encode (SURVEY.md P7).
+
+    Same three-tier shape as :func:`decode_entities_col`, cheapest
+    first within one Arrow batch: rows with NO default-unsafe char
+    pass through untouched; printable-ASCII rows (`_FAST_ENC_GATE`
+    misses) encode via C-speed vectorized swaps of the only five
+    unsafe chars that charset admits; the remainder (controls,
+    non-ASCII — each needing a named-vs-numeric table lookup) runs
+    the per-row reference encoder. The gate is exact, not heuristic,
+    so tiering never changes a result. A custom ``unsafe_chars``
+    class redefines what "unsafe" means, so it bypasses the tiers
+    entirely (that path only serves explicit recipe calls, never the
+    hot default).
+    """
+    from html_parser_spark.functions.entities import (
+        _DEFAULT_UNSAFE_RE, _num_entity, CHAR2ENTITY, encode_entities)
 
     @F.pandas_udf(T.StringType())
     def _encode(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: encode_entities(x, unsafe_chars)
-                     if isinstance(x, str) else x)
+        if unsafe_chars is not None:
+            return s.map(lambda x: encode_entities(x, unsafe_chars)
+                         if isinstance(x, str) else x)
+        mask = s.str.contains(_DEFAULT_UNSAFE_RE.pattern, regex=True,
+                              na=False)
+        if not mask.any():
+            return s
+        out = s.copy()
+        uns = s[mask]
+        easy = ~uns.str.contains(_FAST_ENC_GATE, regex=True, na=True)
+        if easy.any():
+            fast = uns[easy]
+            for ch in ("&", "<", ">", '"', "'"):
+                fast = fast.str.replace(
+                    ch, CHAR2ENTITY.get(ch) or _num_entity(ch),
+                    regex=False)
+            out[fast.index] = fast
+        hard = uns[~easy]
+        if len(hard):
+            out[hard.index] = hard.map(
+                lambda x: encode_entities(x, None))
+        return out
 
     return _encode(col)
 

@@ -188,6 +188,13 @@ def lang_id(df: DataFrame, key_cols: list[str],
     counts run ONCE per row and argmax/best read a plain attribute.
 
     Null text classifies as 'other' with score 0 (treated as empty).
+
+    ``lang_margin`` is the curation-gate confidence: top1 − top2
+    profile score. Routing on it ("margin < k -> send to a heavier
+    classifier") beats hard-labeling uncertain rows; scores are exact
+    integers by construction (each replace removes whole grams), so
+    the margin is exact too. Zero-score text (the CJK-fallback path)
+    has margin 0 naturally — all profile scores are 0 there.
     """
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     grams = F.array(*[F.array(*[F.lit(g) for g in tris])
@@ -214,10 +221,12 @@ def lang_id(df: DataFrame, key_cols: list[str],
             F.lit("other") if fallback is None else fallback)
     pred = F.when(best <= 0, fallback).otherwise(
         F.coalesce(picked, F.lit("other")))
+    second = F.element_at(F.array_sort(scores), -2)
     return scored.select(
         *key_cols,
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
+        (best - second).cast("long").alias("lang_margin"),
     )
 
 

@@ -162,6 +162,42 @@ def test_decode_entities_col_tier_equivalence(spark):
     assert got == exp
 
 
+def test_encode_entities_col_tier_equivalence(spark):
+    """The three-tier encode (no-unsafe, printable-ASCII swap chain,
+    per-row reference encoder) must be indistinguishable from running
+    the reference encoder on every row — including rows that straddle
+    the gate (five-char swaps vs controls / non-ASCII / one-way
+    apos), and a custom unsafe class must bypass the tiers."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.functions.entities import encode_entities
+
+    cases = [
+        "plain safe text",              # tier 1 (untouched)
+        "a < b & c > \"d\" 'e'",        # tier 2 (all five swaps)
+        "&amp; pre-encoded",            # tier 2: & -> &amp;&amp;? no:
+                                        # '&' swaps first, once
+        "caf\xe9 < resum\xe9",          # tier 3 (non-ASCII named)
+        "\x01 control < char",          # tier 3 (numeric control)
+        "€ euro & sign",           # tier 3 (numeric non-latin1)
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["e"] for r in
+           df.select(ops.encode_entities_col(F.col("s")).alias("e"))
+           .collect()]
+    exp = [encode_entities(c) if c is not None else None
+           for c in cases]
+    assert got == exp
+    # custom class bypasses the tiers but still matches per-row
+    got2 = [r["e"] for r in
+            df.select(ops.encode_entities_col(
+                F.col("s"), "a-c<").alias("e")).collect()]
+    exp2 = [encode_entities(c, "a-c<") if c is not None else None
+            for c in cases]
+    assert got2 == exp2
+
+
 def test_batch_and_partition_invariance(spark):
     """Reinterpretation of t/parser.t chunk-size invariance: identical
     results for 1 vs many partitions and small vs large Arrow batches."""
