@@ -253,13 +253,6 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(planted, ["doc_id"])
 
 
-def _q_tfidf(spark, sf_dir):
-    """Per-doc top-5 tf-idf terms; the oracle recomputes tf, df, the
-    smoothed idf, and the (score desc, token) ranking."""
-    from html_parser_spark.operators.textstats import tfidf_topk
-    return tfidf_topk(_docs(spark, sf_dir), k=5)
-
-
 def _q_gopher_quality(spark, sf_dir):
     """Gopher document-filter rule bundle; every feature and rule
     verdict re-derived independently by the oracle."""
@@ -309,20 +302,6 @@ def _q_canonical_urls(spark, sf_dir):
     return canonicalize_urls(planted).select("doc_id", "canonical_url")
 
 
-def _q_term_freq(spark, sf_dir):
-    """Corpus vocabulary stats over the documents table; DuckDB
-    re-derives via unnest + group-by. approx_docs=False here: the
-    oracle checks the exact path; the HLL scale default is
-    plan-verified in pytest (partial-aggregating sketch)."""
-    from html_parser_spark.operators.textstats import term_freq
-    out = term_freq(_docs(spark, sf_dir), min_count=2,
-                    approx_docs=False)
-    return out.select("token",
-                      F.col("n_occurrences").cast("long")
-                      .alias("n_occurrences"),
-                      F.col("n_docs").cast("long").alias("n_docs"))
-
-
 def _q_sessionize(spark, sf_dir):
     """Idle-gap sessionization over synthetic per-doc turn times: 5
     turns per doc, a >300 s gap after the third — two sessions with
@@ -363,24 +342,99 @@ def _q_redact_pii(spark, sf_dir):
 
 def _q_pack_sequences(spark, sf_dir):
     """The composed training-export prep: chunk long docs into
-    40-token windows with a 10-token overlap stride, then
-    deterministically pack the chunks into 120-token packs over 8
-    hash buckets. The oracle re-derives the chunk-count formula, the
-    window slices, the md5 layout order, the per-bucket running
-    token offsets, and the floor(start/target) pack assignment."""
+    40-WORD windows with a 10-word overlap stride, then
+    deterministically pack the chunks into 120-TOKEN packs over 8
+    hash buckets — where tokens are REAL subword tokens: the packs
+    are budgeted in token_mode="bpe" with an 8-merge table trained
+    in-engine on the same corpus. The oracle re-derives the chunk
+    count formula, the window slices, the full BPE merge sequence
+    (8 unrolled pair-frequency/argmax/replace rounds), the per-chunk
+    BPE token budget (eligible words at BPE token count, everything
+    else one token per char), the md5 layout order, the per-bucket
+    running token offsets, and the floor(start/target) pack
+    assignment."""
+    from html_parser_spark.operators.bpe import train_bpe
     from html_parser_spark.plans.pipeline import (
         chunk_documents, pack_sequences)
-    chunks = chunk_documents(_docs(spark, sf_dir), max_tokens=40,
-                             overlap=10)
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, num_merges=8)
+    chunks = chunk_documents(docs, max_tokens=40, overlap=10)
     keyed = chunks.withColumn(
         "chunk_key", F.concat_ws("#", "doc_id", "chunk_idx"))
     packed = pack_sequences(keyed, target_tokens=120,
                             key_col="chunk_key",
-                            text_col="chunk_text", buckets=8)
+                            text_col="chunk_text", buckets=8,
+                            token_mode="bpe", merges=merges)
     return (keyed.select("chunk_key", "doc_id", "chunk_idx")
             .join(packed, "chunk_key")
             .select("doc_id", "chunk_idx", "pack_id", "pack_pos",
                     "n_tokens"))
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    """In-engine deterministic BPE: train an 8-merge table on the
+    corpus (bounded pair-frequency/argmax rounds — the same
+    bounded-iteration pattern as kmeans_centroids/train_quality_lr),
+    then encode with a pure-JVM replace chain. Variant rows:
+    'merge' = the learned merge sequence itself (rank, pair, corpus
+    frequency, merged symbol); 'count' = every doc's full-text BPE
+    token BUDGET (eligible words at BPE token count, char fallback
+    for the rest); 'encode' = the doc_id % 7 == 0 slice's actual
+    token streams. The DuckDB oracle re-derives the merge sequence
+    with 8 unrolled training rounds and re-encodes with the same
+    chain — training AND encoding are both re-derived, not just
+    checked against stored expectations."""
+    from html_parser_spark.operators.bpe import (
+        bpe_token_count_col, bpe_tokens_col, train_bpe)
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, num_merges=8)
+    merge_rows = spark.createDataFrame(
+        [("merge", i + 1, f"{l}|{r}", f, l + r)
+         for i, (l, r, f) in enumerate(merges)],
+        "variant string, k bigint, pair string, n bigint, "
+        "tokens string")
+    t = F.col("text")
+    counts = docs.select(
+        F.lit("count").alias("variant"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.lit("").alias("pair"),
+        bpe_token_count_col(t, merges).alias("n"),
+        F.lit("").alias("tokens"))
+    toks = bpe_tokens_col(t, merges)
+    enc = (docs.filter(F.col("doc_id") % 7 == 0)
+           .select(F.lit("encode").alias("variant"),
+                   F.col("doc_id").cast("long").alias("k"),
+                   F.lit("").alias("pair"),
+                   F.size(toks).cast("long").alias("n"),
+                   F.concat_ws(" ", toks).alias("tokens")))
+    return merge_rows.unionByName(counts).unionByName(enc)
+
+
+def _q_term_stats(spark, sf_dir):
+    """Corpus vocabulary stats + per-doc top-5 tf-idf terms as one
+    variant-tagged row set ('corpus' rows carry n_occurrences /
+    n_docs with doc_id = -1; 'doc' rows carry tf / score / rank).
+    approx_docs=False on the corpus arm: the oracle checks the exact
+    path; the HLL scale default is plan-verified in pytest."""
+    from html_parser_spark.operators.textstats import (
+        term_freq, tfidf_topk)
+    corpus = term_freq(_docs(spark, sf_dir), min_count=2,
+                       approx_docs=False)
+    corpus_rows = corpus.select(
+        F.lit("corpus").alias("variant"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        "token",
+        F.col("n_occurrences").cast("long").alias("n"),
+        F.lit(0.0).alias("score"),
+        F.col("n_docs").cast("int").alias("rank"))
+    doc_rows = tfidf_topk(_docs(spark, sf_dir), k=5).select(
+        F.lit("doc").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "token",
+        F.col("tf").cast("long").alias("n"),
+        "score",
+        F.col("rank").cast("int").alias("rank"))
+    return corpus_rows.unionByName(doc_rows)
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -903,14 +957,6 @@ _T_CONTENT = (
     "<p>closing words here ' || CAST(doc_id AS VARCHAR) || '</p>'")
 
 
-def _q_content_blocks(spark, sf_dir):
-    """DOM-free block segmentation + shallow-text-feature scoring
-    (Kohlschuetter-style word-count / link-density rules); the oracle
-    predicts every block's features in closed form."""
-    from html_parser_spark.operators.content import content_blocks
-    return content_blocks(_tmpl(spark, sf_dir, _T_CONTENT))
-
-
 #: planted table layout: a header row, a data row carrying doc_id, a
 #: data row carrying the document prose, plus a second one-cell table
 #: whose cell carries closed-form colspan/rowspan (the rowspan varies
@@ -935,11 +981,30 @@ def _q_tables(spark, sf_dir):
 
 
 def _q_main_content(spark, sf_dir):
-    """Boilerplate-stripped article text per turn (content blocks
-    joined) — the north rule's main-content extraction tier above
-    tag/element stripping."""
-    from html_parser_spark.operators.content import main_content
-    return main_content(_tmpl(spark, sf_dir, _T_CONTENT))
+    """The content-extraction family as one variant-tagged row set:
+    'main' rows are the boilerplate-stripped article text per turn
+    (content blocks joined — the north rule's main-content tier
+    above tag/element stripping); 'block' rows are the per-block
+    segmentation with its shallow-text features
+    (Kohlschuetter-style word-count / link-density rules). The
+    oracle predicts every block's features and the joined article
+    text in closed form."""
+    from html_parser_spark.operators.content import (
+        content_blocks, main_content)
+    src_df = _tmpl(spark, sf_dir, _T_CONTENT)
+    main_rows = main_content(src_df).select(
+        F.lit("main").alias("variant"), "conv_id", "turn_idx",
+        F.lit(-1).alias("block_seq"),
+        F.col("main_text").alias("block_text"),
+        F.col("n_blocks").alias("n_words"),
+        F.col("n_content_blocks").cast("double")
+        .alias("link_density"),
+        F.lit(True).alias("is_content"))
+    block_rows = content_blocks(src_df).select(
+        F.lit("block").alias("variant"), "conv_id", "turn_idx",
+        "block_seq", "block_text", "n_words", "link_density",
+        "is_content")
+    return main_rows.unionByName(block_rows)
 
 
 def _q_media_pixels(spark, sf_dir):
@@ -1008,8 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "link_hosts": _q_link_hosts,
         "canonical_urls": _q_canonical_urls,
-        "term_freq": _q_term_freq,
-        "tfidf": _q_tfidf,
+        "term_stats": _q_term_stats,
         "sessionize": _q_sessionize,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
@@ -1024,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "dsir": _q_dsir,
         "pack_sequences": _q_pack_sequences,
+        "bpe_tokens": _q_bpe_tokens,
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
@@ -1038,7 +1103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchors": _q_anchors,
         "rewrite_links": _q_rewrite_links,
         "strip_markup": _q_strip_markup,
-        "content_blocks": _q_content_blocks,
         "main_content": _q_main_content,
         "tables": _q_tables,
         "render_conv": _q_render_conv,
@@ -1127,6 +1191,177 @@ def _lsh_bucket_expr(vec_sql: str, n_bits: int = 8, dim: int = 64,
         comp = f"list_inner_product({vec_sql}, {planes})"
         terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _bpe_train_ctes(k: int, max_word_len: int = 64) -> str:
+    """DuckDB twin of bpe.train_bpe, UNROLLED: k rounds of
+    (adjacent-pair frequency over the distinct-word table; argmax
+    with the total order freq DESC, left ASC, right ASC; one literal
+    leftmost-non-overlapping replace). Words use the same
+    \x01-delimited segmentation strings as the engine, so "apply a
+    merge" is literally the same string operation on both sides.
+    Returns CTE bodies w0..w{k}, q1..q{k}, p1..p{k} plus m (the k
+    single-row argmax CTEs cross-joined into one row of
+    l1,r1..lk,rk)."""
+    sep = "chr(1)"
+    ctes = [f"""wsrc AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                '\\s+')) AS w
+            FROM documents) u
+          WHERE regexp_matches(w, '^[a-z]+$')
+            AND len(w) <= {max_word_len}
+          GROUP BY w),
+        w0 AS (SELECT cnt,
+                      regexp_replace(w, '(.)', '\x01\\1\x01', 'g')
+                        AS sym
+               FROM wsrc)"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""q{i} AS (
+          SELECT cnt, str_split(trim(sym, {sep}), {sep}||{sep}) AS s
+          FROM w{i - 1}),
+        p{i} AS (
+          SELECT l, r, f FROM (
+            SELECT str_split(pr, chr(2))[1] AS l,
+                   str_split(pr, chr(2))[2] AS r, sum(cnt) AS f
+            FROM (SELECT cnt,
+                         unnest(list_transform(range(1, len(s)),
+                           i -> s[i] || chr(2) || s[i+1])) AS pr
+                  FROM q{i}) px
+            GROUP BY 1, 2) g
+          ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+        w{i} AS (
+          SELECT cnt,
+                 replace(sym, {sep}||p{i}.l||{sep}||{sep}||p{i}.r||{sep},
+                         {sep}||p{i}.l||p{i}.r||{sep}) AS sym
+          FROM w{i - 1}, p{i})""")
+    cols = ", ".join(f"p{i}.l AS l{i}, p{i}.r AS r{i}"
+                     for i in range(1, k + 1))
+    srcs = ", ".join(f"p{i}" for i in range(1, k + 1))
+    ctes.append(f"m AS (SELECT {cols} FROM {srcs})")
+    return ",\n        ".join(ctes)
+
+
+def _bpe_chain_sql(word_expr: str, k: int) -> str:
+    """The k-merge encode chain over ``word_expr`` (already-lowered
+    word SQL): wrap every char as \x01c\x01, then one replace per
+    learned merge in rank order, referencing the m CTE's l{i}/r{i}
+    columns (usable inside DuckDB lambdas — correlated columns are
+    allowed in lambda bodies)."""
+    sep = "chr(1)"
+    expr = f"regexp_replace({word_expr}, '(.)', '\x01\\1\x01', 'g')"
+    for i in range(1, k + 1):
+        expr = (f"replace({expr}, "
+                f"{sep}||m.l{i}||{sep}||{sep}||m.r{i}||{sep}, "
+                f"{sep}||m.l{i}||m.r{i}||{sep})")
+    return expr
+
+
+def _bpe_count_sql(word_expr: str, k: int,
+                   max_word_len: int = 64) -> str:
+    """Token-budget SQL for ONE word: BPE token count (#delimiters/2
+    of the encode chain) when eligible, one token per char
+    otherwise."""
+    chain = _bpe_chain_sql(f"lower({word_expr})", k)
+    return (f"CASE WHEN regexp_matches(lower({word_expr}), '^[a-z]+$')"
+            f" AND len({word_expr}) <= {max_word_len}"
+            f" THEN (len({chain}) - len(replace({chain}, chr(1), '')))"
+            f" // 2 ELSE len({word_expr}) END")
+
+
+def _bpe_tokens_oracle(k: int = 8) -> str:
+    """DuckDB twin of the full BPE query: the training rounds are
+    re-run (unrolled), the encode chain re-applied, the budgets
+    re-priced — nothing is compared against stored expectations."""
+    count_one = _bpe_count_sql("x", k)
+    chain = _bpe_chain_sql("x", k)
+    return f"""
+        WITH {_bpe_train_ctes(k)},
+        merges AS ({" UNION ALL ".join(
+            f"SELECT 'merge' AS variant, CAST({i} AS BIGINT) AS k, "
+            f"l || '|' || r AS pair, CAST(f AS BIGINT) AS n, "
+            f"l || r AS tokens FROM p{i}" for i in range(1, k + 1))}),
+        dw AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+')
+                        AS ws
+               FROM documents),
+        counts AS (
+          SELECT 'count' AS variant, CAST(doc_id AS BIGINT) AS k,
+                 '' AS pair,
+                 CAST(coalesce(list_sum(list_transform(ws,
+                      x -> {count_one})), 0) AS BIGINT) AS n,
+                 '' AS tokens
+          FROM dw, m),
+        enc AS (
+          SELECT 'encode' AS variant, CAST(doc_id AS BIGINT) AS k,
+                 '' AS pair,
+                 CAST(coalesce(list_sum(list_transform(el,
+                      s -> len(str_split(trim(s, chr(1)),
+                                         chr(1)||chr(1))))), 0)
+                      AS BIGINT) AS n,
+                 array_to_string(flatten(list_transform(el,
+                   s -> str_split(trim(s, chr(1)), chr(1)||chr(1)))),
+                   ' ') AS tokens
+          FROM (SELECT doc_id,
+                       list_transform(list_filter(ws,
+                         x -> regexp_matches(x, '^[a-z]+$')
+                              AND len(x) <= 64),
+                         x -> {chain}) AS el
+                FROM dw, m)
+          WHERE k % 7 = 0)
+        SELECT * FROM merges
+        UNION ALL SELECT * FROM counts
+        UNION ALL SELECT * FROM enc"""
+
+
+def _pack_sequences_oracle(k: int = 8) -> str:
+    """DuckDB twin of the composed chunk -> bpe-budget -> pack query:
+    chunking and packing re-derived as before, but every chunk's
+    n_tokens now re-priced through the re-trained BPE merge chain."""
+    count_one = _bpe_count_sql("x", k)
+    return f"""
+        WITH {_bpe_train_ctes(k)},
+        d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents),
+        nc AS (
+          SELECT doc_id, w,
+                 greatest(1, CAST(ceil((len(w) - 10) / 30.0)
+                                  AS BIGINT)) AS kk
+          FROM d),
+        c AS (SELECT doc_id, w, unnest(range(0, kk)) AS ci
+              FROM nc),
+        ch AS (
+          SELECT doc_id, ci,
+                 CAST(coalesce(list_sum(list_transform(
+                      w[CAST(ci*30+1 AS BIGINT) :
+                        CAST(ci*30+40 AS BIGINT)],
+                      x -> {count_one})), 0) AS BIGINT) AS n_tokens,
+                 CAST(doc_id AS VARCHAR) || '#' ||
+                   CAST(ci AS VARCHAR) AS key
+          FROM c, m),
+        base AS (
+          SELECT doc_id, ci, key, n_tokens,
+                 ('0x' || substr(md5(key || '#b0'), 1, 8))::BIGINT
+                   % 8 AS b,
+                 md5(key || '#o0') AS h
+          FROM ch),
+        laid AS (
+          SELECT doc_id, ci, key, n_tokens, b, h,
+                 sum(n_tokens) OVER (PARTITION BY b
+                   ORDER BY h, key
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+          FROM base)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+               CAST(b AS VARCHAR) || '-' ||
+                 CAST(CAST(floor(start / 120.0) AS BIGINT)
+                      AS VARCHAR) AS pack_id,
+               CAST(row_number() OVER (
+                 PARTITION BY b, floor(start / 120.0)
+                 ORDER BY h, key) AS INT) AS pack_pos,
+               CAST(n_tokens AS INT) AS n_tokens
+        FROM laid"""
 
 
 def _lang_score_sql(col: str) -> tuple[str, str, str, str]:
@@ -1525,15 +1760,32 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'https://t.co/x'
                    END AS canonical_url
             FROM documents""",
-        "term_freq": """
-            SELECT token,
-                   CAST(count(*) AS BIGINT) AS n_occurrences,
-                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-            FROM (SELECT doc_id,
-                         unnest(regexp_split_to_array(
-                             lower(trim(text)), '\\s+')) AS token
-                  FROM documents)
-            GROUP BY token HAVING count(*) >= 2""",
+        "term_stats": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_split_to_array(
+                                    lower(trim(text)), '\\s+')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*) AS df_n FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nt
+                  FROM documents),
+            s AS (SELECT doc_id, tf.token, tf,
+                         round(tf * (ln((nt + 1.0) / (df_n + 1.0))
+                                     + 1.0), 3) AS score
+                  FROM tf JOIN dfq USING (token), n)
+            SELECT 'corpus' AS variant, CAST(-1 AS BIGINT) AS doc_id,
+                   token, CAST(sum(tf) AS BIGINT) AS n,
+                   0.0 AS score, CAST(count(*) AS INT) AS rank
+            FROM tf GROUP BY token HAVING sum(tf) >= 2
+            UNION ALL
+            SELECT 'doc', CAST(doc_id AS BIGINT), token,
+                   CAST(tf AS BIGINT), score, CAST(rn AS INT)
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, token ASC) AS rn
+                  FROM s)
+            WHERE rn <= 5""",
         "sessionize": f"""
             WITH d AS (SELECT doc_id,
                               1767225600 + doc_id % 97 AS off
@@ -1558,46 +1810,8 @@ def oracle_sql() -> dict[str, str]:
                                              '\\s+', ' ', 'g')))
                      AS norm_text
             FROM documents""",
-        "pack_sequences": """
-            WITH d AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(text), '\\s+') AS w
-              FROM documents),
-            nc AS (
-              SELECT doc_id, w,
-                     greatest(1, CAST(ceil((len(w) - 10) / 30.0)
-                                      AS BIGINT)) AS k
-              FROM d),
-            c AS (SELECT doc_id, w, unnest(range(0, k)) AS ci
-                  FROM nc),
-            ch AS (
-              SELECT doc_id, ci,
-                     len(w[CAST(ci*30+1 AS BIGINT) :
-                           CAST(ci*30+40 AS BIGINT)]) AS n_tokens,
-                     CAST(doc_id AS VARCHAR) || '#' ||
-                       CAST(ci AS VARCHAR) AS key
-              FROM c),
-            base AS (
-              SELECT doc_id, ci, key, n_tokens,
-                     ('0x' || substr(md5(key || '#b0'), 1, 8))::BIGINT
-                       % 8 AS b,
-                     md5(key || '#o0') AS h
-              FROM ch),
-            laid AS (
-              SELECT doc_id, ci, key, n_tokens, b, h,
-                     sum(n_tokens) OVER (PARTITION BY b
-                       ORDER BY h, key
-                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start
-              FROM base)
-            SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
-                   CAST(b AS VARCHAR) || '-' ||
-                     CAST(CAST(floor(start / 120.0) AS BIGINT)
-                          AS VARCHAR) AS pack_id,
-                   CAST(row_number() OVER (
-                     PARTITION BY b, floor(start / 120.0)
-                     ORDER BY h, key) AS INT) AS pack_pos,
-                   CAST(n_tokens AS INT) AS n_tokens
-            FROM laid""",
+        "pack_sequences": _pack_sequences_oracle(),
+        "bpe_tokens": _bpe_tokens_oracle(),
         "repetition_stats": f"""
             WITH d AS (
               SELECT doc_id,
@@ -1661,27 +1875,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY doc_id % 4""",
-        "tfidf": """
-            WITH tok AS (SELECT doc_id,
-                                unnest(regexp_split_to_array(
-                                    lower(trim(text)), '\\s+')) AS token
-                         FROM documents),
-            tf AS (SELECT doc_id, token, count(*) AS tf
-                   FROM tok GROUP BY 1, 2),
-            dfq AS (SELECT token, count(*) AS df_n FROM tf GROUP BY 1),
-            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nt
-                  FROM documents),
-            s AS (SELECT doc_id, tf.token, tf,
-                         round(tf * (ln((nt + 1.0) / (df_n + 1.0))
-                                     + 1.0), 3) AS score
-                  FROM tf JOIN dfq USING (token), n)
-            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
-                   CAST(rn AS INT) AS rank
-            FROM (SELECT *, row_number() OVER (
-                      PARTITION BY doc_id
-                      ORDER BY score DESC, token ASC) AS rn
-                  FROM s)
-            WHERE rn <= 5""",
         "gopher_quality": f"""
             WITH s AS (SELECT doc_id, text,
                               regexp_split_to_array(trim(text), '\\s+')
@@ -1959,23 +2152,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
                    {_stripped_wrap_expr()} AS doc
             FROM documents""",
-        "content_blocks": f"""
-            WITH d AS (SELECT doc_id, {_ID} AS id,
-                  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll,
-                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                       AS INT) AS nw
-                  FROM documents)
-            SELECT id AS conv_id, 0 AS turn_idx, 0 AS block_seq,
-                   'Title ' || id AS block_text, CAST(2 AS INT) AS n_words,
-                   0.0 AS link_density, false AS is_content FROM d
-            UNION ALL
-            SELECT id, 0, 1, coll, nw, 0.0, true FROM d
-            UNION ALL
-            SELECT id, 0, 2, 'nav one nav two', CAST(4 AS INT),
-                   0.933, false FROM d
-            UNION ALL
-            SELECT id, 0, 3, 'closing words here ' || id,
-                   CAST(4 AS INT), 0.0, true FROM d""",
         "tables": f"""
             WITH d AS (SELECT {_ID} AS id, doc_id,
                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll
@@ -2000,13 +2176,30 @@ def oracle_sql() -> dict[str, str]:
                       CAST(1 + doc_id % 3 AS INT), 0,
                       'x' || CAST(doc_id % 7 AS VARCHAR) FROM d""",
         "main_content": f"""
-            SELECT {_ID} AS conv_id, 0 AS turn_idx,
-                   trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
-                   chr(10) || 'closing words here ' || {_ID}
-                     AS main_text,
-                   CAST(4 AS INT) AS n_blocks,
-                   CAST(2 AS INT) AS n_content_blocks
-            FROM documents""",
+            WITH d AS (SELECT doc_id, {_ID} AS id,
+                  trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS INT) AS nw
+                  FROM documents)
+            SELECT 'main' AS variant, id AS conv_id, 0 AS turn_idx,
+                   -1 AS block_seq,
+                   coll || chr(10) || 'closing words here ' || id
+                     AS block_text,
+                   CAST(4 AS INT) AS n_words,
+                   CAST(2 AS DOUBLE) AS link_density,
+                   true AS is_content
+            FROM d
+            UNION ALL
+            SELECT 'block', id, 0, 0, 'Title ' || id,
+                   CAST(2 AS INT), 0.0, false FROM d
+            UNION ALL
+            SELECT 'block', id, 0, 1, coll, nw, 0.0, true FROM d
+            UNION ALL
+            SELECT 'block', id, 0, 2, 'nav one nav two',
+                   CAST(4 AS INT), 0.933, false FROM d
+            UNION ALL
+            SELECT 'block', id, 0, 3, 'closing words here ' || id,
+                   CAST(4 AS INT), 0.0, true FROM d""",
         "bom_stats": f"""
             SELECT {_ID} AS conv_id, 0 AS turn_idx,
                    CAST(doc_id % 5 AS INT) IN (0, 3) AS utf8_bom,

@@ -248,7 +248,9 @@ def run_resumable(spark: SparkSession, df: DataFrame, out_dir: str,
 
 def pack_sequences(df: DataFrame, target_tokens: int,
                    key_col: str = "doc_id", text_col: str = "text",
-                   buckets: int = 4096, seed: int = 0) -> DataFrame:
+                   buckets: int = 4096, seed: int = 0,
+                   token_mode: str = "words",
+                   merges: list[tuple] | None = None) -> DataFrame:
     """Deterministic sequence packing — the training-export step that
     lays documents end-to-end into fixed-token-budget packs (the
     GPT-style "pack short documents into one training sequence"
@@ -263,7 +265,12 @@ def pack_sequences(df: DataFrame, target_tokens: int,
     over once the budget is crossed (a straddling doc belongs to the
     pack where it starts — packs overflow by at most one document,
     the standard no-split tradeoff).  Token counts are whitespace
-    words (same CJK caveat as ``textstats.words_col``).
+    words by default (same CJK caveat as ``textstats.words_col``);
+    ``token_mode="bpe"`` prices in real subword tokens instead via
+    :func:`~html_parser_spark.operators.bpe.bpe_token_count_col`
+    with a trained ``merges`` table (eligible words at their BPE
+    token count, everything else one token per char) — still pure
+    JVM, so the pack plan shape is identical in both modes.
 
     Returns one row per input row:
     (key, pack_id, pack_pos, n_tokens) — pack_id = "bucket-local" is
@@ -287,10 +294,19 @@ def pack_sequences(df: DataFrame, target_tokens: int,
     if target_tokens < 1:
         raise ValueError("need target_tokens >= 1")
     k = F.col(key_col).cast("string")
-    from html_parser_spark.operators.textstats import words_col
-    # NULL text = 0 tokens (size(NULL) is NULL and would otherwise
-    # poison the cumulative sum and collapse pack_ids)
-    n = F.coalesce(F.size(words_col(F.col(text_col))), F.lit(0))
+    if token_mode == "bpe":
+        if not merges:
+            raise ValueError("token_mode='bpe' needs a trained "
+                             "merges table (see bpe.train_bpe)")
+        from html_parser_spark.operators.bpe import bpe_token_count_col
+        n = bpe_token_count_col(F.col(text_col), merges)
+    elif token_mode == "words":
+        from html_parser_spark.operators.textstats import words_col
+        # NULL text = 0 tokens (size(NULL) is NULL and would
+        # otherwise poison the cumulative sum and collapse pack_ids)
+        n = F.coalesce(F.size(words_col(F.col(text_col))), F.lit(0))
+    else:
+        raise ValueError(f"unknown token_mode {token_mode!r}")
     from html_parser_spark.operators.sampling import md5_prefix_long
     b = md5_prefix_long(F.concat(k, F.lit(f"#b{seed:d}"))) % buckets
     h = F.md5(F.concat(k, F.lit(f"#o{seed:d}")))
