@@ -410,6 +410,40 @@ def _q_bpe_tokens(spark, sf_dir):
     return merge_rows.unionByName(counts).unionByName(enc)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Two-epoch incremental dedup against a persisted signature
+    store: epoch 0 = doc_id < floor(max/2) seeds the store, epoch 1
+    probes it and appends. The DuckDB oracle replays BOTH epochs as
+    ONE from-scratch pass (kept iff no band-bucket collision with any
+    smaller id) — passing means the incremental keep set equals the
+    from-scratch keep set, which is the whole point of the rule. The
+    store lives in a per-run temp dir; verdicts are localCheckpoint-
+    materialized before cleanup so the returned plan has no parquet
+    dependency left."""
+    import shutil
+    import tempfile
+
+    from html_parser_spark.operators.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    t = docs.agg(F.max("doc_id")).first()[0] // 2
+    store = tempfile.mkdtemp(prefix="sig_store_")
+    try:
+        v0 = dedup_incremental(
+            spark, docs.filter(F.col("doc_id") < t), store)
+        v1 = dedup_incremental(
+            spark, docs.filter(F.col("doc_id") >= t), store)
+        out = (v0.withColumn("epoch", F.lit(0))
+               .unionByName(v1.withColumn("epoch", F.lit(1)))
+               .select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("epoch").cast("int").alias("epoch"),
+                       "kept")
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def _q_term_stats(spark, sf_dir):
     """Corpus vocabulary stats + per-doc top-5 tf-idf terms as one
     variant-tagged row set ('corpus' rows carry n_occurrences /
@@ -1089,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": _q_dsir,
         "pack_sequences": _q_pack_sequences,
         "bpe_tokens": _q_bpe_tokens,
+        "dedup_incremental": _q_dedup_incremental,
         "gopher_quality": _q_gopher_quality,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
@@ -1838,6 +1873,14 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": f"""
             WITH {_LSH_BANDS_CTE}
             SELECT id_a, id_b FROM cand""",
+        "dedup_incremental": f"""
+            WITH {_LSH_BANDS_CTE},
+            t AS (SELECT max(doc_id) // 2 AS t FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN doc_id < t.t THEN 0 ELSE 1 END
+                        AS INT) AS epoch,
+                   doc_id NOT IN (SELECT id_b FROM cand) AS kept
+            FROM documents, t""",
         "simhash": f"""
             WITH {_SIMHASH64_CTE},
             bands AS (

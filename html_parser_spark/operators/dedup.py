@@ -146,24 +146,9 @@ def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
     drops degenerate buckets (e.g. empty-text docs all hashing alike)
     before the quadratic self-join.
     """
-    if num_hashes % band_size != 0:
-        raise ValueError(
-            f"band_size ({band_size}) must divide num_hashes "
-            f"({num_hashes}) evenly ({num_hashes}/{band_size} bands) "
-            "— a remainder would silently discard signature columns "
-            "and lower recall")
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
-        bands.append(F.struct(
-            F.lit(b).alias("band_idx"),
-            F.concat_ws("|", *cols).alias("band_key"),
-        ))
-    exploded = sigs.select(
-        F.col(key_col).alias("key"),
-        F.explode(F.array(*bands)).alias("band"),
-    ).select("key", "band.band_idx", "band.band_key")
+    exploded = lsh_band_rows(sigs, key_col=key_col,
+                             num_hashes=num_hashes,
+                             band_size=band_size)
     counts = (exploded.groupBy("band_idx", "band_key")
               .agg(F.count("*").alias("n"))
               .filter((F.col("n") > 1) & (F.col("n") <= max_bucket)))
@@ -815,3 +800,110 @@ def dedup_lines(df: DataFrame, key_col: str = "doc_id",
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(lines).alias("n_lines"),
         F.size(drop).alias("n_dup_lines"))
+
+
+def lsh_band_rows(sigs: DataFrame, key_col: str = "doc_id",
+                  num_hashes: int = 8,
+                  band_size: int = 2) -> DataFrame:
+    """Signature table -> (key, band_idx, band_key) rows, the exact
+    band construction :func:`lsh_candidate_pairs` uses — factored so
+    the incremental path and the whole-corpus path cannot drift."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"band_size ({band_size}) must divide num_hashes "
+            f"({num_hashes}) evenly ({num_hashes}/{band_size} bands) "
+            "— a remainder would silently discard signature columns "
+            "and lower recall")
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}")
+                for j in range(band_size)]
+        bands.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *cols).alias("band_key")))
+    return (sigs.select(F.col(key_col).alias("key"),
+                        F.explode(F.array(*bands)).alias("band"))
+            .select("key", "band.band_idx", "band.band_key"))
+
+
+def dedup_incremental(spark, new_docs: DataFrame, store_dir: str,
+                      key_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 8,
+                      band_size: int = 2, n: int = 3) -> DataFrame:
+    """One epoch of INCREMENTAL MinHash-LSH dedup against a persisted
+    signature store — the production pattern for a growing corpus:
+    new snapshot -> signatures -> band-join against the historical
+    signature table -> keep verdicts -> append the new signatures.
+
+    Dedup rule (fixed so incremental == from-scratch by
+    construction): a doc is KEPT iff it shares no LSH band bucket
+    with ANY smaller-key doc — in the store or in its own epoch.
+    The rule is a pure pairwise predicate, so feeding epochs in key
+    order (each epoch's keys above the store's — the natural "new
+    snapshot has newer ids" shape) reproduces exactly the keep set a
+    from-scratch run over the union computes; that equality is what
+    the driver oracle checks, replaying both epochs in SQL as one
+    whole-corpus pass. Every signature is appended (not only
+    survivors): the store is the corpus's signature INDEX, and the
+    pairwise rule needs dropped docs' sigs too (a chain a-b-c must
+    drop c even though b already fell).
+
+    Scale shape: signatures are the narrow map
+    :func:`minhash_signatures` is; the history probe is a LEFT SEMI
+    join on (band_idx, band_key) — output bounded by the new epoch,
+    never materializing pairs; the self-epoch probe is the same semi
+    join. Only signature-table bytes shuffle (O(docs x bands) small
+    rows), the text never moves. At 100 TB the store would live as a
+    bucketed table on (band_idx, band_key)
+    (:func:`~html_parser_spark.plans.pipeline.write_bucketed`) making
+    the probe Exchange-free on the history side; here it is plain
+    parquet with the same join shape. The returned verdicts are
+    eagerly materialized (localCheckpoint) BEFORE the append so the
+    lazy history scan can never observe the epoch's own signatures.
+    """
+    import os
+
+    sigs = minhash_signatures(new_docs, key_col=key_col,
+                              text_col=text_col,
+                              num_hashes=num_hashes, n=n)
+    # docs too short to shingle have all-NULL signatures: no
+    # similarity evidence -> they never band (and so are always
+    # kept), instead of all colliding on an empty band_key
+    bandable = sigs.filter(F.col("h0").isNotNull())
+    bands_new = lsh_band_rows(bandable, key_col=key_col,
+                              num_hashes=num_hashes,
+                              band_size=band_size)
+    a = bands_new.alias("a")
+    b = bands_new.alias("b")
+    self_hit = (a.join(
+        b, (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("b.key") < F.col("a.key")), "left_semi")
+        .select("key").distinct())
+    hits = self_hit
+    if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+        hist = lsh_band_rows(
+            spark.read.parquet(store_dir)
+            .filter(F.col("h0").isNotNull()),
+            key_col=key_col, num_hashes=num_hashes,
+            band_size=band_size).alias("h")
+        hist_hit = (a.join(
+            hist, (F.col("a.band_idx") == F.col("h.band_idx"))
+            & (F.col("a.band_key") == F.col("h.band_key"))
+            & (F.col("h.key") < F.col("a.key")), "left_semi")
+            .select("key").distinct())
+        hits = hits.unionByName(hist_hit).distinct()
+    verdicts = (sigs.select(F.col(key_col).alias("key"))
+                .join(hits.withColumnRenamed("key", "_hit")
+                      .withColumn("_is_hit", F.lit(True)),
+                      F.col("key") == F.col("_hit"), "left")
+                .select("key", F.coalesce("_is_hit", F.lit(False))
+                        .alias("_dropped"))
+                .select(F.col("key").alias(key_col),
+                        (~F.col("_dropped")).alias("kept")))
+    # materialization barrier: verdicts must be computed from the
+    # PRE-append store (see docstring)
+    verdicts = verdicts.localCheckpoint()
+    sigs.write.mode("append").parquet(store_dir)
+    return verdicts

@@ -309,3 +309,35 @@ def write_stream_parquet(df: DataFrame, out_dir: str,
     return (df.writeStream.outputMode(mode)
             .option("checkpointLocation", checkpoint_dir)
             .format("parquet").option("path", out_dir))
+
+
+def dedup_incremental_sink(stream_df: DataFrame, store_dir: str,
+                           verdict_dir: str, **dedup_kwargs):
+    """Streaming twin of :func:`dedup.dedup_incremental` via the
+    established foreachBatch pattern: each micro-batch is one EPOCH —
+    its signatures probe the persisted store (plus the batch itself),
+    verdicts land in ``verdict_dir`` tagged with the batch id, and
+    the batch's signatures are appended to the store. The streaming
+    checkpoint makes epoch processing exactly-once, so a restart
+    resumes the signature store where it left off instead of
+    double-appending an epoch.
+
+    Same caveat as the batch operator: the store only knows what
+    arrived BEFORE a batch, so stream order defines "earlier". When
+    batch keys arrive in key order (the natural "new snapshot has
+    newer ids" shape) the cumulative verdicts equal a from-scratch
+    run over everything seen — the equality the batch operator's
+    driver oracle proves.
+
+    Returns the DataStreamWriter (caller adds checkpoint/trigger and
+    starts it).
+    """
+    from html_parser_spark.operators.dedup import dedup_incremental
+
+    def _epoch(bdf, batch_id: int) -> None:
+        verdicts = dedup_incremental(bdf.sparkSession, bdf,
+                                     store_dir, **dedup_kwargs)
+        (verdicts.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(verdict_dir))
+
+    return stream_df.writeStream.foreachBatch(_epoch)
