@@ -1052,11 +1052,14 @@ def _q_media_pixels(spark, sf_dir):
 
 
 def _q_pdf_text(spark, sf_dir):
-    """PDF/layout parse tier: complete valid 2-page Flate PDFs ->
-    object scan -> inflate -> content-stream text machine (Tj/TJ/'/
-    T*/Td/TD/Tm layout rules, escapes, hex strings); the oracle knows
-    the laid-out text in closed form, so the whole chain — xref'd
-    real bytes to line structure — is verified."""
+    """PDF/layout parse tier: complete valid 3-page PDFs -> object
+    scan -> /Filter chains (page 2 rotates Flate / ASCII85 / LZW /
+    [AHx RL] by doc_id) -> content-stream text machine (Tj/TJ/'/T*/
+    Td/TD/Tm layout rules, escapes, hex strings) -> page 3's /Type0
+    CID font decoded through its embedded Flate-compressed ToUnicode
+    CMap (bfchar + both bfrange forms, one unmapped code -> U+FFFD);
+    the oracle knows the laid-out text in closed form, so the whole
+    chain — xref'd real bytes to line structure — is verified."""
     from html_parser_spark.operators.pdf import (
         extract_pdf_text, synth_pdf_payloads)
     return extract_pdf_text(synth_pdf_payloads(_docs(spark, sf_dir)))
@@ -2282,12 +2285,14 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(r, chr(10) ORDER BY i) AS doc
             FROM t GROUP BY conv_id""",
         "pdf_text": f"""
-            SELECT doc_id, CAST(2 AS INT) AS n_pages,
+            SELECT doc_id, CAST(3 AS INT) AS n_pages,
                    'Hello doc ' || {_ID} || ' (escaped)' || chr(10) ||
                    'second line ' || {_ID} || chr(10) ||
                    'third line' || chr(10) ||
                    'fragmented hex ' || {_ID} || chr(10) ||
-                   'page two of ' || {_ID} AS pdf_text
+                   'page two of ' || {_ID} || chr(10) ||
+                   'CID PAGE ' || {_ID} || ' [#] ff' || chr(65533)
+                     AS pdf_text
             FROM documents""",
         "media_pixels": """
             WITH dims AS (SELECT doc_id,

@@ -19,13 +19,28 @@ What is REAL here (all from the public PDF 1.7 spec, ISO 32000-1):
   referenced integer object. Files with no intact catalog fall back
   to object-id order over all content streams.
 
+* the simple non-image stream filters as CHAINS (``/Filter`` name or
+  array, applied in order, §7.4): ``/FlateDecode``,
+  ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode`` and
+  ``/LZWDecode`` (TIFF-convention variable-width codes with the
+  spec's EarlyChange=1 default);
+* CID text: ``/Type0`` (composite) fonts with a ``/ToUnicode`` CMap
+  (§9.10.3) — ``bfchar``/``bfrange`` (both the arithmetic and the
+  array destination forms) are parsed from the (possibly filtered)
+  CMap stream, the content machine tracks the active font across
+  ``Tf``, and show-strings under a CID font decode as 2-byte codes
+  through the map (UTF-16BE destinations); unmapped codes render
+  U+FFFD, exactly one per code.
+
 What is deployment scope (documented, same pattern as JPEG pixel
-decode): non-Flate filters (DCT/JBIG2/CCITT), font-encoded /CID text
-requiring CMap resolution, and encrypted PDFs — those need a codec
-library; the operator returns empty text for such payloads instead
-of raising. ``synth_pdf_payloads`` builds COMPLETE valid PDFs (xref
-table with true byte offsets, trailer, Flate content streams) so the
-driver oracle verifies the whole parse chain against real bytes.
+decode): image/codec filters (DCT/JBIG2/CCITT/JPX), predictor
+DecodeParms, CID fonts carrying only a /CIDSystemInfo (no /ToUnicode
+— needs external CMap files), and encrypted PDFs; the operator
+returns empty text for such payloads instead of raising.
+``synth_pdf_payloads`` builds COMPLETE valid PDFs (xref table with
+true byte offsets, trailer, Flate/ASCII85/LZW content streams, a
+Type0 font with an embedded ToUnicode CMap) so the driver oracle
+verifies the whole parse chain against real bytes.
 """
 
 from __future__ import annotations
@@ -45,13 +60,476 @@ PDF_TEXT_SCHEMA = T.StructType([
     T.StructField("pdf_text", T.StringType()),
 ])
 
+# ------------------------------------------------------------- filters
+
+
+def _ahx_decode(data: bytes) -> bytes | None:
+    """/ASCIIHexDecode (§7.4.2): hex digits, whitespace ignored, '>'
+    EOD, odd final digit padded with 0."""
+    body = data.split(b">", 1)[0]
+    hx = re.sub(rb"[^0-9a-fA-F]", b"", body)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        return None
+
+
+def _a85_decode(data: bytes) -> bytes | None:
+    """/ASCII85Decode (§7.4.3): base-85 groups of 5 chars -> 4 bytes,
+    'z' = four zero bytes, '~>' EOD, partial final group."""
+    body = data.split(b"~>", 1)[0]
+    out = bytearray()
+    group: list[int] = []
+    for b in body:
+        if b in b" \t\r\n\f\0":
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                return None  # 'z' inside a group is malformed
+            out += b"\0\0\0\0"
+            continue
+        if not 0x21 <= b <= 0x75:
+            return None
+        group.append(b - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                return None
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            return None  # a single leftover char is undecodable
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes | None:
+    """/RunLengthDecode (§7.4.5): length byte L<128 copies L+1
+    literal bytes; L>128 repeats the next byte 257-L times; 128 is
+    EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                return None
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """/LZWDecode (§7.4.4): TIFF-convention LZW — 9-bit codes
+    growing at 511-early/1023-early/2047-early (the spec's
+    /EarlyChange 1 default bumps the width ONE CODE EARLY), code 256
+    = clear table, 257 = EOD."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+#: filter name -> decoder; None marks a recognized but unsupported
+#: codec (image compression / crypt) so chains containing one
+#: degrade to "no text" instead of emitting garbage
+_FILTERS = {
+    b"FlateDecode": lambda d: _zlib_inflate(d),
+    b"Fl": lambda d: _zlib_inflate(d),
+    b"ASCIIHexDecode": _ahx_decode, b"AHx": _ahx_decode,
+    b"ASCII85Decode": _a85_decode, b"A85": _a85_decode,
+    b"RunLengthDecode": _rl_decode, b"RL": _rl_decode,
+    b"LZWDecode": _lzw_decode, b"LZW": _lzw_decode,
+    b"DCTDecode": None, b"DCT": None, b"JPXDecode": None,
+    b"JBIG2Decode": None, b"CCITTFaxDecode": None, b"CCF": None,
+    b"Crypt": None,
+}
+
+_FILTER_RE = re.compile(
+    rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _zlib_inflate(data: bytes) -> bytes | None:
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        return None
+
+
+def _apply_filters(data: bytes, head: bytes) -> bytes | None:
+    """Apply the stream's /Filter chain (name or array, in array
+    order, §7.4.1). Returns None when any stage is unsupported or
+    malformed. Predictor /DecodeParms are deployment scope — a
+    /Predictor > 1 marks the stream unsupported rather than
+    returning mis-predicted bytes."""
+    mf = _FILTER_RE.search(head)
+    if not mf:
+        # a /Filter key whose value the regex can't read (indirect
+        # ref, nested dict) is unsupported, not "no filter"
+        return None if re.search(rb"/Filter\b", head) else data
+    if re.search(rb"/Predictor\s+([2-9]|1[0-9])\b", head):
+        return None
+    for name in _NAME_RE.findall(mf.group(1)):
+        dec = _FILTERS.get(name, None)
+        if name not in _FILTERS or dec is None:
+            return None
+        data = dec(data)
+        if data is None:
+            return None
+    return data
+
+
+# ------------------------------------------------- CID / ToUnicode
+
+_HEX_TOK_RE = re.compile(r"<([0-9a-fA-F \t\r\n]+)>")
+
+
+def _u16(hex_s: str) -> str:
+    """UTF-16BE destination string from a CMap hex token (§9.10.3)."""
+    hx = re.sub(r"\s", "", hex_s)
+    if len(hx) % 2:
+        hx += "0"
+    return bytes.fromhex(hx).decode("utf-16-be", errors="replace")
+
+
+def _scan_cmap_tokens(body: str) -> list[tuple[str, object]]:
+    """Sequential token scan of a bfchar/bfrange body: hex strings
+    ('h', digits) and array operands ('a', [digits, ...]). A
+    sequential scan — not a triple-matching regex — because the
+    arithmetic form <lo> <hi> <dst> and the array form
+    <lo> <hi> [<d1> ...] interleave freely and a regex for one
+    happily eats the operands of the other."""
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "<":
+            j = body.find(">", i)
+            if j < 0:
+                break
+            toks.append(("h", body[i + 1:j]))
+            i = j + 1
+        elif c == "[":
+            j = body.find("]", i)
+            if j < 0:
+                break
+            toks.append(("a", _HEX_TOK_RE.findall(body[i:j])))
+            i = j + 1
+        else:
+            i += 1
+    return toks
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3) into
+    code -> unicode string: bfchar pairs, bfrange in both the
+    arithmetic form (<lo> <hi> <dstBase>, destination incremented
+    per code) and the array form (<lo> <hi> [<d0> <d1> ...])."""
+    s = data.decode("latin-1")
+    cmap: dict[int, str] = {}
+    for m in re.finditer(r"beginbfchar(.*?)endbfchar", s, re.S):
+        toks = _scan_cmap_tokens(m.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            src, dst = toks[k], toks[k + 1]
+            if src[0] == "h" and dst[0] == "h":
+                try:
+                    cmap[int(src[1], 16)] = _u16(dst[1])
+                except ValueError:
+                    continue
+    for m in re.finditer(r"beginbfrange(.*?)endbfrange", s, re.S):
+        toks = _scan_cmap_tokens(m.group(1))
+        for k in range(0, len(toks) - 2, 3):
+            lo_t, hi_t, dst = toks[k], toks[k + 1], toks[k + 2]
+            if lo_t[0] != "h" or hi_t[0] != "h":
+                continue
+            try:
+                lo, hi = int(lo_t[1], 16), int(hi_t[1], 16)
+            except ValueError:
+                continue
+            if hi < lo or hi - lo > 0xFFFF:
+                continue  # malformed / absurd range: skip, don't blow up
+            if dst[0] == "a":
+                for j, dh in enumerate(dst[1]):
+                    if lo + j <= hi:
+                        cmap[lo + j] = _u16(dh)
+            else:
+                hx = re.sub(r"\s", "", str(dst[1]))
+                try:
+                    base = int(hx, 16)
+                except ValueError:
+                    continue
+                w = len(hx) + len(hx) % 2
+                for j in range(hi - lo + 1):
+                    cmap[lo + j] = _u16(format(base + j, f"0{w}x"))
+    return cmap
+
+
+def _cid_decode(raw: str, cmap: dict[int, str]) -> str:
+    """Decode a show-string under a /Type0 font: 2-byte codes (the
+    Identity-H convention) through the ToUnicode map; unmapped codes
+    (and a trailing odd byte) render U+FFFD, exactly one per code."""
+    b = raw.encode("latin-1")
+    out = [cmap.get((b[k] << 8) | b[k + 1], "�")
+           for k in range(0, len(b) - 1, 2)]
+    if len(b) % 2:
+        out.append("�")
+    return "".join(out)
+
+
+def _dict_after(b: bytes, key: bytes) -> bytes | None:
+    """The balanced ``<< ... >>`` dict immediately following ``key``,
+    or None when the key is absent or its value is not an inline
+    dict (e.g. an indirect reference)."""
+    m = re.search(re.escape(key) + rb"\s*<<", b)
+    if not m:
+        return None
+    i = m.end() - 2
+    depth, j, n = 0, m.end() - 2, len(b)
+    while j < n - 1:
+        two = b[j:j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return b[i:j]
+        else:
+            j += 1
+    return None
+
+
+def _font_cmap(objects: dict[int, bytes], fid: int) -> dict | None:
+    """ToUnicode map for font object ``fid``; None for simple
+    (non-Type0) fonts — their show-strings pass through byte-wise.
+    A Type0 font WITHOUT /ToUnicode (CIDSystemInfo-only, needs
+    external CMap files — deployment scope) gets an empty map, so
+    every code renders U+FFFD rather than binary garbage."""
+    body = objects.get(fid)
+    if body is None:
+        return None
+    head = body.split(b"stream", 1)[0]
+    if not re.search(rb"/Subtype\s*/Type0\b", head):
+        return None
+    mu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", head)
+    if not mu:
+        return {}
+    data = _object_stream_data(objects, int(mu.group(1)))
+    if data is None:
+        return {}
+    return _parse_tounicode(data)
+
+
+def _page_fonts(objects: dict[int, bytes], head: bytes,
+                cache: dict[int, dict | None]) -> dict[str, dict | None]:
+    """Resolve a page's /Resources -> /Font dict (inline or indirect
+    at either level, §7.8.3) to {font name: ToUnicode map or None}.
+    Inheritable /Resources from ancestor /Pages nodes is deployment
+    scope (fixtures and the common web-PDF shape carry per-page
+    resources)."""
+    res = _dict_after(head, b"/Resources")
+    if res is None:
+        mr = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", head)
+        if not mr:
+            return {}
+        res = objects.get(int(mr.group(1)), b"")
+    fnt = _dict_after(res, b"/Font")
+    if fnt is None:
+        mf = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+        if not mf:
+            return {}
+        fnt = objects.get(int(mf.group(1)), b"")
+    fonts: dict[str, dict | None] = {}
+    for mm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fnt):
+        fid = int(mm.group(2))
+        if fid not in cache:
+            cache[fid] = _font_cmap(objects, fid)
+        fonts[mm.group(1).decode("latin-1")] = cache[fid]
+    return fonts
+
+
+# ---------------------------------------------------- fixture encoders
+
+
+def _a85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\0" * pad, "big")
+        if v == 0 and pad == 0:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 0x21 + v % 85
+            v //= 85
+        out += digits[:5 - pad]
+    return bytes(out) + b"~>"
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal greedy LZW encoder for fixtures. Code WIDTH switching
+    is driven by an explicit simulation of ``_lzw_decode``'s table
+    growth (the decoder learns each new entry one code LATER than the
+    encoder assigns it — the classic LZW lag — so re-deriving the
+    switch point from the encoder's own ``next_code`` lands one code
+    off; simulating ``dec_len`` makes the two sides agree by
+    construction)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258       # encoder's next table index
+    dec_len = 258         # the DECODER's table length after the code
+    first = True          # first data code since a clear (no append)
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def emit(code: int) -> None:
+        """Emit a data code, then advance the simulated decoder: it
+        appends one entry per data code after the first, and bumps
+        its width via the same (len + early >= 2**width) rule the
+        real decoder applies AFTER the append."""
+        nonlocal dec_len, first, width
+        put(code)
+        if first:
+            first = False
+        else:
+            dec_len += 1
+            if dec_len + early >= (1 << width) and width < 12:
+                width += 1
+
+    put(256)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code + early >= (1 << 12):
+            # table full at the 12-bit cap: emit Clear and restart
+            # (the decoder resets width/table/prev on 256)
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, dec_len, width = 258, 258, 9
+            first = True
+        else:
+            table[w + c] = next_code
+            next_code += 1
+        w = c
+    if w:
+        emit(table[w])
+    put(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _ahx_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """Literal-runs-only RunLength encoder (valid per §7.4.5: any
+    split into length-prefixed literal blocks decodes identically)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 # ------------------------------------------------------------ fixtures
 
 
+#: the ToUnicode CMap embedded in every fixture's Type0 font:
+#: bfchar (incl. a two-code-unit "ff" destination), arithmetic
+#: bfrange (digits, A-Z), and array-form bfrange ([, #, ])
+_FIXTURE_CMAP = (b"/CIDInit /ProcSet findresource begin\n"
+                 b"12 dict begin\nbegincmap\n"
+                 b"/CMapName /Synth-UCS def\n/CMapType 2 def\n"
+                 b"1 begincodespacerange\n<0000> <FFFF>\n"
+                 b"endcodespacerange\n"
+                 b"2 beginbfchar\n<0020> <0020>\n<0200> <00660066>\n"
+                 b"endbfchar\n"
+                 b"3 beginbfrange\n"
+                 b"<0030> <0039> <0030>\n"
+                 b"<0041> <005A> <0041>\n"
+                 b"<0100> <0102> [<005B> <0023> <005D>]\n"
+                 b"endbfrange\nendcmap\n"
+                 b"CMapName currentdict /CMap defineresource pop\n"
+                 b"end\nend")
+
+
 def _synth_pdf(doc_id: int) -> bytes:
-    """A complete, valid 2-page PDF 1.4: catalog, page tree, two
-    Flate-compressed content streams exercising Tj/TJ/'/T*/Td/TD/Tm,
-    escape sequences, and hex strings; real xref offsets + trailer."""
+    """A complete, valid 3-page PDF 1.4: catalog, page tree, content
+    streams exercising Tj/TJ/'/T*/Td/TD/Tm, escape sequences, and hex
+    strings; real xref offsets + trailer. Page 2's stream filter
+    ROTATES by doc_id (Flate / ASCII85 / LZW / [AHx RL] chain) so a
+    corpus of fixtures exercises every supported decoder against real
+    bytes while the decoded text — and so the driver oracle — stays
+    closed-form. Page 3 shows CID codes under a /Type0 font whose
+    Flate-compressed ToUnicode CMap uses bfchar + both bfrange forms,
+    plus one unmapped code (renders U+FFFD)."""
     d = str(doc_id)
     hex_tail = ("hex " + d).encode("latin-1").hex()
     content1 = (
@@ -61,10 +539,27 @@ def _synth_pdf(doc_id: int) -> bytes:
         f"<{hex_tail}> Tj ET"
     ).encode("latin-1")
     content2 = f"BT 72 720 Td (page two of {d}) Tj ET".encode("latin-1")
+    variant = doc_id % 4
+    if variant == 0:
+        f2, enc2 = b"/Filter /FlateDecode", zlib.compress(content2)
+    elif variant == 1:
+        f2, enc2 = b"/Filter /ASCII85Decode", _a85_encode(content2)
+    elif variant == 2:
+        f2, enc2 = b"/Filter /LZWDecode", _lzw_encode(content2)
+    else:  # decode order AHx then RL => encode RL first, hex last
+        f2 = b"/Filter [ /ASCIIHexDecode /RunLengthDecode ]"
+        enc2 = _ahx_encode(_rl_encode(content2))
+
+    codes = ([ord(c) for c in f"CID PAGE {d} "]
+             + [0x0100, 0x0101, 0x0102, 0x0020, 0x0200, 0x0999])
+    cid_hex = "".join(f"{c:04X}" for c in codes)
+    content3 = (f"BT /F9 12 Tf 72 700 Td <{cid_hex}> Tj ET"
+                ).encode("latin-1")
 
     objs: list[bytes] = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] "
+                b"/Count 3 >>")
     objs.append(b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
                 b"/MediaBox [0 0 612 792] >>")
     z1 = zlib.compress(content1)
@@ -73,9 +568,22 @@ def _synth_pdf(doc_id: int) -> bytes:
                 + b"\nendstream")
     objs.append(b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
                 b"/MediaBox [0 0 612 792] >>")
-    z2 = zlib.compress(content2)
-    objs.append(b"<< /Length " + str(len(z2)).encode()
-                + b" /Filter /FlateDecode >>\nstream\n" + z2
+    objs.append(b"<< /Length " + str(len(enc2)).encode()
+                + b" " + f2 + b" >>\nstream\n" + enc2
+                + b"\nendstream")
+    objs.append(b"<< /Type /Page /Parent 2 0 R /Contents 10 0 R "
+                b"/Resources << /Font << /F9 8 0 R >> >> "
+                b"/MediaBox [0 0 612 792] >>")
+    objs.append(b"<< /Type /Font /Subtype /Type0 "
+                b"/BaseFont /Synth-Identity /Encoding /Identity-H "
+                b"/ToUnicode 9 0 R >>")
+    zc = zlib.compress(_FIXTURE_CMAP)
+    objs.append(b"<< /Length " + str(len(zc)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + zc
+                + b"\nendstream")
+    z3 = zlib.compress(content3)
+    objs.append(b"<< /Length " + str(len(z3)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + z3
                 + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n")
@@ -176,18 +684,25 @@ def _parse_literal_string(s: str, i: int) -> tuple[str, int]:
     return "".join(out), i
 
 
-def _content_text(stream: bytes) -> str:
+def _content_text(stream: bytes,
+                  fonts: dict[str, dict | None] | None = None) -> str:
     """Run the text-showing/positioning subset of the content-stream
     operator machine; returns the laid-out text (newlines at vertical
-    moves / T* / new text objects)."""
+    moves / T* / new text objects). ``fonts`` maps resource font
+    names to ToUnicode maps (from ``_page_fonts``): ``Tf`` switches
+    the active font, and show-strings under a /Type0 font decode as
+    2-byte codes through its map. Font state persists across BT/ET —
+    Tf is text STATE, not text-object state (§9.3.1)."""
     s = stream.decode("latin-1")
     out: list[str] = []
     stack: list = []   # operands: ('s', text) strings, floats, arrays
     cur_y: float | None = None
     in_array: list | None = None
+    cur_cmap: dict[int, str] | None = None  # active font's CID map
 
     def emit(txt: str) -> None:
-        out.append(txt)
+        out.append(_cid_decode(txt, cur_cmap)
+                   if cur_cmap is not None else txt)
 
     def newline() -> None:
         if out and not out[-1].endswith("\n"):
@@ -285,8 +800,17 @@ def _content_text(stream: bytes) -> str:
         elif op == "TJ":
             arr = stack[-1] if stack and isinstance(stack[-1], list) \
                 else []
-            emit("".join(v[1] for v in arr
-                         if isinstance(v, tuple) and v[0] == "s"))
+            # each array string is shown separately (§9.4.3): decode
+            # per element so CID code boundaries never straddle a
+            # kerning split
+            for v in arr:
+                if isinstance(v, tuple) and v[0] == "s":
+                    emit(v[1])
+        elif op == "Tf":
+            for v in reversed(stack):
+                if isinstance(v, tuple) and v[0] == "n":
+                    cur_cmap = (fonts or {}).get(v[1])
+                    break
         elif op in ("Td", "TD"):
             if len(stack) >= 2 and isinstance(stack[-1], float):
                 ty = stack[-1]
@@ -312,10 +836,10 @@ def _content_text(stream: bytes) -> str:
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 
 
-def _object_stream_text(objects: dict[int, bytes],
-                        obj_id: int) -> str | None:
-    """Decode one object's content stream to laid-out text, or None
-    when the object has no usable stream.
+def _object_stream_data(objects: dict[int, bytes],
+                        obj_id: int) -> bytes | None:
+    """Decode one object's stream to raw bytes (through its /Filter
+    chain), or None when the object has no usable stream.
 
     Stream extent (spec §7.3.8.2): slice exactly /Length bytes when
     the dict gives a direct length — the EOL-delimited fallback
@@ -353,14 +877,16 @@ def _object_stream_text(objects: dict[int, bytes],
         if not sm:
             return None
         data = sm.group(1)
-    if b"/FlateDecode" in head:
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return None
-    elif re.search(rb"/Filter\b", head):
-        return None  # unsupported filter: deployment codec scope
-    return _content_text(data)
+    return _apply_filters(data, head)
+
+
+def _object_stream_text(objects: dict[int, bytes], obj_id: int,
+                        fonts: dict[str, dict | None] | None = None,
+                        ) -> str | None:
+    data = _object_stream_data(objects, obj_id)
+    if data is None:
+        return None
+    return _content_text(data, fonts)
 
 
 def _walk_page_tree(objects: dict[int, bytes], root: int) -> list[int]:
@@ -431,8 +957,10 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
             if root is not None else []
         if page_ids:
             texts: list[str] = []
+            font_cache: dict[int, dict | None] = {}
             for pid in page_ids:
                 head = objects[pid].split(b"stream", 1)[0]
+                fonts = _page_fonts(objects, head, font_cache)
                 mc = re.search(
                     rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", head)
                 if not mc:
@@ -451,7 +979,8 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
                             cref = marr.group(1)
                 parts = [t for r in _REF_RE.finditer(cref)
                          if (t := _object_stream_text(
-                             objects, int(r.group(1)))) is not None]
+                             objects, int(r.group(1)), fonts))
+                         is not None]
                 if parts:
                     texts.append("".join(parts))
             joined = "\n".join(t.strip("\n") for t in texts

@@ -1435,16 +1435,17 @@ def test_extract_tables_layout_invariance(spark):
 
 
 def test_pdf_text_extraction(spark, docs):
-    """Complete valid Flate PDFs -> text with layout newlines; page
-    count from /Type /Page objects."""
+    """Complete valid PDFs -> text with layout newlines; page count
+    from the page tree; page 2's rotating filter (doc_id 3 hits the
+    [AHx RL] chain) and page 3's CID font both decode."""
     from html_parser_spark.operators import pdf
 
     out = {r.doc_id: r for r in
            pdf.extract_pdf_text(pdf.synth_pdf_payloads(docs)).collect()}
-    assert out[3].n_pages == 2
+    assert out[3].n_pages == 3
     assert out[3].pdf_text == ("Hello doc 3 (escaped)\nsecond line 3\n"
                                "third line\nfragmented hex 3\n"
-                               "page two of 3")
+                               "page two of 3\nCID PAGE 3 [#] ff�")
 
 
 def test_pdf_parser_robustness():
@@ -1540,8 +1541,136 @@ def test_pdf_stream_data_ending_in_cr():
         _synth_pdf, extract_pdf_text_bytes)
 
     n_pages, text = extract_pdf_text_bytes(_synth_pdf(1049))
-    assert n_pages == 2
+    assert n_pages == 3
     assert text.startswith("Hello doc 1049 (escaped)")
+
+
+def test_pdf_filter_codecs_roundtrip():
+    """ASCIIHex / ASCII85 / RunLength / LZW decoders against their
+    fixture encoders, incl. an LZW payload large and random enough to
+    force 10->11->12-bit widths and a table-full Clear restart."""
+    import hashlib
+
+    from html_parser_spark.operators.pdf import (
+        _a85_decode, _a85_encode, _ahx_decode, _ahx_encode,
+        _lzw_decode, _lzw_encode, _rl_decode, _rl_encode)
+
+    blob = b"".join(hashlib.sha256(i.to_bytes(2, "big")).digest()
+                    for i in range(1500))  # 48 KB, ~incompressible
+    assert _lzw_decode(_lzw_encode(blob)) == blob
+    assert _lzw_decode(_lzw_encode(b"")) == b""
+    assert _lzw_decode(_lzw_encode(b"AAAAABBBBB" * 7)) == \
+        b"AAAAABBBBB" * 7
+    assert _a85_decode(_a85_encode(blob[:997])) == blob[:997]
+    # 'z' shorthand for a zero group + a partial final group
+    assert _a85_decode(_a85_encode(b"\0\0\0\0ab")) == b"\0\0\0\0ab"
+    assert _rl_decode(_rl_encode(blob[:300])) == blob[:300]
+    assert _ahx_decode(_ahx_encode(b"\x00\xff hi")) == b"\x00\xff hi"
+    # odd final hex digit pads with 0; '>' is EOD
+    assert _ahx_decode(b"4142 4>junk") == b"AB@"
+
+
+def test_pdf_lzw_decoder_hand_packed_vectors():
+    """Decoder correctness independent of the fixture encoder:
+    hand-packed 9-bit code streams, incl. the KwKwK case (a code
+    equal to the table's current length, §7.4.4 / classic LZW)."""
+    from html_parser_spark.operators.pdf import _lzw_decode
+
+    def pack9(codes):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            nbits += 9
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    # clear, 'A', 'B', entry258("AB"), EOD
+    assert _lzw_decode(pack9([256, 65, 66, 258, 257])) == b"ABAB"
+    # KwKwK: code 258 arrives while entry 258 is still pending
+    assert _lzw_decode(pack9([256, 65, 258, 257])) == b"AAA"
+    # a code beyond the table is malformed, not a crash
+    assert _lzw_decode(pack9([256, 65, 300, 257])) is None
+
+
+def test_pdf_filter_chains_and_scope():
+    """/Filter arrays apply in order; predictor DecodeParms, image
+    codecs, and unreadable /Filter values degrade to no-text."""
+    import zlib
+
+    from html_parser_spark.operators.pdf import (
+        _ahx_encode, _apply_filters, _rl_encode)
+
+    raw = b"BT (chained) Tj ET"
+    data = _ahx_encode(_rl_encode(raw))
+    head = b"<< /Filter [ /ASCIIHexDecode /RunLengthDecode ] >>"
+    assert _apply_filters(data, head) == raw
+    # abbreviated names (Fl, AHx, ...) from the inline-image table
+    assert _apply_filters(_ahx_encode(raw), b"<< /Filter /AHx >>") \
+        == raw
+    z = zlib.compress(raw)
+    assert _apply_filters(
+        z, b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+           b">> >>") is None
+    assert _apply_filters(raw, b"<< /Filter /DCTDecode >>") is None
+    assert _apply_filters(raw, b"<< /Filter 5 0 R >>") is None
+    assert _apply_filters(raw, b"<< /Length 18 >>") == raw
+
+
+def test_pdf_tounicode_cmap_forms():
+    """bfchar (incl. multi-code-unit destination), arithmetic
+    bfrange, array-form bfrange, and unmapped-code policy."""
+    from html_parser_spark.operators.pdf import (
+        _FIXTURE_CMAP, _cid_decode, _parse_tounicode)
+
+    cmap = _parse_tounicode(_FIXTURE_CMAP)
+    assert cmap[0x0020] == " " and cmap[0x0200] == "ff"
+    assert cmap[0x0030] == "0" and cmap[0x0039] == "9"  # arithmetic
+    assert cmap[0x0041] == "A" and cmap[0x005A] == "Z"
+    assert (cmap[0x0100], cmap[0x0101], cmap[0x0102]) == \
+        ("[", "#", "]")  # array form
+    assert 0x0999 not in cmap
+    assert _cid_decode("\x00A\x09\x99\x00 \x02\x00", cmap) == "A� ff"
+    # trailing odd byte renders exactly one U+FFFD
+    assert _cid_decode("\x00A\x7f", cmap) == "A�"
+
+
+def test_pdf_cid_font_without_tounicode_is_fffd():
+    """A /Type0 font with no /ToUnicode (external-CMap deployment
+    scope) renders one U+FFFD per code instead of binary garbage; a
+    simple font keeps byte-passthrough."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R /Resources "
+           b"<< /Font << /F2 5 0 R >> >> >>",
+        4: _stream_obj_raw(b"BT /F2 10 Tf <00410042> Tj ET"),
+        5: b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+           b"/CIDSystemInfo << /Registry (X) >> >>",
+    })
+    assert extract_pdf_text_bytes(doc) == (1, "��")
+    # same codes under a SIMPLE font: latin-1 passthrough
+    doc2 = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R /Resources "
+           b"<< /Font << /F2 5 0 R >> >> >>",
+        4: _stream_obj_raw(b"BT /F2 10 Tf <00410042> Tj ET"),
+        5: b"<< /Type /Font /Subtype /TrueType >>",
+    })
+    assert extract_pdf_text_bytes(doc2) == (1, "\x00A\x00B")
+
+
+def _stream_obj_raw(data: bytes) -> bytes:
+    """Uncompressed stream object around raw content bytes."""
+    return (b"<< /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream")
 
 
 def test_pdf_indirect_length_multidigit_objnum():

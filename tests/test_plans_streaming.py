@@ -653,7 +653,7 @@ def test_pdf_and_media_stream_match_batch(spark, tmp_path):
                        extract_pdf_text(synth_pdf_payloads(docs))
                        .collect()))
     assert got_p == exp_p and len(got_p) == 6
-    assert all(r[1] == 2 for r in got_p)  # n_pages from the fixture
+    assert all(r[1] == 3 for r in got_p)  # n_pages from the fixture
 
     got_i = sorted(map(tuple, spark.sql(
         "SELECT * FROM img_stream").collect()))
