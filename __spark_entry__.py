@@ -1042,13 +1042,25 @@ def _q_main_content(spark, sf_dir):
 
 
 def _q_media_pixels(spark, sf_dir):
-    """Full PNG pixel decode (chunk walk -> zlib -> un-filter) over
-    complete valid PNG fixtures; the oracle recomputes every channel
-    sum from the closed-form pixel function, so the whole decode path
-    — including scanline un-filtering — is verified numerically."""
+    """Full pixel decode for BOTH dominant web image formats, merged
+    into one variant-tagged row set (fmt = png | jpeg): PNG chunk walk
+    -> zlib -> scanline un-filter, and baseline-JPEG marker walk ->
+    Huffman entropy decode -> dequant -> IDCT -> JFIF YCbCr->RGB
+    (every 5th doc grayscale). The JPEG fixtures are per-8x8-block
+    constant, which makes the lossy format exactly lossless (DC-only
+    coefficients, unit quant), so the oracle recomputes every channel
+    sum in closed form and the whole decode chain — entropy bits to
+    RGB rounding — is verified numerically."""
+    from pyspark.sql import functions as F
+
     from html_parser_spark.operators.media import (
-        decode_image_pixels, synth_png_images)
-    return decode_image_pixels(synth_png_images(_docs(spark, sf_dir)))
+        decode_image_pixels, synth_jpeg_images, synth_png_images)
+    docs = _docs(spark, sf_dir)
+    png = decode_image_pixels(synth_png_images(docs)) \
+        .withColumn("fmt", F.lit("png"))
+    jpg = decode_image_pixels(synth_jpeg_images(docs)) \
+        .withColumn("fmt", F.lit("jpeg"))
+    return png.unionByName(jpg)
 
 
 def _q_pdf_text(spark, sf_dir):
@@ -2302,12 +2314,49 @@ def oracle_sql() -> dict[str, str]:
             px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
                    FROM dims,
                         LATERAL (SELECT unnest(range(0, w)) AS x) xs,
-                        LATERAL (SELECT unnest(range(0, h)) AS y) ys)
+                        LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+            jdims AS (SELECT doc_id,
+                             CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+                             CAST(8 * (1 + doc_id % 2) AS INT) AS h,
+                             doc_id % 5 = 0 AS gray
+                      FROM documents),
+            jblk AS (SELECT doc_id, w, h, gray, bxs.bx AS bx,
+                            bys.by AS by
+                     FROM jdims,
+                          LATERAL (SELECT unnest(range(0, w // 8))
+                                   AS bx) bxs,
+                          LATERAL (SELECT unnest(range(0, h // 8))
+                                   AS by) bys),
+            jc AS (SELECT doc_id, w, h, gray,
+                          (17*bx + 29*by + doc_id) % 256 AS yv,
+                          (23*bx + 31*by + 2*doc_id) % 256 AS cb,
+                          (13*bx + 37*by + 3*doc_id) % 256 AS cr
+                   FROM jblk),
+            jrgb AS (SELECT doc_id, w, h,
+                CASE WHEN gray THEN yv ELSE GREATEST(0, LEAST(255,
+                  CAST(floor(yv + 1.402*(cr-128) + 0.5) AS BIGINT)))
+                END AS r,
+                CASE WHEN gray THEN yv ELSE GREATEST(0, LEAST(255,
+                  CAST(floor(yv - 0.344136*(cb-128)
+                             - 0.714136*(cr-128) + 0.5) AS BIGINT)))
+                END AS g,
+                CASE WHEN gray THEN yv ELSE GREATEST(0, LEAST(255,
+                  CAST(floor(yv + 1.772*(cb-128) + 0.5) AS BIGINT)))
+                END AS b
+                FROM jc)
             SELECT doc_id, w AS width, h AS height,
                    CAST(sum((x + doc_id) % 256) AS BIGINT) AS r_sum,
                    CAST(sum((y + 2 * doc_id) % 256) AS BIGINT) AS g_sum,
                    CAST(sum((x + y + 3 * doc_id) % 256) AS BIGINT)
-                     AS b_sum
-            FROM px GROUP BY doc_id, w, h""",
+                     AS b_sum,
+                   'png' AS fmt
+            FROM px GROUP BY doc_id, w, h
+            UNION ALL
+            SELECT doc_id, w AS width, h AS height,
+                   CAST(sum(64 * r) AS BIGINT) AS r_sum,
+                   CAST(sum(64 * g) AS BIGINT) AS g_sum,
+                   CAST(sum(64 * b) AS BIGINT) AS b_sum,
+                   'jpeg' AS fmt
+            FROM jrgb GROUP BY doc_id, w, h""",
     }
     return out

@@ -6,10 +6,13 @@ PNG / JPEG / GIF container headers byte-by-byte (signature sniff +
 IHDR / SOF segment walk / logical screen descriptor) — no imaging
 library needed for format/width/height, which is exactly the
 metadata a 100 TB curation pipeline filters on before ever paying
-for pixel decode. PNG pixel decode is ALSO real
-(:func:`decode_image_pixels`: chunk walk -> zlib inflate -> full
-scanline un-filtering, pure stdlib); JPEG/video pixel decode stays a
-deployment concern (needs libjpeg/libav) behind the identical
+for pixel decode. Pixel decode is ALSO real for BOTH dominant web
+formats (:func:`decode_image_pixels`): PNG (chunk walk -> zlib
+inflate -> full scanline un-filtering, pure stdlib) and baseline-DCT
+JPEG (marker walk -> canonical Huffman entropy decode -> dequant ->
+IDCT -> JFIF YCbCr->RGB, stdlib + numpy; see the JPEG section
+comment for the supported-scope line). Video decode stays a
+deployment concern (needs libav) behind the identical
 ``mapInPandas`` signature — the batch iterator shape does not change.
 
 ``synth_image_payloads`` builds deterministic fixture blobs with
@@ -345,20 +348,446 @@ def decode_png_pixels(payload: bytes) -> tuple:
     return (w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
 
 
-def decode_image_pixels(df: DataFrame, key_col: str = "doc_id",
-                        payload_col: str = "payload") -> DataFrame:
-    """binary PNG payloads -> decoded pixel statistics via
-    Arrow-batched UDF; one pass, no shuffle. This is the CPU-bound
-    decode tier of the media pipeline — at 100 TB size
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
-    decoded frames fits worker memory (JPEG/video decode plugs in
-    behind the same signature with an imaging/codec library)."""
+# ------------------------------------------------- JPEG pixel decode
+#
+# Baseline-DCT JFIF decode from the public ITU T.81 spec, stdlib +
+# numpy only: marker walk -> DQT/DHT/SOF0/SOS -> entropy decode
+# (canonical Huffman, byte unstuffing, RST intervals) -> dequant ->
+# zigzag -> IDCT -> level shift -> JFIF YCbCr->RGB. Supported scope:
+# baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit samples,
+# 1 or 3 components at 1x1 sampling (4:4:4 / grayscale). Progressive
+# (SOF2), subsampled chroma (4:2:0), arithmetic coding, and 12-bit
+# samples return (None,)*5 — documented codec scope, never garbage.
+#
+# The FIXTURE exploits an exactness property: an image whose pixels
+# are CONSTANT per 8x8 block has only DC coefficients, and with unit
+# quant tables the encode->decode round trip is bit-exact (DC = 8*c',
+# IDCT of a DC-only block is the constant c'). That lets the DuckDB
+# oracle predict every decoded channel sum in closed form while the
+# decoder still runs the full entropy/IDCT machinery on real bytes.
+
+#: zigzag position -> natural (row-major) index, ITU T.81 Fig. A.6
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+#: fixture Huffman layout: DC = symbols 0..11 all at code length 4,
+#: AC = EOB, ZRL, then every (run 0..15, size 1..10) all at length 8.
+#: Flat lengths keep the DHT tiny and never produce the all-ones code.
+_FIX_DC_SYMBOLS = tuple(range(12))
+_FIX_AC_SYMBOLS = (0x00, 0xF0) + tuple(
+    (r << 4) | s for r in range(16) for s in range(1, 11))
+
+
+def _canonical_codes(counts: list[int],
+                     symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit length) per the JPEG canonical rule
+    (T.81 Annex C): codes of each length count up from twice the
+    previous length's last code + ... (standard generation)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing (T.81 B.1.1.5)
+                self.out.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-padding per spec
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_jpeg(w: int, h: int,
+                 comp_blocks: list[list[list[int]]]) -> bytes:
+    """Assemble a complete baseline JFIF file from already-quantized
+    coefficient blocks (natural order, raster block order) for 1 or 3
+    components at 1x1 sampling with unit quant tables. General AC
+    run/size + ZRL + EOB encoding — the fixture only feeds DC-only
+    blocks, but tests feed AC patterns through the same path."""
+    nc = len(comp_blocks)
+    dc_map = _canonical_codes(
+        [0, 0, 0, 12] + [0] * 12, list(_FIX_DC_SYMBOLS))
+    ac_map = _canonical_codes(
+        [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8, list(_FIX_AC_SYMBOLS))
+
+    bw = _JpegBitWriter()
+    preds = [0] * nc
+    n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            blk = comp_blocks[ci][bi]
+            zz = [blk[_ZIGZAG[k]] for k in range(64)]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            t = _dc_category(diff)
+            code, ln = dc_map[t]
+            bw.put(code, ln)
+            if t:
+                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, ln = ac_map[0x00]  # EOB
+                    bw.put(code, ln)
+                    break
+                while run >= 16:
+                    code, ln = ac_map[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                v = zz[k]
+                s = _dc_category(v)
+                code, ln = ac_map[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                k += 1
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))  # unit quant, id 0
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12)
+               + bytes(_FIX_DC_SYMBOLS))
+    out += seg(0xC4, b"\x10" + bytes([0, 0, 0, 0, 0, 0, 0, 162]
+                                     + [0] * 8)
+               + bytes(_FIX_AC_SYMBOLS))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_block_consts(doc_id: int) -> tuple[int, int, bool, list]:
+    """Closed-form per-block (Y, Cb, Cr) constants mirrored by the
+    SQL oracle; every 5th doc is grayscale (single component)."""
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    gray = doc_id % 5 == 0
+    consts = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            yv = (17 * bx + 29 * by + doc_id) % 256
+            cb = (23 * bx + 31 * by + 2 * doc_id) % 256
+            cr = (13 * bx + 37 * by + 3 * doc_id) % 256
+            consts.append((yv, cb, cr))
+    return w, h, gray, consts
+
+
+def _synth_jpeg_full(doc_id: int) -> bytes:
+    """A COMPLETE valid baseline JFIF whose pixels are constant per
+    8x8 block — DC-only coefficients with unit quant tables make the
+    lossy format exactly lossless for this content, so the oracle
+    can predict decoded channel sums in closed form."""
+    w, h, gray, consts = _jpeg_block_consts(doc_id)
+
+    def dc_block(c: int) -> list[int]:
+        blk = [0] * 64
+        blk[0] = 8 * (c - 128)
+        return blk
+
+    if gray:
+        comp_blocks = [[dc_block(yv) for yv, _, _ in consts]]
+    else:
+        comp_blocks = [[dc_block(yv) for yv, _, _ in consts],
+                       [dc_block(cb) for _, cb, _ in consts],
+                       [dc_block(cr) for _, _, cr in consts]]
+    return _encode_jpeg(w, h, comp_blocks)
+
+
+def synth_jpeg_images(df: DataFrame,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic fully-decodable baseline-JPEG fixture blobs
+    (see :func:`_synth_jpeg_full`)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = [decode_png_pixels(bytes(p)) if p is not None
-                   else (None,) * 5
-                   for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "payload": [_synth_jpeg_full(int(k))
+                            for k in pdf[key_col]],
+            })
+
+    return df.select(key_col).mapInPandas(run, schema)
+
+
+_SOF_UNSUPPORTED = frozenset(
+    [0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE,
+     0xCF])
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; a bare marker byte ends the stream (T.81 B.1.1.5)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                return False  # a real marker: no more entropy bits
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if not self._fill():
+                raise EOFError("entropy data exhausted")
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 E.2.4)."""
+        self.n = 0
+        if (self.buf[self.pos] == 0xFF
+                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise ValueError("missing restart marker")
+
+
+def _huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bits(1)
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple:
+    """Full baseline JFIF pixel decode (see module section comment):
+    returns (width, height, r_sum, g_sum, b_sum) or (None,)*5 for
+    anything outside the supported scope (never raises). Grayscale
+    reports r = g = b = the Y sums."""
+    import numpy as np
+
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return (None,) * 5
+        pos, n = 2, len(payload)
+        qts: dict[int, list[int]] = {}
+        huffs: dict[tuple[int, int], dict] = {}
+        w = h = None
+        comps: list[list[int]] = []  # [tq, dc_tbl, ac_tbl] per comp
+        comp_ids: list[int] = []
+        ri = 0
+        scan_at = None
+        while pos + 2 <= n:
+            if payload[pos] != 0xFF:
+                return (None,) * 5
+            m = payload[pos + 1]
+            pos += 2
+            if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                break
+            if pos + 2 > n:
+                return (None,) * 5
+            seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+            seg = payload[pos + 2:pos + seglen]
+            if m in _SOF_UNSUPPORTED or m == 0xCC:
+                return (None,) * 5  # progressive/lossless/arithmetic
+            if m == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq:  # 16-bit entries
+                        qts[tq] = [struct.unpack(
+                            ">H", seg[i + 2 * k:i + 2 * k + 2])[0]
+                            for k in range(64)]
+                        i += 128
+                    else:
+                        qts[tq] = list(seg[i:i + 64])
+                        i += 64
+            elif m in (0xC0, 0xC1):
+                if seg[0] != 8:
+                    return (None,) * 5  # 12-bit samples: scope
+                h, w = struct.unpack(">HH", seg[1:5])
+                nc = seg[5]
+                if nc not in (1, 3):
+                    return (None,) * 5
+                comps, comp_ids = [], []
+                for i in range(nc):
+                    cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                    if samp != 0x11:
+                        return (None,) * 5  # subsampling: scope
+                    comp_ids.append(cid)
+                    comps.append([tq, 0, 0])
+            elif m == 0xC4:
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1:i + 17])
+                    nsym = sum(counts)
+                    symbols = list(seg[i + 17:i + 17 + nsym])
+                    sym_map = _canonical_codes(counts, symbols)
+                    huffs[(tc, th)] = {(ln, code): s
+                                       for s, (code, ln)
+                                       in sym_map.items()}
+                    i += 17 + nsym
+            elif m == 0xDD:
+                ri = struct.unpack(">H", seg[:2])[0]
+            elif m == 0xDA:
+                ns = seg[0]
+                if ns != len(comps) or w is None:
+                    return (None,) * 5
+                for i in range(ns):
+                    cid, tbls = seg[1 + 2 * i], seg[2 + 2 * i]
+                    ci = comp_ids.index(cid)
+                    comps[ci][1] = tbls >> 4
+                    comps[ci][2] = tbls & 15
+                scan_at = pos + seglen
+                break
+            pos += seglen
+        if scan_at is None:
+            return (None,) * 5
+
+        # IDCT basis: B[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+        basis = np.array(
+            [[(0.7071067811865476 if u == 0 else 1.0) / 2.0
+              * np.cos((2 * x + 1) * u * np.pi / 16.0)
+              for x in range(8)] for u in range(8)])
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        planes = [np.zeros((bh_ * 8, bw_ * 8)) for _ in comps]
+        br = _JpegBitReader(payload, scan_at)
+        preds = [0] * len(comps)
+        mcu = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if ri and mcu and mcu % ri == 0:
+                    br.align_restart()
+                    preds = [0] * len(comps)
+                mcu += 1
+                for ci, (tq, dct, act) in enumerate(comps):
+                    qt = qts[tq]
+                    coef = np.zeros(64)
+                    t = _huff_decode(br, huffs[(0, dct)])
+                    diff = _extend(br.bits(t), t) if t else 0
+                    preds[ci] += diff
+                    coef[0] = preds[ci] * qt[0]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huffs[(1, act)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block")
+                        coef[_ZIGZAG[k]] = (
+                            _extend(br.bits(s), s) * qt[k])
+                        k += 1
+                    px = basis.T @ coef.reshape(8, 8) @ basis
+                    planes[ci][by * 8:by * 8 + 8,
+                               bx * 8:bx * 8 + 8] = px
+        crop = [np.clip(np.floor(p[:h, :w] + 128.0 + 0.5),
+                        0, 255) for p in planes]
+        if len(crop) == 1:
+            ysum = int(crop[0].sum())
+            return (int(w), int(h), ysum, ysum, ysum)
+        y, cb, cr = crop
+        r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        g = np.clip(np.floor(y - 0.344136 * (cb - 128.0)
+                             - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
+        b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        return (int(w), int(h),
+                int(r.sum()), int(g.sum()), int(b.sum()))
+    except Exception:
+        return (None,) * 5
+
+
+def decode_image_pixels(df: DataFrame, key_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """binary image payloads -> decoded pixel statistics via
+    Arrow-batched UDF; one pass, no shuffle; dispatch by signature
+    (PNG chunk decode or baseline-JPEG entropy decode). This is the
+    CPU-bound decode tier of the media pipeline — at 100 TB size
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+    decoded frames fits worker memory (video decode plugs in behind
+    the same signature with a codec library)."""
+
+    def dispatch(p) -> tuple:
+        if p is None:
+            return (None,) * 5
+        b = bytes(p)
+        if b[:2] == b"\xff\xd8":
+            return decode_jpeg_pixels(b)
+        return decode_png_pixels(b)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [dispatch(p) for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[key_col],
                 "width": pd.array([r[0] for r in res], dtype="Int64"),

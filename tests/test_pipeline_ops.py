@@ -1239,6 +1239,93 @@ def test_resume_prune_contract_warning(spark, tmp_path):
     assert not any("partition filter" in str(x.message) for x in rec)
 
 
+def test_jpeg_pixel_decode_full(spark, docs):
+    """Baseline-JPEG decode path: valid fixture JFIFs (real DQT/DHT/
+    SOF0/SOS, entropy-coded scan with byte stuffing) -> Huffman ->
+    dequant -> IDCT -> YCbCr->RGB channel sums matching the
+    closed-form per-block constants; every 5th doc is grayscale."""
+    import math
+
+    from html_parser_spark.operators.media import (
+        _jpeg_block_consts, decode_image_pixels, synth_jpeg_images)
+
+    out = {r.doc_id: r for r in
+           decode_image_pixels(synth_jpeg_images(docs)).collect()}
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    for d in (0, 1, 2, 3, 4):  # 0 is grayscale (doc_id % 5 == 0)
+        w, h, gray, consts = _jpeg_block_consts(d)
+        rs = gs = bs = 0
+        for yv, cb, cr in consts:
+            if gray:
+                r = g = b = yv
+            else:
+                r = clamp(math.floor(yv + 1.402 * (cr - 128) + 0.5))
+                g = clamp(math.floor(yv - 0.344136 * (cb - 128)
+                                     - 0.714136 * (cr - 128) + 0.5))
+                b = clamp(math.floor(yv + 1.772 * (cb - 128) + 0.5))
+            rs += 64 * r
+            gs += 64 * g
+            bs += 64 * b
+        row = out[d]
+        assert (row.width, row.height) == (w, h)
+        assert (row.r_sum, row.g_sum, row.b_sum) == (rs, gs, bs)
+
+
+def test_jpeg_ac_coefficients_and_idct():
+    """The general AC run/size path (runs, ZRL, EOB) against an
+    INDEPENDENT direct-form IDCT (the T.81 A.3.3 double sum written
+    as plain loops, no shared code with the decoder's matrix form)."""
+    import math
+
+    from html_parser_spark.operators.media import (
+        _encode_jpeg, decode_jpeg_pixels)
+
+    blk = [0] * 64
+    blk[0] = 8 * (140 - 128)
+    blk[1] = 30      # immediate AC neighbor
+    blk[16] = -12    # mid-zigzag after a zero run
+    blk[63] = -7     # final coefficient: forces a ZRL stretch
+    got = decode_jpeg_pixels(_encode_jpeg(8, 8, [[blk]]))
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    total = 0
+    for y in range(8):
+        for x in range(8):
+            v = sum(c(u) * c(vv) / 4.0 * blk[vv * 8 + u]
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * vv * math.pi / 16)
+                    for u in range(8) for vv in range(8))
+            total += max(0, min(255, math.floor(v + 128.5)))
+    assert got == (8, 8, total, total, total)
+
+
+def test_jpeg_decoder_scope_degrades():
+    """Out-of-scope shapes (progressive SOF2, subsampled chroma,
+    truncated scans, header-only fixtures) -> (None,)*5, no raise."""
+    from html_parser_spark.operators.media import (
+        _jpeg_header, _synth_jpeg_full, decode_jpeg_pixels)
+
+    good = _synth_jpeg_full(3)
+    assert decode_jpeg_pixels(good)[0] == 8 * (1 + 3 % 3)
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog) == (None,) * 5
+    # 4:2:0 sampling factor on the first component
+    sub = bytearray(good)
+    i = good.index(b"\xff\xc0")
+    sub[i + 11] = 0x22  # comp 1 sampling h=2,v=2
+    assert decode_jpeg_pixels(bytes(sub)) == (None,) * 5
+    # truncated entropy data
+    assert decode_jpeg_pixels(good[:len(good) // 2]) == (None,) * 5
+    # the metadata-only header fixture has no SOS at all
+    assert decode_jpeg_pixels(_jpeg_header(32, 16)) == (None,) * 5
+
+
 def test_png_pixel_decode_full(spark, docs):
     """Complete PNG decode path: valid fixture PNGs (real CRCs, zlib
     IDAT, mixed None/Sub/Up row filters) -> chunk walk -> inflate ->
