@@ -41,8 +41,12 @@ _WS_EDGE = re.compile(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$")
 
 
 def collapse_ws(s: str) -> str:
-    """s/^\\s+//; s/\\s+$//; s/\\s+/ /g (TokeParser.pm:119)."""
-    return _WS_RUN.sub(" ", _WS_EDGE.sub("", s))
+    """s/^\\s+//; s/\\s+$//; s/\\s+/ /g (TokeParser.pm:119).
+
+    One regex pass: runs collapse to a single space first, so edge
+    runs become exactly one leading/trailing space — str.strip(" ")
+    removes them, same result as a separate edge-trim pass."""
+    return _WS_RUN.sub(" ", s).strip(" ")
 
 
 def _textify(doc: str, row, cfg: ParserConfig, tname: str, spec) -> str:
@@ -74,25 +78,38 @@ def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
     get_text's textify + phrase-markup spacing).
     """
     parts: list[str] = []
+    append = parts.append
     doc_mode = endtags is None
     endtags = () if doc_mode else tuple(endtags)
+    # hot loop: the projections are inlined (token0/tagname/raw_text
+    # are one slice + a memoized fold each; the function-call overhead
+    # dominates them at corpus scale) — semantics identical
+    case_sensitive = cfg.is_case_sensitive
+    lower = ascii_lower
     i = start
     n = len(rows)
     while i < n:
         row = rows[i]
         ev = row[0]
         if ev is EV_TEXT:
-            txt = project.raw_text(doc, row)
+            txt = row[9] if row[9] is not None else doc[row[1]:row[2]]
             if not row[4]:  # not is_cdata
                 txt = decode_entities(txt)
-            parts.append(txt)
+            append(txt)
         elif ev is EV_START or ev is EV_END:
-            tname = project.tagname(doc, row, cfg)
+            toks = row[3]
+            if toks:
+                t0 = toks[0]
+                tname = t0 if type(t0) is str else doc[t0[0]:t0[1]]
+                if not case_sensitive:
+                    tname = lower(tname)
+            else:
+                tname = None
             tag = tname
             if ev is EV_START:
                 if tname in textify:
-                    parts.append(_textify(doc, row, cfg, tname,
-                                          textify[tname]))
+                    append(_textify(doc, row, cfg, tname,
+                                    textify[tname]))
                     i += 1
                     continue
             else:
@@ -100,7 +117,7 @@ def get_text(doc: str, rows, cfg: ParserConfig, endtags=(),
             if not doc_mode and (not endtags or tag in endtags):
                 return "".join(parts), i  # unget
             if tag == "br" or tname not in PHRASE_TAGS:
-                parts.append(" ")
+                append(" ")
         i += 1
     return "".join(parts), n
 

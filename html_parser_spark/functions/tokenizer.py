@@ -104,6 +104,12 @@ _FAST_STEP = _re.compile(
 #: there), so it shares the fast_start loose-grammar gate.
 _FAST_END = _re.compile(f"</([^{_SP}>]+)[{_SP}]*>")
 
+#: exact-tag-substring -> relative token spans (see
+#: _fast_parse_start); shared across documents on a worker by design
+_TAG_MEMO: dict[str, tuple] = {}
+_TAG_MEMO_MAX = 8192
+_TAG_KEY_MAX = 96
+
 
 # ASCII-only case folding: the reference's sv_lower (util.c:13-21)
 # folds A-Z only; Python's str.lower would also fold Unicode (and
@@ -409,15 +415,42 @@ class _Parser:
     def _fast_parse_start(self, beg: int) -> int | None:
         """Regex fast path for the default tag grammar; returns the
         position after '>' on success, -1 to defer to the FSM (any
-        ambiguous/premature/unsupported shape)."""
+        ambiguous/premature/unsupported shape).
+
+        Exact-substring memo: a corpus's tag vocabulary is heavy-
+        tailed (`<p>`, `</b>`, and even attr-carrying tags repeat
+        massively), and the substring -> token-spans mapping is a
+        pure context-free function, so previously parsed tag strings
+        replay as a dict hit + span shift instead of the per-
+        attribute regex walk. Entries are inserted ONLY when the walk
+        consumed exactly up to the first '>' (a quoted '>' inside an
+        attribute value makes the naive key a partial tag — those
+        shapes simply never memoize); size- and length-capped so
+        adversarial input can't grow the dict."""
         doc = self.doc
-        m = _FAST_TAGNAME.match(doc, beg, self.end)
+        end = self.end
+        gt = doc.find(">", beg, end)
+        key = None
+        if 0 <= gt and gt - beg < _TAG_KEY_MAX:
+            key = doc[beg:gt + 1]
+            hit = _TAG_MEMO.get(key)
+            if hit is not None:
+                tmpl, lit = hit
+                tokens = [t if t is None else (t[0] + beg, t[1] + beg)
+                          for t in tmpl]
+                s = gt + 1
+                self._report(EV_START, beg, s, tokens)
+                # literal-mode entry precomputed at insert time (the
+                # xml_mode gate stays dynamic, as _maybe_enter_literal)
+                if lit is not None and not self.cfg.xml_mode:
+                    self.literal_mode, self.is_cdata = lit
+                return s
+        m = _FAST_TAGNAME.match(doc, beg, end)
         if m is None:
             return -1
         s = m.end()
-        tokens: list = [(beg + 1, s)]
+        tokens = [(beg + 1, s)]
         step = _FAST_STEP.match
-        end = self.end
         while True:
             m = step(doc, s, end)
             if m is None:
@@ -429,6 +462,14 @@ class _Parser:
             v = m.start(3)
             tokens.append(None if v < 0 else m.span(3))
             s = m.end()
+        if (key is not None and s == gt + 1
+                and len(_TAG_MEMO) < _TAG_MEMO_MAX):
+            tagl = ascii_lower(doc[tokens[0][0]:tokens[0][1]])
+            cd = LITERAL_MODE_ELEMS.get(tagl)
+            _TAG_MEMO[key] = (
+                tuple(t if t is None else (t[0] - beg, t[1] - beg)
+                      for t in tokens),
+                None if cd is None else (tagl, cd))
         self._report(EV_START, beg, s, tokens)
         self._maybe_enter_literal(tokens[0])
         return s
