@@ -222,16 +222,23 @@ def kmeans_centroids(df: DataFrame, k: int = 4, rounds: int = 10,
     for _ in range(rounds):
         assigned = ivf_assign(vecs, cents, "v") \
             .filter(F.col("_list") > 0)
-        rows = (assigned.groupBy("_list")
-                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
-                       for i in range(dim)])
+        # element-wise means via posexplode + ONE partial-agg groupBy
+        # on (_list, pos): the generated code is O(1) in `dim` (the
+        # earlier one-F.avg-column-per-dimension form hit Janino
+        # width at d >> 100), and only k*dim tiny rows are collected
+        rows = (assigned
+                .select("_list", F.posexplode("v").alias("pos", "x"))
+                .groupBy("_list", "pos").agg(F.avg("x").alias("m"))
                 .collect())
-        new = list(cents)
+        by_list: dict[int, dict[int, float]] = {}
         for r in rows:
-            means = [r[f"m{i}"] for i in range(dim)]
+            by_list.setdefault(r._list, {})[r.pos] = r.m
+        new = list(cents)
+        for lst, poses in by_list.items():
+            means = [poses.get(i) for i in range(dim)]
             if any(m is None or m != m for m in means):
                 continue   # degenerate cluster: keep previous centroid
-            new[r._list - 1] = [float(m) for m in means]
+            new[lst - 1] = [float(m) for m in means]
         moved = max(abs(a - b) for nc, oc in zip(new, cents)
                     for a, b in zip(nc, oc))
         cents = new
