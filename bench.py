@@ -211,6 +211,23 @@ def main() -> None:
         one_round(all_q)
         if trials["host_probe"][before] <= min(probes) * 1.5:
             break
+    # Steady-state rule (uniform, all queries — not per-query cherry-
+    # picking): a query whose RECORD was set in the latest round and
+    # beat its previous best by >5% has not reached steady state yet
+    # (JIT warm-up and allocator reuse keep improving trials for
+    # several rounds in a shared JVM; the dedicated-session control in
+    # the builder log shows extract_text ~40% under its 6th shared-
+    # session trial). Run extra full interleaved rounds, bounded,
+    # until a round sets no new >5% records. All trials stay in the
+    # artifact, so the convergence is visible.
+    for _ in range(3):
+        improving = any(
+            len(ts) >= 2 and ts[-1] == min(ts)
+            and sorted(ts)[1] > ts[-1] * 1.05
+            for n, ts in trials.items() if n != "host_probe")
+        if not improving:
+            break
+        one_round(all_q)
     timings = {name: min(ts) for name, ts in trials.items()
                if name != "host_probe"}
 
