@@ -1046,7 +1046,8 @@ def _q_media_pixels(spark, sf_dir):
     into one variant-tagged row set (fmt = png | jpeg): PNG chunk walk
     -> zlib -> scanline un-filter, and baseline-JPEG marker walk ->
     Huffman entropy decode -> dequant -> IDCT -> JFIF YCbCr->RGB
-    (every 5th doc grayscale). The JPEG fixtures are per-8x8-block
+    (every 5th doc grayscale, every 7th-mod-3 4:2:0-subsampled with
+    interleaved MCUs + nearest-neighbor chroma upsampling). The JPEG fixtures are per-8x8-block
     constant, which makes the lossy format exactly lossless (DC-only
     coefficients, unit quant), so the oracle recomputes every channel
     sum in closed form and the whole decode chain — entropy bits to
@@ -2316,12 +2317,27 @@ def oracle_sql() -> dict[str, str]:
                         LATERAL (SELECT unnest(range(0, w)) AS x) xs,
                         LATERAL (SELECT unnest(range(0, h)) AS y) ys),
             jdims AS (SELECT doc_id,
-                             CAST(8 * (1 + doc_id % 3) AS INT) AS w,
-                             CAST(8 * (1 + doc_id % 2) AS INT) AS h,
-                             doc_id % 5 = 0 AS gray
+                             doc_id % 5 = 0 AS gray,
+                             doc_id % 5 <> 0 AND doc_id % 7 = 3
+                               AS sub420,
+                             CASE WHEN doc_id % 5 <> 0
+                                       AND doc_id % 7 = 3
+                                  THEN CAST(16 * (1 + doc_id % 2)
+                                            AS INT)
+                                  ELSE CAST(8 * (1 + doc_id % 3)
+                                            AS INT) END AS w,
+                             CASE WHEN doc_id % 5 <> 0
+                                       AND doc_id % 7 = 3
+                                  THEN CAST(16 AS INT)
+                                  ELSE CAST(8 * (1 + doc_id % 2)
+                                            AS INT) END AS h
                       FROM documents),
             jblk AS (SELECT doc_id, w, h, gray, bxs.bx AS bx,
-                            bys.by AS by
+                            bys.by AS by,
+                            CASE WHEN sub420 THEN bxs.bx // 2
+                                 ELSE bxs.bx END AS cx,
+                            CASE WHEN sub420 THEN bys.by // 2
+                                 ELSE bys.by END AS cy
                      FROM jdims,
                           LATERAL (SELECT unnest(range(0, w // 8))
                                    AS bx) bxs,
@@ -2329,8 +2345,8 @@ def oracle_sql() -> dict[str, str]:
                                    AS by) bys),
             jc AS (SELECT doc_id, w, h, gray,
                           (17*bx + 29*by + doc_id) % 256 AS yv,
-                          (23*bx + 31*by + 2*doc_id) % 256 AS cb,
-                          (13*bx + 37*by + 3*doc_id) % 256 AS cr
+                          (23*cx + 31*cy + 2*doc_id) % 256 AS cb,
+                          (13*cx + 37*cy + 3*doc_id) % 256 AS cr
                    FROM jblk),
             jrgb AS (SELECT doc_id, w, h,
                 CASE WHEN gray THEN yv ELSE GREATEST(0, LEAST(255,

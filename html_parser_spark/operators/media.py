@@ -355,9 +355,12 @@ def decode_png_pixels(payload: bytes) -> tuple:
 # (canonical Huffman, byte unstuffing, RST intervals) -> dequant ->
 # zigzag -> IDCT -> level shift -> JFIF YCbCr->RGB. Supported scope:
 # baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit samples,
-# 1 or 3 components at 1x1 sampling (4:4:4 / grayscale). Progressive
-# (SOF2), subsampled chroma (4:2:0), arithmetic coding, and 12-bit
-# samples return (None,)*5 — documented codec scope, never garbage.
+# 1 or 3 components with sampling factors in {1, 2} where every
+# factor divides the max — grayscale, 4:4:4, 4:2:2, 4:4:0 and the
+# web-dominant 4:2:0 (interleaved MCUs, nearest-neighbor chroma
+# upsampling = libjpeg's non-fancy mode). Progressive (SOF2),
+# arithmetic coding, 4:1:1-class factors, and 12-bit samples return
+# (None,)*5 — documented codec scope, never garbage.
 #
 # The FIXTURE exploits an exactness property: an image whose pixels
 # are CONSTANT per 8x8 block has only DC coefficients, and with unit
@@ -430,13 +433,23 @@ def _dc_category(v: int) -> int:
 
 
 def _encode_jpeg(w: int, h: int,
-                 comp_blocks: list[list[list[int]]]) -> bytes:
+                 comp_blocks: list[list[list[int]]],
+                 sampling: list[tuple[int, int]] | None = None) -> bytes:
     """Assemble a complete baseline JFIF file from already-quantized
-    coefficient blocks (natural order, raster block order) for 1 or 3
-    components at 1x1 sampling with unit quant tables. General AC
-    run/size + ZRL + EOB encoding — the fixture only feeds DC-only
-    blocks, but tests feed AC patterns through the same path."""
+    coefficient blocks (natural order; each component's list is in
+    raster order over THAT component's own block grid) with unit
+    quant tables. ``sampling`` gives per-component (h, v) factors
+    (default all 1x1); blocks are emitted in the interleaved MCU
+    order of T.81 A.2.3. General AC run/size + ZRL + EOB encoding —
+    the fixture only feeds DC-only blocks, but tests feed AC patterns
+    through the same path."""
     nc = len(comp_blocks)
+    if sampling is None:
+        sampling = [(1, 1)] * nc
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     dc_map = _canonical_codes(
         [0, 0, 0, 12] + [0] * 12, list(_FIX_DC_SYMBOLS))
     ac_map = _canonical_codes(
@@ -444,38 +457,45 @@ def _encode_jpeg(w: int, h: int,
 
     bw = _JpegBitWriter()
     preds = [0] * nc
-    n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
-    for bi in range(n_blocks):
-        for ci in range(nc):
-            blk = comp_blocks[ci][bi]
-            zz = [blk[_ZIGZAG[k]] for k in range(64)]
-            diff = zz[0] - preds[ci]
-            preds[ci] = zz[0]
-            t = _dc_category(diff)
-            code, ln = dc_map[t]
-            bw.put(code, ln)
-            if t:
-                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            k = 1
-            while k < 64:
-                run = 0
-                while k < 64 and zz[k] == 0:
-                    run += 1
-                    k += 1
-                if k == 64:
-                    code, ln = ac_map[0x00]  # EOB
-                    bw.put(code, ln)
-                    break
-                while run >= 16:
-                    code, ln = ac_map[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                v = zz[k]
-                s = _dc_category(v)
-                code, ln = ac_map[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+    order: list[tuple[int, int]] = []  # (component, block index)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(sampling):
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        order.append(
+                            (ci, (my * vs + byy) * (mcux * hs)
+                             + mx * hs + bxx))
+    for ci, bi in order:
+        blk = comp_blocks[ci][bi]
+        zz = [blk[_ZIGZAG[k]] for k in range(64)]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        t = _dc_category(diff)
+        code, ln = dc_map[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
                 k += 1
+            if k == 64:
+                code, ln = ac_map[0x00]  # EOB
+                bw.put(code, ln)
+                break
+            while run >= 16:
+                code, ln = ac_map[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            v = zz[k]
+            s = _dc_category(v)
+            code, ln = ac_map[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            k += 1
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(
@@ -485,8 +505,8 @@ def _encode_jpeg(w: int, h: int,
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + bytes([1] * 64))  # unit quant, id 0
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += seg(0xC0, sof)
     out += seg(0xC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12)
                + bytes(_FIX_DC_SYMBOLS))
@@ -503,20 +523,30 @@ def _encode_jpeg(w: int, h: int,
     return bytes(out)
 
 
-def _jpeg_block_consts(doc_id: int) -> tuple[int, int, bool, list]:
-    """Closed-form per-block (Y, Cb, Cr) constants mirrored by the
-    SQL oracle; every 5th doc is grayscale (single component)."""
-    w = 8 * (1 + doc_id % 3)
-    h = 8 * (1 + doc_id % 2)
+def _jpeg_block_consts(doc_id: int) -> tuple[int, int, str, list]:
+    """Closed-form per-8x8-block (Y, Cb, Cr) constants mirrored by
+    the SQL oracle. Arms: every 5th doc grayscale, every 7th-mod-3
+    (non-gray) doc 4:2:0 subsampled (chroma constant per 16x16 MCU —
+    nearest-neighbor upsampling reproduces it exactly, so the lossy +
+    subsampled format still round-trips in closed form), the rest
+    4:4:4. The returned consts are the EFFECTIVE per-8x8-block values
+    after any upsampling."""
     gray = doc_id % 5 == 0
+    sub420 = not gray and doc_id % 7 == 3
+    if sub420:
+        w, h = 16 * (1 + doc_id % 2), 16
+    else:
+        w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+    arm = "gray" if gray else ("420" if sub420 else "444")
     consts = []
     for by in range(h // 8):
         for bx in range(w // 8):
+            cx, cy = (bx // 2, by // 2) if sub420 else (bx, by)
             yv = (17 * bx + 29 * by + doc_id) % 256
-            cb = (23 * bx + 31 * by + 2 * doc_id) % 256
-            cr = (13 * bx + 37 * by + 3 * doc_id) % 256
+            cb = (23 * cx + 31 * cy + 2 * doc_id) % 256
+            cr = (13 * cx + 37 * cy + 3 * doc_id) % 256
             consts.append((yv, cb, cr))
-    return w, h, gray, consts
+    return w, h, arm, consts
 
 
 def _synth_jpeg_full(doc_id: int) -> bytes:
@@ -524,19 +554,33 @@ def _synth_jpeg_full(doc_id: int) -> bytes:
     8x8 block — DC-only coefficients with unit quant tables make the
     lossy format exactly lossless for this content, so the oracle
     can predict decoded channel sums in closed form."""
-    w, h, gray, consts = _jpeg_block_consts(doc_id)
+    w, h, arm, consts = _jpeg_block_consts(doc_id)
 
     def dc_block(c: int) -> list[int]:
         blk = [0] * 64
         blk[0] = 8 * (c - 128)
         return blk
 
-    if gray:
-        comp_blocks = [[dc_block(yv) for yv, _, _ in consts]]
-    else:
+    if arm == "gray":
+        return _encode_jpeg(w, h, [[dc_block(yv)
+                                    for yv, _, _ in consts]])
+    if arm == "420":
+        # Y at full block resolution; chroma one block per 16x16 MCU
+        # (its own half-resolution raster grid)
+        chroma: list[tuple[int, int]] = []
+        bw_ = w // 8
+        for mby in range(h // 16):
+            for mbx in range(w // 16):
+                _, cb, cr = consts[(mby * 2) * bw_ + mbx * 2]
+                chroma.append((cb, cr))
         comp_blocks = [[dc_block(yv) for yv, _, _ in consts],
-                       [dc_block(cb) for _, cb, _ in consts],
-                       [dc_block(cr) for _, _, cr in consts]]
+                       [dc_block(cb) for cb, _ in chroma],
+                       [dc_block(cr) for _, cr in chroma]]
+        return _encode_jpeg(w, h, comp_blocks,
+                            sampling=[(2, 2), (1, 1), (1, 1)])
+    comp_blocks = [[dc_block(yv) for yv, _, _ in consts],
+                   [dc_block(cb) for _, cb, _ in consts],
+                   [dc_block(cr) for _, _, cr in consts]]
     return _encode_jpeg(w, h, comp_blocks)
 
 
@@ -677,10 +721,17 @@ def decode_jpeg_pixels(payload: bytes) -> tuple:
                 comps, comp_ids = [], []
                 for i in range(nc):
                     cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                    if samp != 0x11:
-                        return (None,) * 5  # subsampling: scope
+                    hs, vs = samp >> 4, samp & 15
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return (None,) * 5  # 4:1:1 etc: scope
                     comp_ids.append(cid)
-                    comps.append([tq, 0, 0])
+                    comps.append([tq, 0, 0, hs, vs])
+                # every factor must divide the max (so upsampling is
+                # an integer repeat) — covers 4:4:4/4:2:2/4:4:0/4:2:0
+                hm = max(c[3] for c in comps)
+                vm = max(c[4] for c in comps)
+                if any(hm % c[3] or vm % c[4] for c in comps):
+                    return (None,) * 5
             elif m == 0xC4:
                 i = 0
                 while i < len(seg):
@@ -715,44 +766,63 @@ def decode_jpeg_pixels(payload: bytes) -> tuple:
             [[(0.7071067811865476 if u == 0 else 1.0) / 2.0
               * np.cos((2 * x + 1) * u * np.pi / 16.0)
               for x in range(8)] for u in range(8)])
-        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-        planes = [np.zeros((bh_ * 8, bw_ * 8)) for _ in comps]
+        hmax = max(c[3] for c in comps)
+        vmax = max(c[4] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        planes = [np.zeros((mcuy * 8 * vs, mcux * 8 * hs))
+                  for (tq, dct, act, hs, vs) in comps]
         br = _JpegBitReader(payload, scan_at)
         preds = [0] * len(comps)
         mcu = 0
-        for by in range(bh_):
-            for bx in range(bw_):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if ri and mcu and mcu % ri == 0:
                     br.align_restart()
                     preds = [0] * len(comps)
                 mcu += 1
-                for ci, (tq, dct, act) in enumerate(comps):
+                # interleaved MCU order (T.81 A.2.3): each component
+                # contributes its hs*vs data units per MCU
+                for ci, (tq, dct, act, hs, vs) in enumerate(comps):
                     qt = qts[tq]
-                    coef = np.zeros(64)
-                    t = _huff_decode(br, huffs[(0, dct)])
-                    diff = _extend(br.bits(t), t) if t else 0
-                    preds[ci] += diff
-                    coef[0] = preds[ci] * qt[0]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, huffs[(1, act)])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block")
-                        coef[_ZIGZAG[k]] = (
-                            _extend(br.bits(s), s) * qt[k])
-                        k += 1
-                    px = basis.T @ coef.reshape(8, 8) @ basis
-                    planes[ci][by * 8:by * 8 + 8,
-                               bx * 8:bx * 8 + 8] = px
-        crop = [np.clip(np.floor(p[:h, :w] + 128.0 + 0.5),
-                        0, 255) for p in planes]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            coef = np.zeros(64)
+                            t = _huff_decode(br, huffs[(0, dct)])
+                            diff = _extend(br.bits(t), t) if t else 0
+                            preds[ci] += diff
+                            coef[0] = preds[ci] * qt[0]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, huffs[(1, act)])
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC run past block")
+                                coef[_ZIGZAG[k]] = (
+                                    _extend(br.bits(s), s) * qt[k])
+                                k += 1
+                            px = basis.T @ coef.reshape(8, 8) @ basis
+                            py0 = (my * vs + byy) * 8
+                            px0 = (mx * hs + bxx) * 8
+                            planes[ci][py0:py0 + 8,
+                                       px0:px0 + 8] = px
+        # level shift, then nearest-neighbor chroma upsample (the
+        # libjpeg non-fancy mode: integer repeat to the max sampling
+        # grid), then crop to the true image rectangle
+        crop = []
+        for ci, (tq, dct, act, hs, vs) in enumerate(comps):
+            p = np.clip(np.floor(planes[ci] + 128.0 + 0.5), 0, 255)
+            if hs != hmax or vs != vmax:
+                p = p.repeat(vmax // vs, axis=0) \
+                     .repeat(hmax // hs, axis=1)
+            crop.append(p[:h, :w])
         if len(crop) == 1:
             ysum = int(crop[0].sum())
             return (int(w), int(h), ysum, ysum, ysum)

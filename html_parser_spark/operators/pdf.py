@@ -18,6 +18,10 @@ What is REAL here (all from the public PDF 1.7 spec, ISO 32000-1):
   indirect stream lengths (``/Length N 0 R``) resolved to the
   referenced integer object. Files with no intact catalog fall back
   to object-id order over all content streams.
+* ``/Type /ObjStm`` object streams (§7.5.7, the PDF 1.5+ packing
+  that holds most non-stream objects in modern files): decoded
+  through the same filter chains and expanded into the object map
+  before the catalog/page walk (direct objects shadow packed ones).
 
 * the simple non-image stream filters as CHAINS (``/Filter`` name or
   array, applied in order, §7.4): ``/FlateDecode``,
@@ -586,17 +590,49 @@ def _synth_pdf(doc_id: int) -> bytes:
                 + b" /Filter /FlateDecode >>\nstream\n" + z3
                 + b"\nendstream")
 
+    by_id: dict[int, bytes] = {i: b for i, b in enumerate(objs, 1)}
+
+    if doc_id % 3 == 1:
+        # ObjStm variant (every 3rd doc): pack ALL dict-only objects
+        # — catalog, the three page dicts, the Type0 font — into one
+        # Flate-compressed /Type /ObjStm (§7.5.7), the way PDF 1.5+
+        # writers ship them. Streams stay direct (forbidden inside an
+        # ObjStm). The classic xref below lists packed ids as free
+        # entries, approximating the type-2 xref-stream entries our
+        # parser never reads anyway.
+        packed_ids = [1, 3, 5, 7, 8]
+        bodies = [by_id.pop(i) for i in packed_ids]
+        offs: list[int] = []
+        payload_parts: list[bytes] = []
+        pos = 0
+        for b in bodies:
+            offs.append(pos)
+            payload_parts.append(b + b"\n")
+            pos += len(b) + 1
+        header = " ".join(f"{i} {o}" for i, o in
+                          zip(packed_ids, offs)).encode() + b"\n"
+        zs = zlib.compress(header + b"".join(payload_parts))
+        by_id[11] = (b"<< /Type /ObjStm /N " + str(len(offs)).encode()
+                     + b" /First " + str(len(header)).encode()
+                     + b" /Length " + str(len(zs)).encode()
+                     + b" /Filter /FlateDecode >>\nstream\n" + zs
+                     + b"\nendstream")
+
     out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets: dict[int, int] = {}
+    for i in sorted(by_id):
+        offsets[i] = len(out)
+        out += f"{i} 0 obj\n".encode() + by_id[i] + b"\nendobj\n"
     xref_pos = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    max_id = max(by_id)
+    out += f"xref\n0 {max_id + 1}\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+    for i in range(1, max_id + 1):
+        if i in offsets:
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (b"trailer\n<< /Size " + str(max_id + 1).encode()
             + b" /Root 1 0 R >>\nstartxref\n"
             + str(xref_pos).encode() + b"\n%%EOF\n")
     return bytes(out)
@@ -889,6 +925,40 @@ def _object_stream_text(objects: dict[int, bytes], obj_id: int,
     return _content_text(data, fonts)
 
 
+def _expand_object_streams(objects: dict[int, bytes]) -> None:
+    """Unpack /Type /ObjStm object streams (ISO 32000-1 §7.5.7 —
+    PDF 1.5+ packs most non-stream objects into these) into the
+    object map: the decoded stream holds N (objnum, offset) integer
+    pairs before /First, then the object bodies back to back.
+
+    Shadowing approximation (we do not parse the xref chain): a
+    DIRECTLY scanned object with the same id wins over a packed one —
+    an incremental update that appends a revised direct object
+    correctly shadows the packed original; the rarer inverse (a
+    revision repacked into a new ObjStm while the stale direct body
+    remains) resolves to the stale copy."""
+    for oid in list(objects):
+        head = objects[oid].split(b"stream", 1)[0]
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        mn = re.search(rb"/N\s+(\d+)", head)
+        mf = re.search(rb"/First\s+(\d+)", head)
+        data = _object_stream_data(objects, oid)
+        if not (mn and mf) or data is None:
+            continue
+        n_, first = int(mn.group(1)), int(mf.group(1))
+        try:
+            ints = data[:first].split()
+            pairs = [(int(ints[2 * i]), int(ints[2 * i + 1]))
+                     for i in range(n_)]
+        except (ValueError, IndexError):
+            continue
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n_ else len(data) - first
+            if num not in objects:
+                objects[num] = data[first + off:first + end]
+
+
 def _walk_page_tree(objects: dict[int, bytes], root: int) -> list[int]:
     """Iterative /Kids walk from the /Pages root (spec §7.7.3):
     returns leaf /Type /Page object ids in visual page order.
@@ -939,6 +1009,7 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
         objects: dict[int, bytes] = {}
         for m in _OBJ_RE.finditer(payload):
             objects[int(m.group(1))] = m.group(2)
+        _expand_object_streams(objects)
 
         # LAST catalog in file order wins: an incremental update
         # (§7.5.6) may append the revised catalog under a NEW object

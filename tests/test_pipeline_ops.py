@@ -1243,7 +1243,9 @@ def test_jpeg_pixel_decode_full(spark, docs):
     """Baseline-JPEG decode path: valid fixture JFIFs (real DQT/DHT/
     SOF0/SOS, entropy-coded scan with byte stuffing) -> Huffman ->
     dequant -> IDCT -> YCbCr->RGB channel sums matching the
-    closed-form per-block constants; every 5th doc is grayscale."""
+    closed-form per-block constants; every 5th doc is grayscale,
+    doc 3 is 4:2:0-subsampled (interleaved 4-Y+Cb+Cr MCUs, chroma
+    upsampled by nearest-neighbor)."""
     import math
 
     from html_parser_spark.operators.media import (
@@ -1255,11 +1257,12 @@ def test_jpeg_pixel_decode_full(spark, docs):
     def clamp(v):
         return max(0, min(255, v))
 
+    assert _jpeg_block_consts(3)[2] == "420"  # the arm is exercised
     for d in (0, 1, 2, 3, 4):  # 0 is grayscale (doc_id % 5 == 0)
-        w, h, gray, consts = _jpeg_block_consts(d)
+        w, h, arm, consts = _jpeg_block_consts(d)
         rs = gs = bs = 0
         for yv, cb, cr in consts:
-            if gray:
+            if arm == "gray":
                 r = g = b = yv
             else:
                 r = clamp(math.floor(yv + 1.402 * (cr - 128) + 0.5))
@@ -1305,20 +1308,20 @@ def test_jpeg_ac_coefficients_and_idct():
 
 
 def test_jpeg_decoder_scope_degrades():
-    """Out-of-scope shapes (progressive SOF2, subsampled chroma,
+    """Out-of-scope shapes (progressive SOF2, >2x sampling factors,
     truncated scans, header-only fixtures) -> (None,)*5, no raise."""
     from html_parser_spark.operators.media import (
         _jpeg_header, _synth_jpeg_full, decode_jpeg_pixels)
 
-    good = _synth_jpeg_full(3)
-    assert decode_jpeg_pixels(good)[0] == 8 * (1 + 3 % 3)
+    good = _synth_jpeg_full(2)
+    assert decode_jpeg_pixels(good)[0] == 8 * (1 + 2 % 3)
     # flip SOF0 -> SOF2 (progressive)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_pixels(prog) == (None,) * 5
-    # 4:2:0 sampling factor on the first component
+    # 4:1:1-class sampling (factor 3/4) stays out of scope
     sub = bytearray(good)
     i = good.index(b"\xff\xc0")
-    sub[i + 11] = 0x22  # comp 1 sampling h=2,v=2
+    sub[i + 11] = 0x33  # comp 1 sampling h=3,v=3
     assert decode_jpeg_pixels(bytes(sub)) == (None,) * 5
     # truncated entropy data
     assert decode_jpeg_pixels(good[:len(good) // 2]) == (None,) * 5
@@ -1758,6 +1761,49 @@ def _stream_obj_raw(data: bytes) -> bytes:
     """Uncompressed stream object around raw content bytes."""
     return (b"<< /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream")
+
+
+def test_pdf_object_streams():
+    """/Type /ObjStm expansion (PDF 1.5+ packing): the fixture's
+    every-3rd-doc variant packs catalog + page dicts + font into one
+    compressed object stream and must parse identically; direct
+    objects shadow packed ones with the same id; malformed headers
+    degrade instead of raising."""
+    import zlib
+
+    from html_parser_spark.operators.pdf import (
+        _synth_pdf, extract_pdf_text_bytes)
+
+    plain = extract_pdf_text_bytes(_synth_pdf(4))   # 4 % 3 == 1
+    assert b"/ObjStm" in _synth_pdf(4)
+    assert plain[0] == 3 and plain[1].startswith("Hello doc 4")
+
+    # direct object wins over a packed object with the same id: the
+    # packed page dict points at content 4, the direct one at 5 —
+    # the page walk must follow the DIRECT dict
+    inner = b"3 10\n<< /Type /Page /Contents 4 0 R >>\n"
+    z = zlib.compress(inner)
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        6: b"<< /Type /ObjStm /N 1 /First 5 /Length "
+           + str(len(z)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + z
+           + b"\nendstream",
+        3: b"<< /Type /Page /Contents 5 0 R >>",  # direct id 3
+        4: _stream_obj_raw(b"BT (packed) Tj ET"),
+        5: _stream_obj_raw(b"BT (direct) Tj ET"),
+    })
+    assert extract_pdf_text_bytes(doc) == (1, "direct")
+
+    # truncated ObjStm header: parse degrades, never raises
+    bad = zlib.compress(b"1\n<<")
+    doc2 = _pdf_from_objs({
+        2: b"<< /Type /ObjStm /N 2 /First 99 /Length "
+           + str(len(bad)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + bad
+           + b"\nendstream"})
+    assert extract_pdf_text_bytes(doc2) == (0, "")
 
 
 def test_pdf_indirect_length_multidigit_objnum():
