@@ -37,10 +37,11 @@ What is REAL here (all from the public PDF 1.7 spec, ISO 32000-1):
   U+FFFD, exactly one per code.
 
 What is deployment scope (documented, same pattern as JPEG pixel
-decode): image/codec filters (DCT/JBIG2/CCITT/JPX), predictor
-DecodeParms, CID fonts carrying only a /CIDSystemInfo (no /ToUnicode
-— needs external CMap files), and encrypted PDFs; the operator
-returns empty text for such payloads instead of raising.
+decode): image/codec filters (DCT/JBIG2/CCITT/JPX), the TIFF
+predictor (PNG-family predictors >= 10 ARE decoded, §7.4.4.4), CID
+fonts carrying only a /CIDSystemInfo (no /ToUnicode — needs external
+CMap files), and encrypted PDFs; the operator returns empty text for
+such payloads instead of raising.
 ``synth_pdf_payloads`` builds COMPLETE valid PDFs (xref table with
 true byte offsets, trailer, Flate/ASCII85/LZW content streams, a
 Type0 font with an embedded ToUnicode CMap) so the driver oracle
@@ -208,19 +209,71 @@ def _zlib_inflate(data: bytes) -> bytes | None:
         return None
 
 
+def _png_predictor(data: bytes, head: bytes) -> bytes | None:
+    """Reverse PNG row prediction (/Predictor >= 10, §7.4.4.4): each
+    row is one filter-type byte + Columns*Colors*BPC/8 data bytes,
+    un-filtered exactly like PNG scanlines (None/Sub/Up/Average/
+    Paeth). Used by real writers on Flate object/xref streams
+    (Predictor 12 = Up is the common shape)."""
+    def param(key: bytes, default: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(\d+)", head)
+        return int(m.group(1)) if m else default
+
+    cols = param(b"Columns", 1)
+    colors = param(b"Colors", 1)
+    bpc = param(b"BitsPerComponent", 8)
+    rowlen = (cols * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    if rowlen <= 0 or len(data) % (rowlen + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ft = data[r]
+        line = bytearray(data[r + 1:r + 1 + rowlen])
+        if ft == 1:    # Sub
+            for i in range(bpp, rowlen):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[i] = (line[i] + (a if pa <= pb and pa <= pc
+                                      else b if pb <= pc else c)) \
+                    & 0xFF
+        elif ft != 0:
+            return None
+        out += line
+        prev = line
+    return bytes(out)
+
+
 def _apply_filters(data: bytes, head: bytes) -> bytes | None:
     """Apply the stream's /Filter chain (name or array, in array
-    order, §7.4.1). Returns None when any stage is unsupported or
-    malformed. Predictor /DecodeParms are deployment scope — a
-    /Predictor > 1 marks the stream unsupported rather than
-    returning mis-predicted bytes."""
+    order, §7.4.1), then any PNG-family /Predictor from DecodeParms.
+    Returns None when any stage is unsupported or malformed. The
+    TIFF predictor (2) stays deployment scope."""
     mf = _FILTER_RE.search(head)
     if not mf:
         # a /Filter key whose value the regex can't read (indirect
         # ref, nested dict) is unsupported, not "no filter"
         return None if re.search(rb"/Filter\b", head) else data
-    if re.search(rb"/Predictor\s+([2-9]|1[0-9])\b", head):
-        return None
+    if re.search(rb"/DecodeParms\s+\d+\s+\d+\s+R", head):
+        return None  # indirect params could hide a predictor: scope
+    mp = re.search(rb"/Predictor\s+(\d+)", head)
+    pred = int(mp.group(1)) if mp else 1
+    if pred != 1 and pred < 10:
+        return None  # TIFF predictor 2: scope
     for name in _NAME_RE.findall(mf.group(1)):
         dec = _FILTERS.get(name, None)
         if name not in _FILTERS or dec is None:
@@ -228,6 +281,8 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
         data = dec(data)
         if data is None:
             return None
+    if pred >= 10:
+        data = _png_predictor(data, head)
     return data
 
 

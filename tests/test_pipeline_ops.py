@@ -1702,10 +1702,33 @@ def test_pdf_filter_chains_and_scope():
     # abbreviated names (Fl, AHx, ...) from the inline-image table
     assert _apply_filters(_ahx_encode(raw), b"<< /Filter /AHx >>") \
         == raw
-    z = zlib.compress(raw)
+    # PNG-family predictor (the real-world Flate companion): encode
+    # rows with Up/Sub prediction, decode through the chain
+    content = b"BT (predicted rows work) Tj ET  "  # pad to 8 | len
+    cols = 8
+    rows = [content[i:i + cols] for i in range(0, len(content), cols)]
+    enc = bytearray()
+    prev = bytes(cols)
+    for ri, row in enumerate(rows):
+        if ri % 2:
+            enc.append(2)  # Up
+            enc += bytes((row[i] - prev[i]) & 0xFF
+                         for i in range(cols))
+        else:
+            enc.append(1)  # Sub (bpp=1)
+            enc += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                         for i in range(cols))
+        prev = row
+    z = zlib.compress(bytes(enc))
+    head = (b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12"
+            b" /Columns 8 >> >>")
+    assert _apply_filters(z, head) == content
+    # the TIFF predictor (2) stays scope; bad row structure degrades
     assert _apply_filters(
-        z, b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+        z, b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 "
            b">> >>") is None
+    assert _apply_filters(
+        zlib.compress(b"xyz"), head) is None  # not row-structured
     assert _apply_filters(raw, b"<< /Filter /DCTDecode >>") is None
     assert _apply_filters(raw, b"<< /Filter 5 0 R >>") is None
     assert _apply_filters(raw, b"<< /Length 18 >>") == raw
