@@ -498,12 +498,19 @@ def _q_minhash_sigs(spark, sf_dir):
     return k.join(fast, "doc_id")
 
 
-def _q_lsh_pairs(spark, sf_dir):
-    from html_parser_spark.operators.dedup import (
-        lsh_candidate_pairs, minhash_signatures)
-    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
-    return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
-                               max_bucket=1_000_000)
+def _q_audio_stats(spark, sf_dir):
+    """Audio leg of the multimodal column family: complete valid
+    PCM16 WAVs (RIFF chunk walk incl. a junk LIST chunk, word
+    alignment, fmt parse) -> exact integer sample statistics; the
+    oracle recomputes every sample from the closed-form ramp, so the
+    whole container+PCM decode chain is verified numerically.
+    (The standalone lsh_pairs row this slot held is still
+    driver-verified through ngram_jaccard, dedup_corpus,
+    curate_corpus and dedup_incremental, whose oracles all re-derive
+    the LSH banding in SQL.)"""
+    from html_parser_spark.operators.audio import (
+        decode_wav_stats, synth_wav_audio)
+    return decode_wav_stats(synth_wav_audio(_docs(spark, sf_dir)))
 
 
 #: planted passage fixture: doc_id % 3 == 0 rows share one 8-word
@@ -1128,7 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "minhash_sigs": _q_minhash_sigs,
-        "lsh_pairs": _q_lsh_pairs,
+        "audio_stats": _q_audio_stats,
         "dedup_components": _q_dedup_components,
         "dedup_canonical": _q_dedup_canonical,
         "passage_dedup": _q_passage_dedup,
@@ -1886,9 +1893,25 @@ def oracle_sql() -> dict[str, str]:
                 f"min(substr(md5(s), {4 * i + 1}, 4)) AS f{i}"
                 for i in range(8))}
             FROM ({_SHINGLES}) GROUP BY doc_id""",
-        "lsh_pairs": f"""
-            WITH {_LSH_BANDS_CTE}
-            SELECT id_a, id_b FROM cand""",
+        "audio_stats": """
+            WITH p AS (SELECT doc_id,
+                       CAST(8000 + 4000 * (doc_id % 3) AS INT)
+                         AS sample_rate,
+                       CAST(1 + doc_id % 2 AS INT) AS channels,
+                       256 + (doc_id % 5) * 64 AS nf
+                       FROM documents),
+            s AS (SELECT doc_id, sample_rate, channels, nf,
+                         ((7*doc_id + 13*i.i + 5*c.c) % 4001) - 2000
+                           AS v
+                  FROM p,
+                       LATERAL (SELECT unnest(range(0, nf)) AS i) i,
+                       LATERAL (SELECT unnest(range(0, channels))
+                                AS c) c)
+            SELECT doc_id, sample_rate, channels,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(sum(v*v) AS BIGINT) AS sum_sq,
+                   CAST(max(abs(v)) AS INT) AS peak
+            FROM s GROUP BY doc_id, sample_rate, channels, nf""",
         "dedup_incremental": f"""
             WITH {_LSH_BANDS_CTE},
             t AS (SELECT max(doc_id) // 2 AS t FROM documents)

@@ -1,0 +1,164 @@
+"""Audio-column decode: a real WAV/RIFF PCM parser over opaque
+``binary`` payloads, through the same Arrow-batched ``mapInPandas``
+plumbing as the image and PDF decoders — the audio leg of the
+multimodal column family.
+
+What is REAL (public RIFF/WAVE layout, as in the multimedia
+programming interface spec and RFC 2361 format registry): the RIFF
+container walk (chunk id + little-endian size, word-aligned — odd
+sizes carry a pad byte), the ``fmt `` chunk (PCM format tag,
+channels, sample rate, block align, bits per sample), unknown-chunk
+skipping (LIST/INFO etc.), and 16-bit little-endian PCM sample
+decode with exact integer statistics per payload: frame count,
+sum of squared samples (the un-rooted RMS numerator — kept integral
+so the SQL oracle matches bit-for-bit), and peak amplitude.
+
+Deployment scope (documented, same pattern as the image decoders):
+non-PCM format tags (float/ALAW/MULAW/extensible), bit depths other
+than 16, and malformed containers return NULL stats, never garbage
+and never a raised exception.
+
+At 100 TB this is a map-only Arrow stage over a pruned
+(key, payload) projection — no shuffle, the same scale shape as
+``decode_image_pixels``; real codec decode (MP3/AAC/Opus) plugs in
+behind the identical signature with an audio library.
+
+``synth_wav_audio`` builds COMPLETE valid WAV files (true chunk
+sizes, a junk LIST chunk to exercise the walk, deterministic PCM
+ramp samples) whose statistics a SQL oracle recomputes in closed
+form, so the parser is verified against real bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) — closed-form, mirrored by
+    the SQL oracle."""
+    return (8000 + 4000 * (doc_id % 3), 1 + doc_id % 2,
+            256 + (doc_id % 5) * 64)
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """A COMPLETE valid PCM16 WAV: RIFF header with true sizes,
+    ``fmt ``, a junk LIST chunk (the walk must skip it), and
+    interleaved little-endian samples
+    s(i, c) = ((7*doc_id + 13*i + 5*c) % 4001) - 2000."""
+    rate, ch, nf = _wav_params(doc_id)
+    frames = bytearray()
+    for i in range(nf):
+        for c in range(ch):
+            frames += struct.pack(
+                "<h", ((7 * doc_id + 13 * i + 5 * c) % 4001) - 2000)
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    junk = b"INFOjunk metadata the walk must skip!"  # odd length
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"LIST" + struct.pack("<I", len(junk)) + junk
+              + (b"\x00" if len(junk) % 2 else b"")  # word pad
+              + b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" \
+        + chunks
+
+
+def synth_wav_audio(df: DataFrame,
+                    key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload binary) of deterministic complete WAVs."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "payload": [_synth_wav(int(k)) for k in pdf[key_col]],
+            })
+
+    return df.select(key_col).mapInPandas(run, schema)
+
+
+def decode_wav_stats_bytes(payload: bytes) -> tuple:
+    """(sample_rate, channels, n_frames, sum_sq, peak) or (None,)*5
+    for anything outside PCM16 scope. Never raises."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return (None,) * 5
+        pos, n = 12, len(payload)
+        rate = ch = None
+        data: bytes | None = None
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body = payload[pos + 8:pos + 8 + size]
+            if len(body) < size:
+                return (None,) * 5  # truncated container
+            if cid == b"fmt ":
+                if size < 16:
+                    return (None,) * 5
+                tag, ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", body[:16])
+                if tag != 1 or bits != 16:
+                    return (None,) * 5  # non-PCM16: codec scope
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None or ch is None or ch == 0 or data is None:
+            return (None,) * 5
+        ns = len(data) // 2
+        samples = struct.unpack(f"<{ns}h", data[:ns * 2])
+        sum_sq = 0
+        peak = 0
+        for v in samples:
+            sum_sq += v * v
+            a = -v if v < 0 else v
+            if a > peak:
+                peak = a
+        return (rate, ch, ns // ch, sum_sq, peak)
+    except Exception:
+        return (None,) * 5
+
+
+def decode_wav_stats(df: DataFrame, key_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """binary WAV payloads -> exact PCM statistics via Arrow-batched
+    UDF; one pass, no shuffle — the audio twin of
+    ``decode_image_pixels``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [decode_wav_stats_bytes(bytes(p))
+                   if p is not None else (None,) * 5
+                   for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "sample_rate": pd.array([r[0] for r in res],
+                                        dtype="Int64"),
+                "channels": pd.array([r[1] for r in res],
+                                     dtype="Int64"),
+                "n_frames": pd.array([r[2] for r in res],
+                                     dtype="Int64"),
+                "sum_sq": pd.array([r[3] for r in res],
+                                   dtype="Int64"),
+                "peak": pd.array([r[4] for r in res], dtype="Int64"),
+            })
+
+    return df.select(key_col, payload_col).mapInPandas(
+        run, AUDIO_STATS_SCHEMA)

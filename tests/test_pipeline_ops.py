@@ -1329,6 +1329,45 @@ def test_jpeg_decoder_scope_degrades():
     assert decode_jpeg_pixels(_jpeg_header(32, 16)) == (None,) * 5
 
 
+def test_wav_audio_stats(spark, docs):
+    """WAV/RIFF PCM16 decode: complete fixture WAVs (true chunk
+    sizes, junk LIST chunk, word alignment) -> exact integer sample
+    stats matching the closed-form ramp; scope shapes -> NULLs."""
+    import struct
+
+    from html_parser_spark.operators.audio import (
+        _synth_wav, _wav_params, decode_wav_stats,
+        decode_wav_stats_bytes, synth_wav_audio)
+
+    out = {r.doc_id: r for r in
+           decode_wav_stats(synth_wav_audio(docs)).collect()}
+    for d in (0, 1, 2, 3, 4):
+        rate, ch, nf = _wav_params(d)
+        vals = [((7 * d + 13 * i + 5 * c) % 4001) - 2000
+                for i in range(nf) for c in range(ch)]
+        r = out[d]
+        assert (r.sample_rate, r.channels, r.n_frames) == (rate, ch,
+                                                           nf)
+        assert r.sum_sq == sum(v * v for v in vals)
+        assert r.peak == max(abs(v) for v in vals)
+
+    # scope degradations, never raises
+    assert decode_wav_stats_bytes(b"") == (None,) * 5
+    assert decode_wav_stats_bytes(b"RIFF\x04\x00\x00\x00JUNK") == \
+        (None,) * 5
+    good = _synth_wav(3)
+    assert decode_wav_stats_bytes(good[:40]) == (None,) * 5
+    # float PCM (format tag 3) is codec scope
+    flt = good.replace(struct.pack("<HH", 1, 2),
+                       struct.pack("<HH", 3, 2), 1)
+    assert decode_wav_stats_bytes(flt) == (None,) * 5
+    # NULL payload row flows through like the image decoders
+    df = spark.createDataFrame([(1, None)],
+                               "doc_id long, payload binary")
+    row = decode_wav_stats(df).collect()[0]
+    assert row.sample_rate is None and row.sum_sq is None
+
+
 def test_png_pixel_decode_full(spark, docs):
     """Complete PNG decode path: valid fixture PNGs (real CRCs, zlib
     IDAT, mixed None/Sub/Up row filters) -> chunk walk -> inflate ->
