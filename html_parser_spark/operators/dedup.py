@@ -830,7 +830,8 @@ def lsh_band_rows(sigs: DataFrame, key_col: str = "doc_id",
 def dedup_incremental(spark, new_docs: DataFrame, store_dir: str,
                       key_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
-                      band_size: int = 2, n: int = 3) -> DataFrame:
+                      band_size: int = 2, n: int = 3,
+                      epoch_tag: str | None = None) -> DataFrame:
     """One epoch of INCREMENTAL MinHash-LSH dedup against a persisted
     signature store — the production pattern for a growing corpus:
     new snapshot -> signatures -> band-join against the historical
@@ -861,6 +862,17 @@ def dedup_incremental(spark, new_docs: DataFrame, store_dir: str,
     parquet with the same join shape. The returned verdicts are
     eagerly materialized (localCheckpoint) BEFORE the append so the
     lazy history scan can never observe the epoch's own signatures.
+
+    ``epoch_tag`` makes the store append IDEMPOTENT for at-least-once
+    callers (the streaming twin's foreachBatch): signatures land in
+    an ``_epoch=<tag>`` partition via dynamic partition overwrite, so
+    a replayed epoch REPLACES its own partition instead of appending
+    a duplicate. A replay also recomputes the SAME verdicts even
+    though its first attempt's sigs are already in the store: the
+    keep rule is the pairwise ``smaller key wins`` predicate, and the
+    store copy of the epoch carries exactly the epoch's own keys —
+    equal keys never collide under ``<``. Default None keeps the
+    plain append (single-writer batch callers).
     """
     import os
 
@@ -881,8 +893,19 @@ def dedup_incremental(spark, new_docs: DataFrame, store_dir: str,
         & (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col("b.key") < F.col("a.key")), "left_semi")
         .select("key").distinct())
+    # history exists when a plain append committed (_SUCCESS) OR any
+    # epoch partition is in place — dynamic partition overwrite's
+    # commit protocol renames finished partitions into place without
+    # a root _SUCCESS, and its in-flight staging dirs (.spark-staging
+    # -*) never match the _epoch= prefix, so a half-written replay is
+    # not mistaken for history
+    store_has_history = (
+        os.path.exists(os.path.join(store_dir, "_SUCCESS"))
+        or (os.path.isdir(store_dir)
+            and any(name.startswith("_epoch=")
+                    for name in os.listdir(store_dir))))
     hits = self_hit
-    if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+    if store_has_history:
         hist = lsh_band_rows(
             spark.read.parquet(store_dir)
             .filter(F.col("h0").isNotNull()),
@@ -905,5 +928,11 @@ def dedup_incremental(spark, new_docs: DataFrame, store_dir: str,
     # materialization barrier: verdicts must be computed from the
     # PRE-append store (see docstring)
     verdicts = verdicts.localCheckpoint()
-    sigs.write.mode("append").parquet(store_dir)
+    if epoch_tag is None:
+        sigs.write.mode("append").parquet(store_dir)
+    else:
+        (sigs.withColumn("_epoch", F.lit(epoch_tag))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_epoch").parquet(store_dir))
     return verdicts

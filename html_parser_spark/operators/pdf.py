@@ -258,31 +258,102 @@ def _png_predictor(data: bytes, head: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _decodeparms_chunks(head: bytes, nfilters: int) -> \
+        list[bytes] | None:
+    """Per-stage /DecodeParms dict bodies, PARALLEL to the /Filter
+    array (§7.4.1 — entry i parameterizes filter i). Returns one
+    bytes chunk per filter stage (b"" = null/absent), or None when
+    the value is unreadable (indirect reference, truncated dict) —
+    unreadable params could hide a predictor, so the caller must
+    degrade to scope rather than guess."""
+    m = re.search(rb"/(?:DecodeParms|DP)\b", head)
+    if not m:
+        return [b""] * nfilters
+
+    def skip_ws(i: int) -> int:
+        while i < len(head) and head[i:i + 1] in b" \t\r\n\f\0":
+            i += 1
+        return i
+
+    def read_one(i: int) -> tuple[bytes | None, int]:
+        i = skip_ws(i)
+        if head[i:i + 2] == b"<<":
+            depth, j = 0, i
+            while j < len(head):
+                if head[j:j + 2] == b"<<":
+                    depth += 1
+                    j += 2
+                elif head[j:j + 2] == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        return head[i:j], j
+                else:
+                    j += 1
+            return None, j          # unbalanced: unreadable
+        if head[i:i + 4] == b"null":
+            return b"", i + 4
+        return None, i              # indirect ref / unknown form
+
+    i = skip_ws(m.end())
+    if head[i:i + 1] != b"[":
+        chunk, _ = read_one(i)
+        if chunk is None:
+            return None
+        return [chunk] + [b""] * max(0, nfilters - 1)
+    parts: list[bytes] = []
+    j = i + 1
+    while True:
+        j = skip_ws(j)
+        if j >= len(head):
+            return None             # unterminated array
+        if head[j:j + 1] == b"]":
+            break
+        chunk, j2 = read_one(j)
+        if chunk is None or j2 == j:
+            return None
+        parts.append(chunk)
+        j = j2
+    while len(parts) < nfilters:
+        parts.append(b"")           # short array: trailing nulls
+    return parts
+
+
 def _apply_filters(data: bytes, head: bytes) -> bytes | None:
     """Apply the stream's /Filter chain (name or array, in array
-    order, §7.4.1), then any PNG-family /Predictor from DecodeParms.
-    Returns None when any stage is unsupported or malformed. The
-    TIFF predictor (2) stays deployment scope."""
+    order, §7.4.1). /DecodeParms is an array PARALLEL to the filter
+    array: each stage's PNG-family /Predictor is un-applied to THAT
+    stage's output, not once after the whole chain — a chain like
+    ``/Filter [/FlateDecode /RunLengthDecode] /DecodeParms
+    [<< /Predictor 12 /Columns 4 >> null]`` predicts the Flate
+    output before RunLength sees it. Returns None when any stage is
+    unsupported or malformed. The TIFF predictor (2) stays
+    deployment scope."""
     mf = _FILTER_RE.search(head)
     if not mf:
         # a /Filter key whose value the regex can't read (indirect
         # ref, nested dict) is unsupported, not "no filter"
         return None if re.search(rb"/Filter\b", head) else data
-    if re.search(rb"/DecodeParms\s+\d+\s+\d+\s+R", head):
-        return None  # indirect params could hide a predictor: scope
-    mp = re.search(rb"/Predictor\s+(\d+)", head)
-    pred = int(mp.group(1)) if mp else 1
-    if pred != 1 and pred < 10:
-        return None  # TIFF predictor 2: scope
-    for name in _NAME_RE.findall(mf.group(1)):
+    names = _NAME_RE.findall(mf.group(1))
+    parms = _decodeparms_chunks(head, len(names))
+    if parms is None:
+        return None  # indirect/unreadable params could hide a
+        #              predictor: scope
+    for name, parm in zip(names, parms):
         dec = _FILTERS.get(name, None)
         if name not in _FILTERS or dec is None:
             return None
         data = dec(data)
         if data is None:
             return None
-    if pred >= 10:
-        data = _png_predictor(data, head)
+        mp = re.search(rb"/Predictor\s+(\d+)", parm)
+        pred = int(mp.group(1)) if mp else 1
+        if pred != 1 and pred < 10:
+            return None  # TIFF predictor 2: scope
+        if pred >= 10:
+            data = _png_predictor(data, parm)
+            if data is None:
+                return None
     return data
 
 
@@ -980,7 +1051,9 @@ def _object_stream_text(objects: dict[int, bytes], obj_id: int,
     return _content_text(data, fonts)
 
 
-def _expand_object_streams(objects: dict[int, bytes]) -> None:
+def _expand_object_streams(objects: dict[int, bytes],
+                           positions: dict[int, int] | None = None,
+                           ) -> None:
     """Unpack /Type /ObjStm object streams (ISO 32000-1 §7.5.7 —
     PDF 1.5+ packs most non-stream objects into these) into the
     object map: the decoded stream holds N (objnum, offset) integer
@@ -991,7 +1064,15 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
     an incremental update that appends a revised direct object
     correctly shadows the packed original; the rarer inverse (a
     revision repacked into a new ObjStm while the stale direct body
-    remains) resolves to the stale copy."""
+    remains) resolves to the stale copy.
+
+    ``positions`` (object id -> file offset, filled by the caller
+    for directly scanned objects) is extended with each packed
+    object's position = its CONTAINER's file offset, so "last in
+    file order wins" rules (catalog selection) see packed objects at
+    the place their ObjStm sits in the file — not appended after
+    every direct object, which would let a stale packed catalog
+    outrank a newer direct one appended by an incremental update."""
     for oid in list(objects):
         head = objects[oid].split(b"stream", 1)[0]
         if not re.search(rb"/Type\s*/ObjStm\b", head):
@@ -1012,6 +1093,8 @@ def _expand_object_streams(objects: dict[int, bytes]) -> None:
             end = pairs[i + 1][1] if i + 1 < n_ else len(data) - first
             if num not in objects:
                 objects[num] = data[first + off:first + end]
+                if positions is not None:
+                    positions[num] = positions.get(oid, 0)
 
 
 def _walk_page_tree(objects: dict[int, bytes], root: int) -> list[int]:
@@ -1062,22 +1145,31 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
     the original, approximating the xref chain without parsing it."""
     try:
         objects: dict[int, bytes] = {}
+        positions: dict[int, int] = {}
         for m in _OBJ_RE.finditer(payload):
             objects[int(m.group(1))] = m.group(2)
-        _expand_object_streams(objects)
+            positions[int(m.group(1))] = m.start()
+        _expand_object_streams(objects, positions)
 
-        # LAST catalog in file order wins: an incremental update
+        # LAST catalog in FILE order wins: an incremental update
         # (§7.5.6) may append the revised catalog under a NEW object
         # id, which duplicate-id shadowing alone would not see —
         # taking the last one approximates the xref chain for new
-        # ids exactly as dict overwrite does for reused ids.
+        # ids exactly as dict overwrite does for reused ids. File
+        # order, not dict-iteration order: ObjStm expansion appends
+        # packed objects after every direct object, so iteration
+        # order would let a stale packed catalog outrank a newer
+        # direct one — positions anchor packed objects at their
+        # container's offset instead.
         root = None
+        best_pos = -1
         for oid, body in objects.items():
             head = body.split(b"stream", 1)[0]
             if re.search(rb"/Type\s*/Catalog\b", head):
                 mp = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", head)
-                if mp:
+                if mp and positions.get(oid, 0) >= best_pos:
                     root = int(mp.group(1))
+                    best_pos = positions.get(oid, 0)
 
         page_ids = _walk_page_tree(objects, root) \
             if root is not None else []
@@ -1103,12 +1195,20 @@ def extract_pdf_text_bytes(payload: bytes) -> tuple[int, str]:
                         marr = re.search(rb"\[(.*?)\]", tgt, re.S)
                         if marr:
                             cref = marr.group(1)
-                parts = [t for r in _REF_RE.finditer(cref)
-                         if (t := _object_stream_text(
-                             objects, int(r.group(1)), fonts))
+                # An array's streams form ONE logical content stream
+                # (§7.8.2): concatenate the decoded BYTES and run the
+                # operator machine once per page, so graphics/text
+                # state (Tf font selection, the active CID map) set
+                # in one part governs show-strings in a later part.
+                # Parts may split between any two lexical tokens, so
+                # a newline separator keeps adjacent tokens distinct.
+                parts = [d for r in _REF_RE.finditer(cref)
+                         if (d := _object_stream_data(
+                             objects, int(r.group(1))))
                          is not None]
                 if parts:
-                    texts.append("".join(parts))
+                    texts.append(_content_text(b"\n".join(parts),
+                                               fonts))
             joined = "\n".join(t.strip("\n") for t in texts
                                if t.strip())
             return len(page_ids), joined

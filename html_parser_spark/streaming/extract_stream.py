@@ -311,16 +311,42 @@ def write_stream_parquet(df: DataFrame, out_dir: str,
             .format("parquet").option("path", out_dir))
 
 
+def dedup_epoch(bdf: DataFrame, batch_id: int, store_dir: str,
+                verdict_dir: str, **dedup_kwargs) -> None:
+    """One IDEMPOTENT epoch of incremental dedup: the batch's
+    signatures probe the persisted store (plus the batch itself),
+    verdicts land in a ``batch_id=<n>`` partition of ``verdict_dir``,
+    and the batch's signatures land in an ``_epoch=<n>`` partition of
+    the store. Both writes use dynamic partition overwrite keyed by
+    the batch id, so a REPLAYED epoch (foreachBatch is only
+    at-least-once — a crash between the epoch's writes and the
+    streaming checkpoint commit re-delivers the micro-batch) replaces
+    its own partitions instead of double-appending. The recomputed
+    verdicts are identical on replay even when the first attempt's
+    sigs already reached the store: the keep rule is the pairwise
+    smaller-key predicate and equal keys never collide (see
+    :func:`dedup.dedup_incremental`)."""
+    from html_parser_spark.operators.dedup import dedup_incremental
+
+    verdicts = dedup_incremental(bdf.sparkSession, bdf, store_dir,
+                                 epoch_tag=str(batch_id),
+                                 **dedup_kwargs)
+    (verdicts.withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(verdict_dir))
+
+
 def dedup_incremental_sink(stream_df: DataFrame, store_dir: str,
                            verdict_dir: str, **dedup_kwargs):
     """Streaming twin of :func:`dedup.dedup_incremental` via the
-    established foreachBatch pattern: each micro-batch is one EPOCH —
-    its signatures probe the persisted store (plus the batch itself),
-    verdicts land in ``verdict_dir`` tagged with the batch id, and
-    the batch's signatures are appended to the store. The streaming
-    checkpoint makes epoch processing exactly-once, so a restart
-    resumes the signature store where it left off instead of
-    double-appending an epoch.
+    established foreachBatch pattern: each micro-batch is one EPOCH
+    (:func:`dedup_epoch`). foreachBatch gives at-least-once delivery,
+    not exactly-once — end-to-end idempotence comes from the epoch's
+    own writes: both the signature-store append and the verdicts are
+    dynamic-partition overwrites keyed by the batch id, so a restart
+    that replays a micro-batch rewrites that epoch's partitions
+    in place instead of duplicating them.
 
     Same caveat as the batch operator: the store only knows what
     arrived BEFORE a batch, so stream order defines "earlier". When
@@ -332,12 +358,9 @@ def dedup_incremental_sink(stream_df: DataFrame, store_dir: str,
     Returns the DataStreamWriter (caller adds checkpoint/trigger and
     starts it).
     """
-    from html_parser_spark.operators.dedup import dedup_incremental
 
     def _epoch(bdf, batch_id: int) -> None:
-        verdicts = dedup_incremental(bdf.sparkSession, bdf,
-                                     store_dir, **dedup_kwargs)
-        (verdicts.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(verdict_dir))
+        dedup_epoch(bdf, batch_id, store_dir, verdict_dir,
+                    **dedup_kwargs)
 
     return stream_df.writeStream.foreachBatch(_epoch)

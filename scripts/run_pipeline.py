@@ -77,23 +77,34 @@ def main() -> None:
     # once per batch (O(batches x corpus)) and resume could never
     # re-read only the unfinished file groups
     staged_dir = os.path.join(args.output + "_staged")
-    # Restage when the staged tree is missing/unreadable, not only on
-    # an empty checkpoint: a cleaned-up _staged dir (or a reused
-    # checkpoint dir) must trigger a restage, never a read failure.
-    # _SUCCESS is the parquet commit marker — a half-written tree
-    # without it restages too.
-    staged_ok = os.path.exists(os.path.join(staged_dir, "_SUCCESS"))
-    if not staged_ok or \
-            pipeline.completed_batches(spark, args.checkpoint) == set():
-        extracted.write.mode("overwrite") \
-            .partitionBy("batch_id").parquet(staged_dir)
-    staged = spark.read.parquet(staged_dir)
-    n_run = pipeline.run_resumable(spark, staged, args.output,
-                                   args.checkpoint)
-    # all batches committed -> the staged copy has served its purpose;
-    # drop it so a completed run doesn't permanently double storage
-    import shutil
-    shutil.rmtree(staged_dir, ignore_errors=True)
+    done = pipeline.completed_batches(spark, args.checkpoint)
+    if len(done) >= args.batches:
+        # every batch already committed: re-invocations are pure
+        # reads — no restage (the staged tree was dropped when the
+        # run completed), no batch execution
+        n_run = 0
+    else:
+        # Restage when the staged tree is missing/unreadable, not
+        # only on an empty checkpoint: a cleaned-up _staged dir (or
+        # a reused checkpoint dir) must trigger a restage, never a
+        # read failure. _SUCCESS is the parquet commit marker — a
+        # half-written tree without it restages too.
+        staged_ok = os.path.exists(
+            os.path.join(staged_dir, "_SUCCESS"))
+        if not staged_ok or done == set():
+            extracted.write.mode("overwrite") \
+                .partitionBy("batch_id").parquet(staged_dir)
+        staged = spark.read.parquet(staged_dir)
+        n_run = pipeline.run_resumable(spark, staged, args.output,
+                                       args.checkpoint)
+        # drop the staged copy ONLY once every batch has committed
+        # (a completed run must not double storage forever); a
+        # partial run keeps it so resume stays a partition-pruned
+        # read instead of a fresh O(corpus) extract
+        if len(pipeline.completed_batches(
+                spark, args.checkpoint)) >= args.batches:
+            import shutil
+            shutil.rmtree(staged_dir, ignore_errors=True)
 
     lineage = spark.read.parquet(args.checkpoint)
     stats = lineage.agg(

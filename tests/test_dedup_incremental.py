@@ -69,6 +69,34 @@ def test_short_docs_never_band_and_are_kept(spark, tmp_path):
         .count() == 0
 
 
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch (same
+    batch_id, same rows — the crash-between-write-and-checkpoint
+    case) must leave the signature store and verdicts EXACTLY as a
+    single delivery would — no double-appended sigs, no duplicate
+    verdict rows, same keep set (regression: both writes were plain
+    appends)."""
+    from html_parser_spark.streaming.extract_stream import dedup_epoch
+
+    docs = _corpus(spark)
+    store = str(tmp_path / "store")
+    verdicts = str(tmp_path / "verdicts")
+    e0 = docs.filter("doc_id < 6")
+    e1 = docs.filter("doc_id >= 6")
+    dedup_epoch(e0, 0, store, verdicts)
+    # epoch 1 delivered, then REPLAYED (e.g. restart before commit)
+    dedup_epoch(e1, 1, store, verdicts)
+    dedup_epoch(e1, 1, store, verdicts)
+    stored = spark.read.parquet(store)
+    assert stored.count() == 14          # not 22
+    assert {r.doc_id for r in stored.select("doc_id").collect()} \
+        == set(range(14))
+    out = spark.read.parquet(verdicts)
+    assert out.count() == 14             # one verdict per doc
+    got = {r.doc_id: r.kept for r in out.collect()}
+    assert got == _from_scratch_kept(docs)
+
+
 def test_streaming_twin_matches_from_scratch(spark, tmp_path):
     """foreachBatch twin: two files delivered as two ordered
     micro-batches reproduce the from-scratch keep set, and the

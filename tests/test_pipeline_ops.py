@@ -1928,8 +1928,12 @@ def test_pdf_page_order_follows_kids_not_object_ids():
 
 def test_pdf_nested_page_tree_and_contents_array():
     """Intermediate /Pages nodes walk in order; a /Contents ARRAY's
-    streams concatenate into one logical stream (§7.8.2); orphan
-    streams not referenced by any page are excluded."""
+    streams concatenate into ONE logical stream (§7.8.2) and run
+    through the operator machine once per page — so each part's own
+    BT starts a new text object exactly as it would if the same
+    content sat in a single stream (the layout must not depend on
+    how a writer split the stream); orphan streams not referenced by
+    any page are excluded."""
     from html_parser_spark.operators.pdf import extract_pdf_text_bytes
 
     doc = _pdf_from_objs({
@@ -1945,7 +1949,7 @@ def test_pdf_nested_page_tree_and_contents_array():
         8: _stream_obj(b"C!"),
         99: _stream_obj(b"orphan"),
     })
-    assert extract_pdf_text_bytes(doc) == (3, "A-A-tail\nB!\nC!")
+    assert extract_pdf_text_bytes(doc) == (3, "A-\nA-tail\nB!\nC!")
 
 
 def test_pdf_contents_indirect_array_and_last_catalog_wins():
@@ -1965,8 +1969,10 @@ def test_pdf_contents_indirect_array_and_last_catalog_wins():
         6: _stream_obj(b"part one "),
         7: _stream_obj(b"part two"),
     })
+    # each part carries its own BT: a new text object starts a new
+    # line exactly as it would inside a single stream
     assert extract_pdf_text_bytes(indirect_array) == \
-        (1, "part one part two")
+        (1, "part one \npart two")
 
     updated = _pdf_from_objs({
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -1980,6 +1986,99 @@ def test_pdf_contents_indirect_array_and_last_catalog_wins():
         28: _stream_obj(b"appended"),
     })
     assert extract_pdf_text_bytes(updated) == (2, "stale\nappended")
+
+
+def test_pdf_font_state_persists_across_contents_parts():
+    """A /Contents array is ONE logical stream (§7.8.2): a Tf in one
+    part governs show-strings in a later part, so 2-byte CID codes
+    after the split decode through the font set before it
+    (regression: each part ran its own operator machine, resetting
+    cur_cmap to None and emitting raw latin-1 bytes with NULs)."""
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    cmap = (b"begincmap\nbeginbfchar\n<0043> <0043>\n<0049> <0049>\n"
+            b"endbfchar\nendcmap")
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents [4 0 R 5 0 R] /Resources "
+           b"<< /Font << /F9 6 0 R >> >> >>",
+        4: _stream_obj_raw(b"BT /F9 12 Tf"),
+        5: _stream_obj_raw(b"<00430049> Tj ET"),
+        6: b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>",
+        7: _stream_obj_raw(cmap),
+    })
+    assert extract_pdf_text_bytes(doc) == (1, "CI")
+
+
+def test_pdf_stale_packed_catalog_loses_to_newer_direct():
+    """Catalog selection is last-in-FILE-order: a stale catalog
+    packed in an early ObjStm must lose to a revised direct catalog
+    appended later under a NEW object id (regression: ObjStm
+    expansion appended packed objects after every direct object in
+    dict-iteration order, so the stale packed catalog won)."""
+    import zlib
+
+    from html_parser_spark.operators.pdf import extract_pdf_text_bytes
+
+    inner = b"1 0\n<< /Type /Catalog /Pages 2 0 R >>"
+    z = zlib.compress(inner)
+    doc = _pdf_from_objs({
+        # original revision: catalog packed in an ObjStm, 1-page tree
+        6: b"<< /Type /ObjStm /N 1 /First 4 /Length "
+           + str(len(z)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + z
+           + b"\nendstream",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"old"),
+        # incremental update: revised DIRECT catalog under a new id
+        25: b"<< /Type /Catalog /Pages 26 0 R >>",
+        26: b"<< /Type /Pages /Kids [3 0 R 27 0 R] /Count 2 >>",
+        27: b"<< /Type /Page /Contents 28 0 R >>",
+        28: _stream_obj(b"new"),
+    })
+    assert extract_pdf_text_bytes(doc) == (2, "old\nnew")
+
+
+def test_pdf_decodeparms_is_per_stage():
+    """/DecodeParms is an array PARALLEL to /Filter (§7.4.1): a
+    predictor attached to the FIRST stage un-applies to that stage's
+    output before the next filter runs (regression: one predictor
+    regex over the whole dict ran once after the entire chain,
+    corrupting the bytes or failing the row-length check)."""
+    import zlib
+
+    from html_parser_spark.operators.pdf import (
+        _apply_filters, _rl_encode, extract_pdf_text_bytes)
+
+    content = b"BT (staged predictor) Tj ET"
+    rl = _rl_encode(content)            # stage-2 input
+    cols = len(rl)                      # one predictor row
+    predicted = b"\x02" + bytes(b & 0xFF for b in rl)  # Up, prev=0
+    enc = zlib.compress(predicted)
+    head = (b"<< /Length " + str(len(enc)).encode()
+            + b" /Filter [ /FlateDecode /RunLengthDecode ]"
+            + b" /DecodeParms [ << /Predictor 12 /Columns "
+            + str(cols).encode() + b" >> null ] >>")
+    assert _apply_filters(enc, head) == content
+
+    doc = _pdf_from_objs({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: head + b"\nstream\n" + enc + b"\nendstream",
+    })
+    assert extract_pdf_text_bytes(doc) == (1, "staged predictor")
+
+    # null-only array and indirect params: unchanged semantics
+    plain = zlib.compress(content)
+    assert _apply_filters(
+        plain, b"<< /Filter [ /FlateDecode ] /DecodeParms [ null ] "
+        b">>") == content
+    assert _apply_filters(
+        plain, b"<< /Filter /FlateDecode /DecodeParms 9 0 R >>") \
+        is None
 
 
 def test_pdf_kids_cycle_guard_and_treeless_fallback():
