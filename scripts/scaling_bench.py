@@ -100,21 +100,28 @@ def main() -> None:
                          "fourN": [r["sec"] for r in bigs]}}
     print(json.dumps(result))
 
+    # APPEND the window to the curated history (every window is kept,
+    # good or bad — the protocol in BENCH/BASELINE.md).  An earlier
+    # version of this script rewrote the file wholesale, which once
+    # destroyed the hand-curated run history; never do that again.
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH — scaling evidence (north rule)
-
-The north rule's two-cluster-size criterion (throughput scaling
-efficiency >= 0.8 from N to 4N executors) cannot use a real cluster
-in this sandbox; per the driver instruction it is evidenced by
-running the identical flagship job (fused tokenize+extract,
-`extract_text` over the wrapped sf0.1 corpus replicated to
-{small['turns']:,} turns) at two parallelism levels in separate JVMs.
-
-Host caveat: the container advertises 32 CPUs but shares the
-physical host (~18 effective cores measured by a multiprocessing
-saturation probe), so N={n_small} vs 4N={n_big} keeps both runs
-inside real capacity.
+    path = f"{REPO}/BENCH/BASELINE.md"
+    header = (
+        "# BENCH — scaling evidence (north rule)\n\n"
+        "The north rule's two-cluster-size criterion (throughput scaling\n"
+        "efficiency >= 0.8 from N to 4N executors) cannot use a real cluster\n"
+        "in this sandbox; per the driver instruction it is evidenced by\n"
+        "running the identical flagship job (fused tokenize+extract,\n"
+        "`extract_text` over the wrapped sf0.1 corpus) at two parallelism\n"
+        "levels in separate JVMs.  Every window is recorded below,\n"
+        "including the contended ones.\n"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    with open(path, "a") as f:
+        f.write(f"""
+## Window: local[{n_small}] vs local[{n_big}] (scaling_bench.py, appended)
 
 | cores | turns | best sec | turns/sec |
 |---|---|---|---|
@@ -122,19 +129,11 @@ inside real capacity.
 | local[{n_big}] | {big['turns']:,} | {big['sec']} | {big['turns_per_sec']:,} |
 
 **Scaling efficiency = ({big['turns_per_sec']:,} / {small['turns_per_sec']:,}) / {n_big / n_small:g}
-= {eff}** (target >= 0.8).
-
-The two arms alternate over {rounds} interleaved trials
+= {eff}** (target >= 0.8). {rounds} interleaved trials per arm
 (all wall seconds — N: {result['trials']['N']},
 4N: {result['trials']['fourN']}); each arm's best trial is reported
 because outside tenants on the shared host only ever bias
 throughput down, never up.
-
-Why it scales: the extraction stage is map-only (no shuffle, no
-cross-row state — see `html_parser_spark/operators/extract.py`), so
-throughput is proportional to cores as long as input splits >> cores;
-the salted repartition in `plans/pipeline.py` keeps that true under
-conv_id skew at the 10^12-turn scale.
 """)
 
 
