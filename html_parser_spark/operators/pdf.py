@@ -37,8 +37,9 @@ What is REAL here (all from the public PDF 1.7 spec, ISO 32000-1):
   U+FFFD, exactly one per code.
 
 What is deployment scope (documented, same pattern as JPEG pixel
-decode): image/codec filters (DCT/JBIG2/CCITT/JPX), the TIFF
-predictor (PNG-family predictors >= 10 ARE decoded, §7.4.4.4), CID
+decode): image/codec filters (DCT/JBIG2/CCITT/JPX), sub-byte TIFF
+differencing (PNG-family predictors >= 10 and the bpc=8 TIFF
+predictor 2 ARE decoded, §7.4.4.3-4), CID
 fonts carrying only a /CIDSystemInfo (no /ToUnicode — needs external
 CMap files), and encrypted PDFs; the operator returns empty text for
 such payloads instead of raising.
@@ -258,6 +259,32 @@ def _png_predictor(data: bytes, head: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _tiff_predictor(data: bytes, head: bytes) -> bytes | None:
+    """Reverse TIFF Predictor 2 (§7.4.4.3, TIFF 6.0 horizontal
+    differencing): rows are Columns samples of Colors components
+    (no per-row filter-type byte, unlike the PNG family); each
+    component adds the previous sample's same component,
+    ``s[i] += s[i - Colors]``. Only BitsPerComponent=8 is decoded —
+    sub-byte differencing (bpc 1/2/4) needs a bit-level walk no
+    mainstream writer emits with Predictor 2, so it stays scope."""
+    def param(key: bytes, default: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(\d+)", head)
+        return int(m.group(1)) if m else default
+
+    cols = param(b"Columns", 1)
+    colors = param(b"Colors", 1)
+    if param(b"BitsPerComponent", 8) != 8:
+        return None
+    rowlen = cols * colors
+    if rowlen <= 0 or len(data) % rowlen:
+        return None
+    out = bytearray(data)
+    for r in range(0, len(out), rowlen):
+        for i in range(colors, rowlen):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _decodeparms_chunks(head: bytes, nfilters: int) -> \
         list[bytes] | None:
     """Per-stage /DecodeParms dict bodies, PARALLEL to the /Filter
@@ -327,8 +354,9 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
     ``/Filter [/FlateDecode /RunLengthDecode] /DecodeParms
     [<< /Predictor 12 /Columns 4 >> null]`` predicts the Flate
     output before RunLength sees it. Returns None when any stage is
-    unsupported or malformed. The TIFF predictor (2) stays
-    deployment scope."""
+    unsupported or malformed. PNG-family predictors (>= 10) and the
+    TIFF predictor (2, bpc=8) are both decoded; sub-byte TIFF
+    differencing stays deployment scope."""
     mf = _FILTER_RE.search(head)
     if not mf:
         # a /Filter key whose value the regex can't read (indirect
@@ -348,12 +376,14 @@ def _apply_filters(data: bytes, head: bytes) -> bytes | None:
             return None
         mp = re.search(rb"/Predictor\s+(\d+)", parm)
         pred = int(mp.group(1)) if mp else 1
-        if pred != 1 and pred < 10:
-            return None  # TIFF predictor 2: scope
-        if pred >= 10:
+        if pred == 2:
+            data = _tiff_predictor(data, parm)
+        elif pred >= 10:
             data = _png_predictor(data, parm)
-            if data is None:
-                return None
+        elif pred != 1:
+            return None  # 3..9 are not predictors (§7.4.4.1)
+        if data is None:
+            return None
     return data
 
 

@@ -1762,12 +1762,30 @@ def test_pdf_filter_chains_and_scope():
     head = (b"<< /Filter /FlateDecode /DecodeParms << /Predictor 12"
             b" /Columns 8 >> >>")
     assert _apply_filters(z, head) == content
-    # the TIFF predictor (2) stays scope; bad row structure degrades
-    assert _apply_filters(
-        z, b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 "
-           b">> >>") is None
     assert _apply_filters(
         zlib.compress(b"xyz"), head) is None  # not row-structured
+    # TIFF Predictor 2 (horizontal differencing, bpc=8): forward-
+    # difference rows of Columns samples x Colors components, decode
+    # through the chain
+    content = b"BT (tiff predictor rows) Tj ET"  # 30 = 5 cols x 3
+    colors, cols = 3, 5
+    rowlen = cols * colors
+    tenc = bytearray(content)
+    for r in range(0, len(tenc), rowlen):
+        for i in range(rowlen - 1, colors - 1, -1):
+            tenc[r + i] = (content[r + i] - content[r + i - colors]) \
+                & 0xFF
+    thead = (b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2"
+             b" /Columns 5 /Colors 3 >> >>")
+    assert _apply_filters(zlib.compress(bytes(tenc)), thead) \
+        == content
+    # sub-byte TIFF differencing stays scope; short data degrades
+    assert _apply_filters(
+        zlib.compress(bytes(tenc)),
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2"
+        b" /Columns 5 /Colors 3 /BitsPerComponent 4 >> >>") is None
+    assert _apply_filters(
+        zlib.compress(b"xyz"), thead) is None  # not row-structured
     assert _apply_filters(raw, b"<< /Filter /DCTDecode >>") is None
     assert _apply_filters(raw, b"<< /Filter 5 0 R >>") is None
     assert _apply_filters(raw, b"<< /Length 18 >>") == raw
