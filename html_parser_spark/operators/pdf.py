@@ -684,10 +684,10 @@ def _synth_pdf(doc_id: int) -> bytes:
     """A complete, valid 3-page PDF 1.4: catalog, page tree, content
     streams exercising Tj/TJ/'/T*/Td/TD/Tm, escape sequences, and hex
     strings; real xref offsets + trailer. Page 2's stream filter
-    ROTATES by doc_id (Flate / ASCII85 / LZW / [AHx RL] chain) so a
-    corpus of fixtures exercises every supported decoder against real
-    bytes while the decoded text — and so the driver oracle — stays
-    closed-form. Page 3 shows CID codes under a /Type0 font whose
+    ROTATES by doc_id (Flate + TIFF-Predictor-2 DecodeParms /
+    ASCII85 / LZW / [AHx RL] chain) so a corpus of fixtures exercises
+    every supported decoder against real bytes while the decoded
+    text — and so the driver oracle — stays closed-form. Page 3 shows CID codes under a /Type0 font whose
     Flate-compressed ToUnicode CMap uses bfchar + both bfrange forms,
     plus one unmapped code (renders U+FFFD)."""
     d = str(doc_id)
@@ -701,7 +701,15 @@ def _synth_pdf(doc_id: int) -> bytes:
     content2 = f"BT 72 720 Td (page two of {d}) Tj ET".encode("latin-1")
     variant = doc_id % 4
     if variant == 0:
-        f2, enc2 = b"/Filter /FlateDecode", zlib.compress(content2)
+        # Flate + TIFF Predictor 2 as one Columns=len row (Colors=1
+        # differencing = successive byte deltas), the length-agnostic
+        # shape — so the fixture corpus also drives the TIFF arm
+        diffed = bytes([content2[0]]) + bytes(
+            (content2[i] - content2[i - 1]) & 0xFF
+            for i in range(1, len(content2)))
+        f2 = (b"/Filter /FlateDecode /DecodeParms << /Predictor 2"
+              b" /Columns " + str(len(content2)).encode() + b" >>")
+        enc2 = zlib.compress(diffed)
     elif variant == 1:
         f2, enc2 = b"/Filter /ASCII85Decode", _a85_encode(content2)
     elif variant == 2:
