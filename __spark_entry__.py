@@ -500,10 +500,12 @@ def _q_minhash_sigs(spark, sf_dir):
 
 def _q_audio_stats(spark, sf_dir):
     """Audio leg of the multimodal column family: complete valid
-    PCM16 WAVs (RIFF chunk walk incl. a junk LIST chunk, word
-    alignment, fmt parse) -> exact integer sample statistics; the
-    oracle recomputes every sample from the closed-form ramp, so the
-    whole container+PCM decode chain is verified numerically.
+    integer-PCM WAVs at the rotating 16/24/8-bit depths (RIFF chunk
+    walk incl. a junk LIST chunk, word alignment, fmt parse) -> exact
+    integer sample statistics; the oracle recomputes every sample
+    from the closed-form ramps (the 8-bit arm's narrower ramp via a
+    CASE), so the whole container+PCM decode chain is verified
+    numerically at every depth.
     (The standalone lsh_pairs row this slot held is still
     driver-verified through ngram_jaccard, dedup_corpus,
     curate_corpus and dedup_incremental, whose oracles all re-derive
@@ -1901,8 +1903,12 @@ def oracle_sql() -> dict[str, str]:
                        256 + (doc_id % 5) * 64 AS nf
                        FROM documents),
             s AS (SELECT doc_id, sample_rate, channels, nf,
-                         ((7*doc_id + 13*i.i + 5*c.c) % 4001) - 2000
-                           AS v
+                         CASE WHEN doc_id % 3 = 2
+                           THEN ((7*doc_id + 13*i.i + 5*c.c) % 201)
+                                - 100
+                           ELSE ((7*doc_id + 13*i.i + 5*c.c) % 4001)
+                                - 2000
+                         END AS v
                   FROM p,
                        LATERAL (SELECT unnest(range(0, nf)) AS i) i,
                        LATERAL (SELECT unnest(range(0, channels))

@@ -8,15 +8,18 @@ programming interface spec and RFC 2361 format registry): the RIFF
 container walk (chunk id + little-endian size, word-aligned — odd
 sizes carry a pad byte), the ``fmt `` chunk (PCM format tag,
 channels, sample rate, block align, bits per sample), unknown-chunk
-skipping (LIST/INFO etc.), and 16-bit little-endian PCM sample
-decode with exact integer statistics per payload: frame count,
-sum of squared samples (the un-rooted RMS numerator — kept integral
-so the SQL oracle matches bit-for-bit), and peak amplitude.
+skipping (LIST/INFO etc.), and integer PCM sample decode at the
+three integer depths real WAVs carry — 8-bit (unsigned, center 128,
+the legacy/telephony shape), 16-bit (CD), and 24-bit (the studio
+norm) little-endian — with exact integer statistics per payload:
+frame count, sum of squared samples (the un-rooted RMS numerator —
+kept integral so the SQL oracle matches bit-for-bit), and peak
+amplitude.
 
 Deployment scope (documented, same pattern as the image decoders):
-non-PCM format tags (float/ALAW/MULAW/extensible), bit depths other
-than 16, and malformed containers return NULL stats, never garbage
-and never a raised exception.
+non-PCM format tags (float/ALAW/MULAW/extensible), 32-bit and
+sub-byte depths, and malformed containers return NULL stats, never
+garbage and never a raised exception.
 
 At 100 TB this is a map-only Arrow stage over a pruned
 (key, payload) projection — no shuffle, the same scale shape as
@@ -48,26 +51,41 @@ AUDIO_STATS_SCHEMA = T.StructType([
 ])
 
 
-def _wav_params(doc_id: int) -> tuple[int, int, int]:
-    """(sample_rate, channels, n_frames) — closed-form, mirrored by
-    the SQL oracle."""
+def _wav_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, n_frames, bits) — closed-form,
+    mirrored by the SQL oracle. Bit depth rotates 16/24/8 by doc_id
+    so the fixture corpus drives every decoded depth."""
     return (8000 + 4000 * (doc_id % 3), 1 + doc_id % 2,
-            256 + (doc_id % 5) * 64)
+            256 + (doc_id % 5) * 64, (16, 24, 8)[doc_id % 3])
+
+
+def _wav_sample(doc_id: int, i: int, c: int, bits: int) -> int:
+    """Deterministic ramp sample; the 8-bit arm uses a narrower ramp
+    that fits the unsigned-byte range (center 128 -> [-100, 100])."""
+    if bits == 8:
+        return ((7 * doc_id + 13 * i + 5 * c) % 201) - 100
+    return ((7 * doc_id + 13 * i + 5 * c) % 4001) - 2000
 
 
 def _synth_wav(doc_id: int) -> bytes:
-    """A COMPLETE valid PCM16 WAV: RIFF header with true sizes,
+    """A COMPLETE valid integer-PCM WAV: RIFF header with true sizes,
     ``fmt ``, a junk LIST chunk (the walk must skip it), and
-    interleaved little-endian samples
-    s(i, c) = ((7*doc_id + 13*i + 5*c) % 4001) - 2000."""
-    rate, ch, nf = _wav_params(doc_id)
+    interleaved little-endian samples from :func:`_wav_sample` at the
+    doc's rotated bit depth (8-bit stored unsigned per the format)."""
+    rate, ch, nf, bits = _wav_params(doc_id)
+    width = bits // 8
     frames = bytearray()
     for i in range(nf):
         for c in range(ch):
-            frames += struct.pack(
-                "<h", ((7 * doc_id + 13 * i + 5 * c) % 4001) - 2000)
-    block = ch * 2
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+            v = _wav_sample(doc_id, i, c, bits)
+            if bits == 8:
+                frames.append(v + 128)
+            else:
+                frames += (v & ((1 << bits) - 1)).to_bytes(
+                    width, "little")
+    block = ch * width
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block,
+                      bits)
     junk = b"INFOjunk metadata the walk must skip!"  # odd length
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"LIST" + struct.pack("<I", len(junk)) + junk
@@ -97,12 +115,13 @@ def synth_wav_audio(df: DataFrame,
 
 def decode_wav_stats_bytes(payload: bytes) -> tuple:
     """(sample_rate, channels, n_frames, sum_sq, peak) or (None,)*5
-    for anything outside PCM16 scope. Never raises."""
+    for anything outside integer-PCM 8/16/24-bit scope. Never
+    raises."""
     try:
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return (None,) * 5
         pos, n = 12, len(payload)
-        rate = ch = None
+        rate = ch = bits = None
         data: bytes | None = None
         while pos + 8 <= n:
             cid = payload[pos:pos + 4]
@@ -115,15 +134,27 @@ def decode_wav_stats_bytes(payload: bytes) -> tuple:
                     return (None,) * 5
                 tag, ch, rate, _, _, bits = struct.unpack(
                     "<HHIIHH", body[:16])
-                if tag != 1 or bits != 16:
-                    return (None,) * 5  # non-PCM16: codec scope
+                if tag != 1 or bits not in (8, 16, 24):
+                    return (None,) * 5  # float/32-bit/etc: scope
             elif cid == b"data":
                 data = body
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if rate is None or ch is None or ch == 0 or data is None:
             return (None,) * 5
-        ns = len(data) // 2
-        samples = struct.unpack(f"<{ns}h", data[:ns * 2])
+        if bits == 16:
+            ns = len(data) // 2
+            samples = struct.unpack(f"<{ns}h", data[:ns * 2])
+        elif bits == 8:
+            # 8-bit WAV PCM is UNSIGNED, center 128 (the format's one
+            # unsigned depth)
+            samples = [b - 128 for b in data]
+        else:  # 24-bit signed little-endian, 3 bytes per sample
+            ns = len(data) // 3
+            samples = []
+            for o in range(0, ns * 3, 3):
+                v = (data[o] | (data[o + 1] << 8)
+                     | (data[o + 2] << 16))
+                samples.append(v - (1 << 24) if v & 0x800000 else v)
         sum_sq = 0
         peak = 0
         for v in samples:
@@ -131,7 +162,7 @@ def decode_wav_stats_bytes(payload: bytes) -> tuple:
             a = -v if v < 0 else v
             if a > peak:
                 peak = a
-        return (rate, ch, ns // ch, sum_sq, peak)
+        return (rate, ch, len(samples) // ch, sum_sq, peak)
     except Exception:
         return (None,) * 5
 

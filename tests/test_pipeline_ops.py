@@ -1330,26 +1330,40 @@ def test_jpeg_decoder_scope_degrades():
 
 
 def test_wav_audio_stats(spark, docs):
-    """WAV/RIFF PCM16 decode: complete fixture WAVs (true chunk
-    sizes, junk LIST chunk, word alignment) -> exact integer sample
-    stats matching the closed-form ramp; scope shapes -> NULLs."""
+    """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
+    depths: complete fixture WAVs (true chunk sizes, junk LIST
+    chunk, word alignment) -> exact integer sample stats matching
+    the closed-form ramps; scope shapes -> NULLs."""
     import struct
 
     from html_parser_spark.operators.audio import (
-        _synth_wav, _wav_params, decode_wav_stats,
+        _synth_wav, _wav_params, _wav_sample, decode_wav_stats,
         decode_wav_stats_bytes, synth_wav_audio)
 
     out = {r.doc_id: r for r in
            decode_wav_stats(synth_wav_audio(docs)).collect()}
+    # doc_ids 0..4 cover every bit depth (16/24/8 by doc_id % 3)
     for d in (0, 1, 2, 3, 4):
-        rate, ch, nf = _wav_params(d)
-        vals = [((7 * d + 13 * i + 5 * c) % 4001) - 2000
+        rate, ch, nf, bits = _wav_params(d)
+        vals = [_wav_sample(d, i, c, bits)
                 for i in range(nf) for c in range(ch)]
         r = out[d]
         assert (r.sample_rate, r.channels, r.n_frames) == (rate, ch,
                                                            nf)
         assert r.sum_sq == sum(v * v for v in vals)
         assert r.peak == max(abs(v) for v in vals)
+    # the 24-bit arm must really sign-extend: a hand-built WAV with
+    # one negative 24-bit sample beyond int16 range
+    neg = -(1 << 20) + 7
+    frames = (neg & 0xFFFFFF).to_bytes(3, "little")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8
+                                   + len(frames) + 1)
+             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", len(frames)) + frames
+             + b"\x00")
+    assert decode_wav_stats_bytes(wav24) == \
+        (8000, 1, 1, neg * neg, -neg)
 
     # scope degradations, never raises
     assert decode_wav_stats_bytes(b"") == (None,) * 5
@@ -1361,6 +1375,10 @@ def test_wav_audio_stats(spark, docs):
     flt = good.replace(struct.pack("<HH", 1, 2),
                        struct.pack("<HH", 3, 2), 1)
     assert decode_wav_stats_bytes(flt) == (None,) * 5
+    # 32-bit integer PCM is scope too (3 % 3 == 0 -> 16-bit fixture)
+    b32 = good.replace(struct.pack("<HH", 4, 16),
+                       struct.pack("<HH", 8, 32), 1)
+    assert decode_wav_stats_bytes(b32) == (None,) * 5
     # NULL payload row flows through like the image decoders
     df = spark.createDataFrame([(1, None)],
                                "doc_id long, payload binary")
