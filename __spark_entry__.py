@@ -1051,26 +1051,33 @@ def _q_main_content(spark, sf_dir):
 
 
 def _q_media_pixels(spark, sf_dir):
-    """Full pixel decode for BOTH dominant web image formats, merged
-    into one variant-tagged row set (fmt = png | jpeg): PNG chunk walk
-    -> zlib -> scanline un-filter, and baseline-JPEG marker walk ->
-    Huffman entropy decode -> dequant -> IDCT -> JFIF YCbCr->RGB
-    (every 5th doc grayscale, every 7th-mod-3 4:2:0-subsampled with
-    interleaved MCUs + nearest-neighbor chroma upsampling). The JPEG fixtures are per-8x8-block
-    constant, which makes the lossy format exactly lossless (DC-only
-    coefficients, unit quant), so the oracle recomputes every channel
-    sum in closed form and the whole decode chain — entropy bits to
-    RGB rounding — is verified numerically."""
+    """Full pixel decode for the THREE dominant web image formats,
+    merged into one variant-tagged row set (fmt = png | jpeg | gif):
+    PNG chunk walk -> zlib -> scanline un-filter; baseline-JPEG
+    marker walk -> Huffman entropy decode -> dequant -> IDCT -> JFIF
+    YCbCr->RGB (every 5th doc grayscale, every 7th-mod-3
+    4:2:0-subsampled with interleaved MCUs + nearest-neighbor chroma
+    upsampling); GIF89a block walk -> GIF-variant LZW (LSB-first,
+    late width change) -> de-interlace (every 4th-mod-1 doc) ->
+    global-or-local palette mapping (every 5th-mod-2 doc local). The
+    JPEG fixtures are per-8x8-block constant, which makes the lossy
+    format exactly lossless (DC-only coefficients, unit quant), so
+    the oracle recomputes every channel sum of all three formats in
+    closed form and each whole decode chain — entropy bits to RGB —
+    is verified numerically."""
     from pyspark.sql import functions as F
 
     from html_parser_spark.operators.media import (
-        decode_image_pixels, synth_jpeg_images, synth_png_images)
+        decode_image_pixels, synth_gif_images, synth_jpeg_images,
+        synth_png_images)
     docs = _docs(spark, sf_dir)
     png = decode_image_pixels(synth_png_images(docs)) \
         .withColumn("fmt", F.lit("png"))
     jpg = decode_image_pixels(synth_jpeg_images(docs)) \
         .withColumn("fmt", F.lit("jpeg"))
-    return png.unionByName(jpg)
+    gif = decode_image_pixels(synth_gif_images(docs)) \
+        .withColumn("fmt", F.lit("gif"))
+    return png.unionByName(jpg).unionByName(gif)
 
 
 def _q_pdf_text(spark, sf_dir):
@@ -2402,6 +2409,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(64 * g) AS BIGINT) AS g_sum,
                    CAST(sum(64 * b) AS BIGINT) AS b_sum,
                    'jpeg' AS fmt
-            FROM jrgb GROUP BY doc_id, w, h""",
+            FROM jrgb GROUP BY doc_id, w, h
+            UNION ALL
+            SELECT doc_id, w AS width, h AS height,
+                   CAST(sum((5 * pi + doc_id) % 256) AS BIGINT)
+                     AS r_sum,
+                   CAST(sum((7 * pi + 2 * doc_id) % 256) AS BIGINT)
+                     AS g_sum,
+                   CAST(sum((11 * pi + 3 * doc_id) % 256) AS BIGINT)
+                     AS b_sum,
+                   'gif' AS fmt
+            FROM (SELECT doc_id, w, h,
+                         (x + 2 * y + doc_id) % 256 AS pi
+                  FROM (SELECT doc_id,
+                               CAST(4 + doc_id % 11 AS INT) AS w,
+                               CAST(4 + doc_id % 6 AS INT) AS h
+                        FROM documents) gd,
+                       LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+                       LATERAL (SELECT unnest(range(0, h)) AS y) ys)
+            GROUP BY doc_id, w, h""",
     }
     return out

@@ -348,6 +348,255 @@ def decode_png_pixels(payload: bytes) -> tuple:
     return (w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
 
 
+# -------------------------------------------------- GIF pixel decode
+#
+# GIF89a decode from the public spec (and the LZW variant it fixes:
+# LSB-first bit packing, variable 3..12-bit codes, clear/EOI, LATE
+# width growth — the opposite bit order and change timing from the
+# PDF LZW in pdf.py). Supported scope: first image frame, global or
+# local color table, interlaced or not; later animation frames and
+# transparency compositing are deployment scope (the stats read the
+# raw first frame).
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW compress (fixture encoder): LSB-first packing,
+    LATE width change (the decoder's table lags the emit stream by
+    one entry, so width grows one code later than PDF's EarlyChange
+    default), clear emitted up front and whenever the table fills."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({bytes([i]): i for i in range(clear)}, eoi + 1,
+                mcs + 1)
+
+    table, next_code, width = fresh()
+    codes: list[tuple[int, int]] = [(clear, width)]
+    prefix = b""
+
+    def bump() -> None:
+        # LATE change: the decoder adds its matching entry one code
+        # later (no add on the first code after clear), so its count
+        # trails this one by exactly 1 — widen when the DECODER's
+        # table hits the boundary, not ours
+        nonlocal next_code, width
+        next_code += 1
+        if next_code - 2 == (1 << width) and width < 12:
+            width += 1
+
+    for ch in indices:
+        cand = prefix + bytes([ch])
+        if cand in table:
+            prefix = cand
+            continue
+        codes.append((table[prefix], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            bump()
+        else:
+            codes.append((clear, width))
+            table, next_code, width = fresh()
+        prefix = bytes([ch])
+    if prefix:
+        codes.append((table[prefix], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray | None:
+    """Inverse of :func:`_gif_lzw_encode` (the real decoder: handles
+    the KwKwK self-reference case and a deferred clear on a full
+    table). Returns None on a corrupt stream."""
+    if not 2 <= mcs <= 8:
+        return None
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code, width = eoi + 1, mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # missing EOI: tolerate (real decoders do)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code, width = eoi + 1, mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and code < next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # code beyond the table: corrupt
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int, interlaced: bool) -> list[int]:
+    """Storage order of image rows (§appendix E: four-pass
+    interlace)."""
+    if not interlaced:
+        return list(range(h))
+    return [y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)]
+
+
+def _synth_gif_full(doc_id: int) -> bytes:
+    """A COMPLETE valid GIF89a with closed-form pixels: 256-entry
+    palette[i] = ((5i+d)%256, (7i+2d)%256, (11i+3d)%256), index at
+    (x, y) = (x + 2y + d) % 256, d = doc_id. Every 4th-mod-1 doc is
+    interlaced, every 5th-mod-2 carries the palette as a LOCAL color
+    table (global otherwise); a graphic-control extension block
+    exercises the extension walk."""
+    d = doc_id
+    w, h = 4 + d % 11, 4 + d % 6
+    interlaced = d % 4 == 1
+    local = d % 5 == 2
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes(((5 * i + d) % 256, (7 * i + 2 * d) % 256,
+                      (11 * i + 3 * d) % 256))
+    indices = bytes((x + 2 * y + d) % 256
+                    for y in _gif_row_order(h, interlaced)
+                    for x in range(w))
+    lzw = _gif_lzw_encode(indices, 8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x77 if local else 0xF7, 0, 0])  # GCT flag + size
+    if not local:
+        out += pal
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x87 if local else 0x00)
+                  | (0x40 if interlaced else 0)])
+    if local:
+        out += pal
+    out += bytes([8])  # LZW min code size
+    for o in range(0, len(lzw), 255):
+        blk = lzw[o:o + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def synth_gif_images(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic fully-decodable GIF fixture blobs (see
+    :func:`_synth_gif_full`) — a SQL oracle can predict every decoded
+    channel sum in closed form."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "payload": [_synth_gif_full(int(k))
+                            for k in pdf[key_col]],
+            })
+
+    return df.select(key_col).mapInPandas(run, schema)
+
+
+def decode_gif_pixels(payload: bytes) -> tuple:
+    """Full stdlib GIF pixel decode (first frame): screen descriptor
+    -> global/local color table -> extension-block walk -> LZW ->
+    de-interlace -> palette mapping -> per-channel sums. Returns
+    (width, height, r_sum, g_sum, b_sum) or (None,)*5 for anything
+    unsupported (never raises)."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return (None,) * 5
+        flags = payload[10]
+        pos = 13
+        gct: bytes | None = None
+        if flags & 0x80:
+            n = 3 * (2 << (flags & 7))
+            gct = payload[pos:pos + n]
+            pos += n
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                return (None,) * 5  # no image frame
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return (None,) * 5  # unknown block: corrupt
+            w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 7))
+                pal = payload[pos:pos + n]
+                pos += n
+            if pal is None or w == 0 or h == 0:
+                return (None,) * 5
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            idx = _gif_lzw_decode(bytes(lzw), mcs)
+            if idx is None or len(idx) < w * h:
+                return (None,) * 5
+            rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+            if iflags & 0x40:
+                ordered: list[bytes | None] = [None] * h
+                for stored, y in enumerate(_gif_row_order(h, True)):
+                    ordered[y] = rows[stored]
+                rows = ordered  # type: ignore[assignment]
+            npal = len(pal) // 3
+            r_sum = g_sum = b_sum = 0
+            for row in rows:
+                for i in row:
+                    if i >= npal:
+                        return (None,) * 5  # index beyond palette
+                    r_sum += pal[3 * i]
+                    g_sum += pal[3 * i + 1]
+                    b_sum += pal[3 * i + 2]
+            return (w, h, r_sum, g_sum, b_sum)
+        return (None,) * 5
+    except Exception:
+        return (None,) * 5
+
+
 # ------------------------------------------------- JPEG pixel decode
 #
 # Baseline-DCT JFIF decode from the public ITU T.81 spec, stdlib +
@@ -841,7 +1090,8 @@ def decode_image_pixels(df: DataFrame, key_col: str = "doc_id",
                         payload_col: str = "payload") -> DataFrame:
     """binary image payloads -> decoded pixel statistics via
     Arrow-batched UDF; one pass, no shuffle; dispatch by signature
-    (PNG chunk decode or baseline-JPEG entropy decode). This is the
+    (PNG chunk decode, baseline-JPEG entropy decode, or GIF LZW +
+    palette decode). This is the
     CPU-bound decode tier of the media pipeline — at 100 TB size
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
     decoded frames fits worker memory (video decode plugs in behind
@@ -853,6 +1103,8 @@ def decode_image_pixels(df: DataFrame, key_col: str = "doc_id",
         b = bytes(p)
         if b[:2] == b"\xff\xd8":
             return decode_jpeg_pixels(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_pixels(b)
         return decode_png_pixels(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1329,6 +1329,56 @@ def test_jpeg_decoder_scope_degrades():
     assert decode_jpeg_pixels(_jpeg_header(32, 16)) == (None,) * 5
 
 
+def test_gif_pixel_decode_full(spark, docs):
+    """Complete GIF decode path: valid fixture GIFs (real GIF-LZW
+    with LSB-first packing + late width change, extension blocks,
+    interlace, global/local palettes) -> per-channel sums matching
+    the closed-form palette+index formulas."""
+    from html_parser_spark.operators import media
+
+    out = {(r.doc_id, r.fmt): r for r in
+           media.decode_image_pixels(
+               media.synth_gif_images(docs))
+           .withColumn("fmt", F.lit("gif")).collect()}
+    # d=1 interlaced (1 % 4), d=2 local palette (2 % 5), d=0 plain
+    for d in (0, 1, 2, 4):
+        w, h = 4 + d % 11, 4 + d % 6
+        r = out[(d, "gif")]
+        pix = [(x + 2 * y + d) % 256
+               for y in range(h) for x in range(w)]
+        assert (r.width, r.height) == (w, h)
+        assert r.r_sum == sum((5 * p + d) % 256 for p in pix)
+        assert r.g_sum == sum((7 * p + 2 * d) % 256 for p in pix)
+        assert r.b_sum == sum((11 * p + 3 * d) % 256 for p in pix)
+
+
+def test_gif_lzw_codec_parity():
+    """The GIF LZW pair stays in sync through width growth 9->12,
+    table-full clears, the KwKwK self-reference, and small
+    alphabets; corrupt streams -> None, never a raise."""
+    import random
+
+    from html_parser_spark.operators.media import (
+        _gif_lzw_decode, _gif_lzw_encode, _synth_gif_full,
+        decode_gif_pixels)
+
+    rng = random.Random(7)
+    incompressible = bytes(rng.randrange(256) for _ in range(30000))
+    assert bytes(_gif_lzw_decode(
+        _gif_lzw_encode(incompressible, 8), 8)) == incompressible
+    compressible = bytes((i * i) % 7 for i in range(200000))
+    assert bytes(_gif_lzw_decode(
+        _gif_lzw_encode(compressible, 8), 8)) == compressible
+    kwkwk = bytes([0, 1, 2, 3] * 500) + bytes([1] * 1000)
+    assert bytes(_gif_lzw_decode(
+        _gif_lzw_encode(kwkwk, 2), 2)) == kwkwk
+    # a code beyond the table is corrupt, not a crash
+    assert _gif_lzw_decode(b"\xff\xff\xff\xff", 2) is None
+    # container degradations
+    assert decode_gif_pixels(b"GIF89a") == (None,) * 5
+    assert decode_gif_pixels(_synth_gif_full(0)[:40]) == (None,) * 5
+
+
 def test_wav_audio_stats(spark, docs):
     """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
     depths: complete fixture WAVs (true chunk sizes, junk LIST
