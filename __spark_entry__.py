@@ -1064,12 +1064,24 @@ def _q_media_pixels(spark, sf_dir):
     format exactly lossless (DC-only coefficients, unit quant), so
     the oracle recomputes every channel sum of all three formats in
     closed form and each whole decode chain — entropy bits to RGB —
-    is verified numerically."""
+    is verified numerically.
+
+    The VIDEO leg rides the same row set: MJPEG-in-MP4 fixtures go
+    through the ISO-BMFF box walk + stsc/stsz/stco sample-table
+    resolution (chunk layout rotating one-chunk / per-frame /
+    multi-run; every 7th-mod-5 doc 64-bit co64), every 2nd frame is
+    pulled from mdat and decoded by the same JPEG path
+    ('mp4:<frame>' rows), and one 'mp4meta:<codec>' row per doc
+    carries the mvhd duration (r_sum, ms) and stsz sample count
+    (g_sum) — so container timing, geometry, codec tag, and the
+    whole frame-sampling walk are all closed-form verified."""
     from pyspark.sql import functions as F
 
     from html_parser_spark.operators.media import (
         decode_image_pixels, synth_gif_images, synth_jpeg_images,
         synth_png_images)
+    from html_parser_spark.operators.video import (
+        sample_video_frames, synth_mp4_videos)
     docs = _docs(spark, sf_dir)
     png = decode_image_pixels(synth_png_images(docs)) \
         .withColumn("fmt", F.lit("png"))
@@ -1077,7 +1089,20 @@ def _q_media_pixels(spark, sf_dir):
         .withColumn("fmt", F.lit("jpeg"))
     gif = decode_image_pixels(synth_gif_images(docs)) \
         .withColumn("fmt", F.lit("gif"))
-    return png.unionByName(jpg).unionByName(gif)
+    vid = sample_video_frames(synth_mp4_videos(docs), every_n=2)
+    mp4f = vid.select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+        F.concat(F.lit("mp4:"),
+                 F.col("frame_idx").cast("string")).alias("fmt"))
+    mp4m = vid.select(
+        "doc_id", "width", "height",
+        F.col("duration_ms").alias("r_sum"),
+        F.col("n_samples").cast("long").alias("g_sum"),
+        F.lit(-1).cast("long").alias("b_sum"),
+        F.concat(F.lit("mp4meta:"), F.col("codec")).alias("fmt")) \
+        .distinct()
+    return png.unionByName(jpg).unionByName(gif) \
+        .unionByName(mp4f).unionByName(mp4m)
 
 
 def _q_pdf_text(spark, sf_dir):
@@ -2427,6 +2452,49 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents) gd,
                        LATERAL (SELECT unnest(range(0, w)) AS x) xs,
                        LATERAL (SELECT unnest(range(0, h)) AS y) ys)
-            GROUP BY doc_id, w, h""",
+            GROUP BY doc_id, w, h
+            UNION ALL
+            SELECT doc_id, w AS width, h AS height,
+                   CAST(sum(64 * r) AS BIGINT) AS r_sum,
+                   CAST(sum(64 * g) AS BIGINT) AS g_sum,
+                   CAST(sum(64 * b) AS BIGINT) AS b_sum,
+                   'mp4:' || CAST(f AS VARCHAR) AS fmt
+            FROM (SELECT doc_id, w, h, f,
+                    GREATEST(0, LEAST(255, CAST(floor(
+                      yv + 1.402*(cr-128) + 0.5) AS BIGINT))) AS r,
+                    GREATEST(0, LEAST(255, CAST(floor(
+                      yv - 0.344136*(cb-128) - 0.714136*(cr-128)
+                      + 0.5) AS BIGINT))) AS g,
+                    GREATEST(0, LEAST(255, CAST(floor(
+                      yv + 1.772*(cb-128) + 0.5) AS BIGINT))) AS b
+                  FROM (SELECT doc_id, w, h, f,
+                          (17*bx + 29*by + doc_id + 41*f) % 256
+                            AS yv,
+                          (23*bx + 31*by + 2*doc_id + 43*f) % 256
+                            AS cb,
+                          (13*bx + 37*by + 3*doc_id + 47*f) % 256
+                            AS cr
+                        FROM (SELECT doc_id,
+                                CAST(8*(1+doc_id%3) AS INT) AS w,
+                                CAST(8*(1+doc_id%2) AS INT) AS h,
+                                3 + doc_id % 5 AS n
+                              FROM documents) vd,
+                             LATERAL (SELECT unnest(range(0, n))
+                                      AS f) fs,
+                             LATERAL (SELECT unnest(range(0, w//8))
+                                      AS bx) bxs,
+                             LATERAL (SELECT unnest(range(0, h//8))
+                                      AS by) bys
+                        WHERE f % 2 = 0))
+            GROUP BY doc_id, w, h, f
+            UNION ALL
+            SELECT doc_id,
+                   CAST(8*(1+doc_id%3) AS INT) AS width,
+                   CAST(8*(1+doc_id%2) AS INT) AS height,
+                   CAST(40*(3+doc_id%5) AS BIGINT) AS r_sum,
+                   CAST(3+doc_id%5 AS BIGINT) AS g_sum,
+                   CAST(-1 AS BIGINT) AS b_sum,
+                   'mp4meta:jpeg' AS fmt
+            FROM documents""",
     }
     return out

@@ -1379,6 +1379,75 @@ def test_gif_lzw_codec_parity():
     assert decode_gif_pixels(_synth_gif_full(0)[:40]) == (None,) * 5
 
 
+def test_mp4_frame_sampling(spark, docs):
+    """The full video path on Spark: MJPEG-in-MP4 fixtures (rotating
+    one-chunk / per-frame / multi-run stsc layouts; doc 5 would be
+    co64 but the docs fixture stops at 4) -> box walk -> sample
+    every 2nd frame -> JPEG decode; sums match the closed-form
+    per-block constants, and the container metadata (duration,
+    sample count, codec) round-trips."""
+    import math
+
+    from html_parser_spark.operators.video import (
+        _frame_consts, sample_video_frames, synth_mp4_videos)
+
+    out = {(r.doc_id, r.frame_idx): r for r in
+           sample_video_frames(synth_mp4_videos(docs),
+                               every_n=2).collect()}
+    for d in range(5):
+        w, h, n = 8 * (1 + d % 3), 8 * (1 + d % 2), 3 + d % 5
+        sampled = list(range(0, n, 2))
+        assert [f for dd, f in sorted(out) if dd == d] == sampled
+        for f in sampled:
+            r = out[(d, f)]
+            assert (r.width, r.height) == (w, h)
+            assert (r.duration_ms, r.n_samples) == (40 * n, n)
+            assert r.codec == "jpeg"
+            R = G = B = 0
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    yv, cb, cr = _frame_consts(d, f, bx, by)
+                    R += 64 * max(0, min(255, math.floor(
+                        yv + 1.402 * (cr - 128) + 0.5)))
+                    G += 64 * max(0, min(255, math.floor(
+                        yv - 0.344136 * (cb - 128)
+                        - 0.714136 * (cr - 128) + 0.5)))
+                    B += 64 * max(0, min(255, math.floor(
+                        yv + 1.772 * (cb - 128) + 0.5)))
+            assert (r.r_sum, r.g_sum, r.b_sum) == (R, G, B)
+
+
+def test_mp4_parse_degrades():
+    """Box-walk robustness: co64 offsets parse (doc 5 and 12 are the
+    7th-mod-5 rotation), every_n=1 samples everything, and corrupt
+    containers -> None / no rows, never a raise."""
+    from html_parser_spark.operators.video import (
+        _synth_mp4_full, parse_mp4)
+
+    for d in (5, 12):
+        m = parse_mp4(_synth_mp4_full(d))
+        assert m is not None and m["n_samples"] == 3 + d % 5
+        assert all(o > 0 for o in m["offsets"])
+    assert parse_mp4(b"") is None
+    assert parse_mp4(b"\x00" * 64) is None
+    assert parse_mp4(_synth_mp4_full(0)[:60]) is None
+    # truncated mid-moov (inside the sample table): the size check
+    # stops the walk cleanly and the table is incomplete -> None
+    full = _synth_mp4_full(1)
+    assert parse_mp4(full[:200]) is None
+    # truncated mid-MDAT still parses (metadata is complete); the
+    # missing frames degrade at the decode stage, not here
+    assert parse_mp4(full[: len(full) // 2]) is not None
+    # a sample table whose stsz disagrees with stsc coverage is
+    # inconsistent, not an index error
+    import struct
+
+    bad = bytearray(full)
+    i = bad.find(b"stsz")
+    struct.pack_into(">I", bad, i + 12, 99)  # claim 99 samples
+    assert parse_mp4(bytes(bad)) is None
+
+
 def test_wav_audio_stats(spark, docs):
     """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
     depths: complete fixture WAVs (true chunk sizes, junk LIST
