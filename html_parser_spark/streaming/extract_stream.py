@@ -123,6 +123,15 @@ def media_meta_stream(stream_df: DataFrame, **kw) -> DataFrame:
     return decode_image_meta(stream_df, **kw)
 
 
+def video_frames_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """MP4 frame sampling over a stream of binary payloads — the
+    batch box-walk + per-frame JPEG decode verbatim (stateless
+    Arrow map, append mode): a live video-ingest feed samples
+    frames with the same code path the batch backfill uses."""
+    from html_parser_spark.operators.video import sample_video_frames
+    return sample_video_frames(stream_df, **kw)
+
+
 def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
                          text_col: str = "text",
                          eval_text_col: str = "text",

@@ -661,3 +661,34 @@ def test_pdf_and_media_stream_match_batch(spark, tmp_path):
                        decode_image_meta(synth_image_payloads(docs))
                        .collect()))
     assert got_i == exp_i and len(got_i) == 6
+
+
+def test_video_frames_stream_matches_batch(spark, tmp_path):
+    """Stream==batch parity for MP4 frame sampling: the box walk +
+    per-frame JPEG decode runs verbatim over a stream of binary
+    payloads (stateless Arrow map, append mode)."""
+    from html_parser_spark.operators.video import (
+        sample_video_frames, synth_mp4_videos)
+    from html_parser_spark.streaming import extract_stream as es
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i}") for i in range(6)],
+        "doc_id long, text string")
+    src = str(tmp_path / "mp4_src")
+    synth_mp4_videos(docs).write.parquet(src)
+
+    q = (es.video_frames_stream(
+            spark.readStream.schema("doc_id long, payload binary")
+            .parquet(src), every_n=2)
+         .writeStream.format("memory").queryName("vid_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM vid_stream").collect()))
+    exp = sorted(map(tuple,
+                     sample_video_frames(synth_mp4_videos(docs),
+                                         every_n=2).collect()))
+    assert got == exp
+    # 6 docs x ceil(n_frames/2) sampled frames, n = 3 + d % 5
+    assert len(got) == sum(-(-(3 + d % 5) // 2) for d in range(6))
