@@ -962,7 +962,13 @@ def _q_media_meta(spark, sf_dir):
     frame sampling (variant='frame': k=frame_idx, s=frame_hash,
     w=h=-1). The oracle recomputes the embedded dims and the frame
     hashes in closed form, so both byte-level paths are verified
-    against real bytes.
+    against real bytes. A third arm (variant='caption') extracts
+    the tx3g timed-text track from the MP4 fixtures — the
+    multi-track box walk, the caption track's own stbl resolution,
+    the stts seek expansion (k=cap_idx, s=text, w=start_ms,
+    h=end_ms) — this is how a video corpus becomes training TEXT,
+    and the oracle re-derives every caption string and its timing
+    in closed form.
 
     Documented dependency: the engine counts UTF-8 BYTES (payloads
     are text.encode()) while DuckDB's length/substr count CHARS —
@@ -987,7 +993,15 @@ def _q_media_meta(spark, sf_dir):
         F.col("frame_hash").alias("s"),
         F.lit(-1).cast("int").alias("w"),
         F.lit(-1).cast("int").alias("h"))
-    return meta.unionByName(frames)
+    from html_parser_spark.operators.video import (
+        extract_video_captions, synth_mp4_videos)
+    caps = extract_video_captions(synth_mp4_videos(docs)).select(
+        F.lit("caption").alias("variant"), "doc_id",
+        F.col("cap_idx").alias("k"),
+        F.col("text").alias("s"),
+        F.col("start_ms").cast("int").alias("w"),
+        F.col("end_ms").cast("int").alias("h"))
+    return meta.unionByName(frames).unionByName(caps)
 
 
 #: planted page layout for the boilerplate-removal heuristics: short
@@ -2344,6 +2358,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          unnest(range(0, CAST(ceil(length(text)/64.0)
                                                AS BIGINT))) AS i
+                  FROM documents)
+            UNION ALL
+            SELECT 'caption', doc_id, CAST(f AS INTEGER),
+                   'caption ' || CAST(f AS VARCHAR) || ' of video '
+                     || CAST(doc_id AS VARCHAR),
+                   CAST(40 * f AS INTEGER),
+                   CAST(40 * (f + 1) AS INTEGER)
+            FROM (SELECT doc_id,
+                         unnest(range(0, 1 + doc_id % 3)) AS f
                   FROM documents)""",
         "render_conv": f"""
             WITH t AS (

@@ -38,6 +38,7 @@ from html_parser_spark.operators.media import (
 
 __all__ = [
     "parse_mp4", "synth_mp4_videos", "sample_video_frames",
+    "extract_video_captions",
 ]
 
 
@@ -99,18 +100,78 @@ def _mp4_layout(doc_id: int) -> tuple[int, int, int, list[int]]:
     return w, h, n, spc
 
 
+def _caption_text(doc_id: int, f: int) -> str:
+    """Closed-form caption text — mirrored verbatim by the SQL
+    oracle."""
+    return f"caption {f} of video {doc_id}"
+
+
+def _trak(track_id: int, duration: int, w: int, h: int,
+          handler: bytes, codec_entry: bytes, stts_runs: bytes,
+          spc: list[int], sizes: list[int], co: bytes) -> bytes:
+    """One complete trak box (tkhd + mdia > mdhd/hdlr/minf > stbl);
+    ``co`` is the pre-built stco/co64 box (offsets are absolute, so
+    the caller lays out the file first)."""
+    tkhd = _full(b"tkhd", 0, struct.pack(
+        ">IIIII", 0, 0, track_id, 0, duration)
+        + struct.pack(">QHHHH", 0, 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", w << 16, h << 16))
+    mdhd = _full(b"mdhd", 0, struct.pack(
+        ">IIIIHH", 0, 0, _TIMESCALE, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + handler
+                 + b"\x00" * 12 + b"mod\x00")
+    stsd = _full(b"stsd", 0, struct.pack(">I", 1) + codec_entry)
+    stts = _full(b"stts", 0, stts_runs)
+    runs: list[tuple[int, int]] = []  # (first_chunk, spc), deduped
+    for i, c in enumerate(spc):
+        if not runs or runs[-1][1] != c:
+            runs.append((i + 1, c))
+    stsc = _full(b"stsc", 0, struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", fc, c, 1) for fc, c in runs))
+    stsz = _full(b"stsz", 0, struct.pack(">II", 0, len(sizes))
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    minf = _box(b"minf", _box(b"vmhd", b"\x00" * 12)
+                + _box(b"stbl", stsd + stts + stsc + stsz + co))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def _co_box(use_co64: bool, offs: list[int]) -> bytes:
+    fmt, four = (">Q", b"co64") if use_co64 else (">I", b"stco")
+    return _full(four, 0, struct.pack(">I", len(offs))
+                 + b"".join(struct.pack(fmt, o) for o in offs))
+
+
+def _chunk_offsets(base: int, sizes: list[int],
+                   spc: list[int]) -> list[int]:
+    offs, pos, si = [], base, 0
+    for c in spc:
+        offs.append(pos)
+        pos += sum(sizes[si:si + c])
+        si += c
+    return offs
+
+
 def _synth_mp4_full(doc_id: int) -> bytes:
-    """A COMPLETE valid progressive MP4: ftyp + moov (mvhd, trak >
-    tkhd/mdia > mdhd/hdlr/minf > stbl with stsd('jpeg'), stts, stsc,
-    stsz, stco-or-co64) + mdat of concatenated MJPEG frames. Every
-    7th-mod-5 doc writes 64-bit co64 offsets instead of stco. All
-    offsets are absolute file offsets (real ISO-BMFF semantics), so
-    the builder lays out moov first and back-computes."""
+    """A COMPLETE valid progressive two-track MP4: ftyp + moov
+    (mvhd; a 'vide' trak whose stbl indexes MJPEG frames; a 'text'
+    trak whose tx3g samples are length-prefixed UTF-8 captions) +
+    one shared mdat (frames then captions). Every 7th-mod-5 doc
+    writes 64-bit co64 offsets for the video track. All offsets are
+    absolute file offsets (real ISO-BMFF semantics), so the builder
+    lays out moov with blank offset boxes first and back-computes."""
     w, h, n, spc = _mp4_layout(doc_id)
     frames = [_synth_frame(doc_id, f, w, h) for f in range(n)]
     sizes = [len(fr) for fr in frames]
     duration = n * _FRAME_DUR
     use_co64 = doc_id % 7 == 5
+
+    n_caps = 1 + doc_id % 3  # <= 3 <= n: captions fit the movie
+    caps = [_caption_text(doc_id, f).encode() for f in range(n_caps)]
+    cap_samples = [struct.pack(">H", len(c)) + c for c in caps]
+    cap_sizes = [len(s) for s in cap_samples]
 
     mvhd = _full(b"mvhd", 0, struct.pack(
         ">IIII", 0, 0, _TIMESCALE, duration)
@@ -118,64 +179,39 @@ def _synth_mp4_full(doc_id: int) -> bytes:
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                       0x40000000)
         + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
-        + struct.pack(">I", 2))
-    tkhd = _full(b"tkhd", 0, struct.pack(
-        ">IIIII", 0, 0, 1, 0, duration)
-        + struct.pack(">QHHHH", 0, 0, 0, 0, 0)
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
-                      0x40000000)
-        + struct.pack(">II", w << 16, h << 16))
-    mdhd = _full(b"mdhd", 0, struct.pack(
-        ">IIIIHH", 0, 0, _TIMESCALE, duration, 0x55C4, 0))
-    hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
-                 + b"\x00" * 12 + b"mjpeg\x00")
-    entry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
-             + struct.pack(">H", 1) + b"\x00" * 16
-             + struct.pack(">HH", w, h)
-             + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
-             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
-    stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
-    stts = _full(b"stts", 0, struct.pack(">III", 1, n, _FRAME_DUR))
-    runs: list[tuple[int, int]] = []  # (first_chunk, spc), deduped
-    for i, c in enumerate(spc):
-        if not runs or runs[-1][1] != c:
-            runs.append((i + 1, c))
-    stsc = _full(b"stsc", 0, struct.pack(">I", len(runs)) + b"".join(
-        struct.pack(">III", fc, c, 1) for fc, c in runs))
-    stsz = _full(b"stsz", 0, struct.pack(">II", 0, n)
-                 + b"".join(struct.pack(">I", s) for s in sizes))
+        + struct.pack(">I", 3))
+    ventry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+              + struct.pack(">H", 1) + b"\x00" * 16
+              + struct.pack(">HH", w, h)
+              + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+              + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    tentry = (struct.pack(">I", 46) + b"tx3g" + b"\x00" * 6
+              + struct.pack(">H", 1) + struct.pack(">I", 0)
+              + b"\x00\x00" + b"\x00" * 4 + b"\x00" * 8
+              + b"\x00" * 4 + struct.pack(">HBB", 1, 0, 12)
+              + b"\xff\xff\xff\xff")
 
-    # chunk offsets are absolute: lay out with a placeholder stco of
-    # the right size, then fill (box sizes don't depend on values)
-    def stbl_with(co: bytes) -> bytes:
-        return _box(b"stbl", stsd + stts + stsc + stsz + co)
-
-    n_chunks = len(spc)
-    co_fmt, co_four = (">Q", b"co64") if use_co64 else (">I", b"stco")
-    co_blank = _full(co_four, 0, struct.pack(">I", n_chunks)
-                     + b"\x00" * (8 if use_co64 else 4) * n_chunks)
-
-    def moov_with(co: bytes) -> bytes:
-        minf = _box(b"minf", _box(b"vmhd", b"\x00" * 12)
-                    + stbl_with(co))
-        mdia = _box(b"mdia", mdhd + hdlr + minf)
-        trak = _box(b"trak", tkhd + mdia)
-        return _box(b"moov", mvhd + trak)
+    def moov_with(vco: bytes, cco: bytes) -> bytes:
+        vtrak = _trak(1, duration, w, h, b"vide", ventry,
+                      struct.pack(">III", 1, n, _FRAME_DUR),
+                      spc, sizes, vco)
+        ttrak = _trak(2, n_caps * _FRAME_DUR, 0, 0, b"text", tentry,
+                      struct.pack(">III", 1, n_caps, _FRAME_DUR),
+                      [n_caps], cap_sizes, cco)
+        return _box(b"moov", mvhd + vtrak + ttrak)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
                 + b"isommp41")
-    head_len = len(ftyp) + len(moov_with(co_blank)) + 8  # + mdat hdr
-    offs: list[int] = []
-    pos = head_len
-    si = 0
-    for c in spc:
-        offs.append(pos)
-        pos += sum(sizes[si:si + c])
-        si += c
-    co = _full(co_four, 0, struct.pack(">I", n_chunks)
-               + b"".join(struct.pack(co_fmt, o) for o in offs))
-    mdat = _box(b"mdat", b"".join(frames))
-    return ftyp + moov_with(co) + mdat
+    vco_blank = _co_box(use_co64, [0] * len(spc))
+    cco_blank = _co_box(False, [0])
+    head_len = (len(ftyp) + len(moov_with(vco_blank, cco_blank))
+                + 8)  # + mdat header
+    voffs = _chunk_offsets(head_len, sizes, spc)
+    coffs = _chunk_offsets(head_len + sum(sizes), cap_sizes,
+                           [n_caps])
+    mdat = _box(b"mdat", b"".join(frames) + b"".join(cap_samples))
+    return (ftyp + moov_with(_co_box(use_co64, voffs),
+                             _co_box(False, coffs)) + mdat)
 
 
 def synth_mp4_videos(df: DataFrame,
@@ -226,6 +262,127 @@ def _walk_boxes(buf: bytes, pos: int,
 _CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
 
 
+def _resolve_offsets(sizes: list[int], chunks: list[int],
+                     runs: list[tuple[int, int, int]]) -> list[int] | None:
+    """stsc chunk-run expansion: run i covers chunks first_i ..
+    first_{i+1}-1; samples are assigned to chunks in order and each
+    sample's absolute offset is its chunk offset plus the sizes of
+    the samples before it IN THAT CHUNK. None if the table doesn't
+    cover exactly len(sizes) samples."""
+    per_chunk: list[int] = []
+    for i, (first, spc, _desc) in enumerate(runs):
+        last = (runs[i + 1][0] - 1 if i + 1 < len(runs)
+                else len(chunks))
+        per_chunk += [spc] * (last - first + 1)
+    offsets: list[int] = []
+    si = 0
+    for ci, spc in enumerate(per_chunk):
+        if ci >= len(chunks):
+            return None
+        pos = chunks[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    return offsets if si == len(sizes) else None
+
+
+def _parse_tracks(payload: bytes) -> dict | None:
+    """ISO-BMFF walk -> {timescale, duration, tracks: [...]} with
+    every trak's geometry, handler, stsd codec, and RESOLVED sample
+    table (absolute offsets + per-sample start times in the track's
+    own mdhd timescale, from the stts run expansion). Returns None
+    for anything corrupt or non-MP4 (never raises from callers'
+    point of view — they wrap)."""
+    tops = list(_walk_boxes(payload, 0, len(payload)))
+    if not tops or tops[0][0] != b"ftyp":
+        return None
+    movie: dict = {"tracks": []}
+
+    def descend(pos: int, end: int, tk: dict | None) -> None:
+        for four, b, e in _walk_boxes(payload, pos, end):
+            if four == b"mvhd":
+                v = payload[b]
+                if v == 1:
+                    ts, du = struct.unpack(
+                        ">IQ", payload[b + 20:b + 32])
+                else:
+                    ts, du = struct.unpack(
+                        ">II", payload[b + 12:b + 20])
+                movie["timescale"], movie["duration"] = ts, du
+            elif four == b"trak":
+                tk = {}
+                movie["tracks"].append(tk)
+                descend(b, e, tk)
+            elif tk is None:
+                continue
+            elif four == b"tkhd":
+                wq, hq = struct.unpack(">II", payload[e - 8:e])
+                tk["width"], tk["height"] = wq >> 16, hq >> 16
+            elif four == b"mdhd":
+                v = payload[b]
+                tk["media_timescale"] = struct.unpack(
+                    ">I", payload[b + 20:b + 24] if v == 1
+                    else payload[b + 12:b + 16])[0]
+            elif four == b"hdlr":
+                tk["handler"] = payload[b + 8:b + 12] \
+                    .decode("latin-1")
+            elif four == b"stsd":
+                tk["codec"] = payload[b + 12:b + 16] \
+                    .decode("latin-1")
+            elif four == b"stts":
+                cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
+                tk["stts"] = [struct.unpack(
+                    ">II", payload[b + 8 + 8 * i:b + 16 + 8 * i])
+                    for i in range(cnt)]
+            elif four == b"stsz":
+                fixed, cnt = struct.unpack(
+                    ">II", payload[b + 4:b + 12])
+                tk["sizes"] = ([fixed] * cnt if fixed else list(
+                    struct.unpack(f">{cnt}I",
+                                  payload[b + 12:b + 12 + 4 * cnt])))
+            elif four == b"stsc":
+                cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
+                tk["stsc"] = [struct.unpack(
+                    ">III", payload[b + 8 + 12 * i:b + 20 + 12 * i])
+                    for i in range(cnt)]
+            elif four in (b"stco", b"co64"):
+                cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
+                wd, fmt = (8, ">Q") if four == b"co64" else (4, ">I")
+                tk["chunk_offsets"] = [struct.unpack(
+                    fmt, payload[b + 8 + wd * i:b + 8 + wd * (i + 1)]
+                )[0] for i in range(cnt)]
+            elif four in _CONTAINERS:
+                descend(b, e, tk)
+
+    for four, b, e in tops:
+        if four == b"moov":
+            descend(b, e, None)
+    good = []
+    for tk in movie["tracks"]:
+        if not {"sizes", "chunk_offsets", "stsc"} <= tk.keys():
+            continue
+        offs = _resolve_offsets(tk["sizes"], tk["chunk_offsets"],
+                                tk["stsc"])
+        if offs is None:
+            continue
+        tk["offsets"] = offs
+        # per-sample start times + durations from the stts runs
+        # (same expansion real players use for seek tables)
+        starts, durs, t = [], [], 0
+        for cnt, delta in tk.get("stts", []):
+            for _ in range(cnt):
+                starts.append(t)
+                durs.append(delta)
+                t += delta
+        tk["starts"], tk["durations"] = starts, durs
+        good.append(tk)
+    movie["tracks"] = good
+    return movie if good else None
+
+
 def parse_mp4(payload: bytes) -> dict | None:
     """ISO-BMFF walk -> {timescale, duration, width, height, codec,
     sizes, offsets, n_samples} for the FIRST video track, resolving
@@ -233,91 +390,20 @@ def parse_mp4(payload: bytes) -> dict | None:
     sample. Returns None for anything corrupt or non-MP4 (never
     raises)."""
     try:
-        tops = list(_walk_boxes(payload, 0, len(payload)))
-        if not tops or tops[0][0] != b"ftyp":
+        movie = _parse_tracks(payload)
+        if movie is None:
             return None
-        out: dict = {}
-        st: dict = {}
-
-        def descend(pos: int, end: int, in_video: bool) -> None:
-            for four, b, e in _walk_boxes(payload, pos, end):
-                if four == b"mvhd":
-                    v = payload[b]
-                    if v == 1:
-                        ts, du = struct.unpack(
-                            ">IQ", payload[b + 20:b + 32])
-                    else:
-                        ts, du = struct.unpack(
-                            ">II", payload[b + 12:b + 20])
-                    out["timescale"], out["duration"] = ts, du
-                elif four == b"tkhd":
-                    wq, hq = struct.unpack(">II", payload[e - 8:e])
-                    st["width"], st["height"] = wq >> 16, hq >> 16
-                elif four == b"hdlr":
-                    in_video = payload[b + 8:b + 12] == b"vide"
-                    st["is_video"] = in_video
-                elif four == b"stsd" and in_video:
-                    st["codec"] = payload[b + 12:b + 16] \
-                        .decode("latin-1")
-                elif four == b"stsz" and in_video:
-                    fixed, cnt = struct.unpack(
-                        ">II", payload[b + 4:b + 12])
-                    st["sizes"] = ([fixed] * cnt if fixed else list(
-                        struct.unpack(f">{cnt}I",
-                                      payload[b + 12:b + 12 + 4 * cnt])))
-                elif four == b"stsc" and in_video:
-                    cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
-                    st["stsc"] = [struct.unpack(
-                        ">III", payload[b + 8 + 12 * i:b + 20 + 12 * i])
-                        for i in range(cnt)]
-                elif four in (b"stco", b"co64") and in_video:
-                    cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
-                    wd, fmt = (8, ">Q") if four == b"co64" else (4, ">I")
-                    st["chunk_offsets"] = [struct.unpack(
-                        fmt, payload[b + 8 + wd * i:b + 8 + wd * (i + 1)]
-                    )[0] for i in range(cnt)]
-                elif four in _CONTAINERS:
-                    # a second (non-video) trak must not clobber a
-                    # found video track
-                    if four == b"trak" and st.get("is_video"):
-                        continue
-                    if four == b"trak":
-                        st.clear()
-                    descend(b, e, in_video)
-
-        for four, b, e in tops:
-            if four == b"moov":
-                descend(b, e, False)
-        if not st.get("is_video") or "sizes" not in st \
-                or "chunk_offsets" not in st or "stsc" not in st:
+        vid = next((tk for tk in movie["tracks"]
+                    if tk.get("handler") == "vide"), None)
+        if vid is None:
             return None
-        # expand stsc runs: run i covers chunks first_i .. first_{i+1}-1
-        sizes, chunks, runs = (st["sizes"], st["chunk_offsets"],
-                               st["stsc"])
-        per_chunk: list[int] = []
-        for i, (first, spc, _desc) in enumerate(runs):
-            last = (runs[i + 1][0] - 1 if i + 1 < len(runs)
-                    else len(chunks))
-            per_chunk += [spc] * (last - first + 1)
-        offsets: list[int] = []
-        si = 0
-        for ci, spc in enumerate(per_chunk):
-            pos = chunks[ci]
-            for _ in range(spc):
-                if si >= len(sizes):
-                    break
-                offsets.append(pos)
-                pos += sizes[si]
-                si += 1
-        if si != len(sizes):
-            return None  # sample table inconsistent
-        return {"timescale": out.get("timescale", 0),
-                "duration": out.get("duration", 0),
-                "width": st.get("width", 0),
-                "height": st.get("height", 0),
-                "codec": st.get("codec", ""),
-                "sizes": sizes, "offsets": offsets,
-                "n_samples": len(sizes)}
+        return {"timescale": movie.get("timescale", 0),
+                "duration": movie.get("duration", 0),
+                "width": vid.get("width", 0),
+                "height": vid.get("height", 0),
+                "codec": vid.get("codec", ""),
+                "sizes": vid["sizes"], "offsets": vid["offsets"],
+                "n_samples": len(vid["sizes"])}
     except Exception:
         return None
 
@@ -372,3 +458,69 @@ def sample_video_frames(df: DataFrame, every_n: int = 2,
 
     return df.select(key_col, payload_col).mapInPandas(
         run, _FRAME_SCHEMA)
+
+
+_CAPTION_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("cap_idx", T.IntegerType()),
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("end_ms", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+_TEXT_HANDLERS = frozenset(("text", "sbtl", "subt"))
+
+
+def extract_video_captions(df: DataFrame,
+                           key_col: str = "doc_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """binary MP4 payloads -> one row per caption sample of the
+    first timed-text track ('text'/'sbtl'/'subt' handler, tx3g-style
+    2-byte-length-prefixed UTF-8 samples): (cap_idx, start_ms,
+    end_ms from the stts seek expansion, text). This is how a video
+    corpus becomes TRAINING TEXT — the extracted captions feed the
+    same quality/lang/dedup funnel as any document column. One Arrow
+    map stage, no shuffle; tracks or samples that don't parse yield
+    no rows (never a crash)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                b = bytes(p)
+                try:
+                    movie = _parse_tracks(b)
+                except Exception:
+                    movie = None
+                if movie is None:
+                    continue
+                tk = next((t for t in movie["tracks"]
+                           if t.get("handler") in _TEXT_HANDLERS),
+                          None)
+                if tk is None:
+                    continue
+                ts = tk.get("media_timescale") or 1
+                starts, durs = tk["starts"], tk["durations"]
+                for i, (off, sz) in enumerate(
+                        zip(tk["offsets"], tk["sizes"])):
+                    if sz < 2 or off + sz > len(b):
+                        continue
+                    tlen = struct.unpack(">H", b[off:off + 2])[0]
+                    if tlen > sz - 2:
+                        continue
+                    try:
+                        txt = b[off + 2:off + 2 + tlen] \
+                            .decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                    if i < len(starts):
+                        s_ms = starts[i] * 1000 // ts
+                        e_ms = (starts[i] + durs[i]) * 1000 // ts
+                    else:  # no stts coverage: position unknown
+                        s_ms = e_ms = 0
+                    rows.append((int(k), i, s_ms, e_ms, txt))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _CAPTION_SCHEMA])
+
+    return df.select(key_col, payload_col).mapInPandas(
+        run, _CAPTION_SCHEMA)

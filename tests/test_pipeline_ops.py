@@ -1448,6 +1448,50 @@ def test_mp4_parse_degrades():
     assert parse_mp4(bytes(bad)) is None
 
 
+def test_mp4_caption_extraction(spark, docs):
+    """The timed-text leg: the multi-track walk finds the tx3g
+    track alongside the video track, resolves ITS sample table, and
+    reads every length-prefixed caption with stts-derived timing."""
+    from html_parser_spark.operators.video import (
+        extract_video_captions, synth_mp4_videos)
+
+    out = {(r.doc_id, r.cap_idx): r for r in
+           extract_video_captions(synth_mp4_videos(docs)).collect()}
+    for d in range(5):
+        n_caps = 1 + d % 3
+        assert [c for dd, c in sorted(out) if dd == d] \
+            == list(range(n_caps))
+        for f in range(n_caps):
+            r = out[(d, f)]
+            assert r.text == f"caption {f} of video {d}"
+            assert (r.start_ms, r.end_ms) == (40 * f, 40 * (f + 1))
+
+
+def test_mp4_caption_degrades(spark):
+    """Caption robustness through the REAL operator: a corrupt
+    in-sample length prefix drops that caption only, a non-MP4
+    payload yields no rows, and parse_mp4 still returns the VIDEO
+    track of the two-track file."""
+    import struct
+
+    from html_parser_spark.operators import video as V
+
+    p = V._synth_mp4_full(2)  # 3 captions
+    tk = next(t for t in V._parse_tracks(p)["tracks"]
+              if t["handler"] == "text")
+    bad = bytearray(p)
+    struct.pack_into(">H", bad, tk["offsets"][1], 9999)
+
+    df = spark.createDataFrame(
+        [(2, bytes(bad)), (9, b"not an mp4 at all")],
+        "doc_id long, payload binary")
+    got = sorted((r.doc_id, r.cap_idx, r.text)
+                 for r in V.extract_video_captions(df).collect())
+    assert got == [(2, 0, "caption 0 of video 2"),
+                   (2, 2, "caption 2 of video 2")]
+    assert V.parse_mp4(p)["codec"] == "jpeg"  # video track untouched
+
+
 def test_wav_audio_stats(spark, docs):
     """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
     depths: complete fixture WAVs (true chunk sizes, junk LIST
