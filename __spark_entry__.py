@@ -1095,7 +1095,7 @@ def _q_media_pixels(spark, sf_dir):
         decode_image_pixels, synth_gif_images, synth_jpeg_images,
         synth_png_images)
     from html_parser_spark.operators.video import (
-        sample_video_frames, synth_mp4_videos)
+        sample_video_frames, synth_mp4_videos, video_meta)
     docs = _docs(spark, sf_dir)
     png = decode_image_pixels(synth_png_images(docs)) \
         .withColumn("fmt", F.lit("png"))
@@ -1103,18 +1103,19 @@ def _q_media_pixels(spark, sf_dir):
         .withColumn("fmt", F.lit("jpeg"))
     gif = decode_image_pixels(synth_gif_images(docs)) \
         .withColumn("fmt", F.lit("gif"))
-    vid = sample_video_frames(synth_mp4_videos(docs), every_n=2)
-    mp4f = vid.select(
-        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
-        F.concat(F.lit("mp4:"),
-                 F.col("frame_idx").cast("string")).alias("fmt"))
-    mp4m = vid.select(
+    mp4f = sample_video_frames(synth_mp4_videos(docs), every_n=2) \
+        .select(
+            "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+            F.concat(F.lit("mp4:"),
+                     F.col("frame_idx").cast("string")).alias("fmt"))
+    # metadata comes from the parse-only operator: one row per doc
+    # straight off the box walk — no frame decode, no distinct()
+    mp4m = video_meta(synth_mp4_videos(docs)).select(
         "doc_id", "width", "height",
         F.col("duration_ms").alias("r_sum"),
         F.col("n_samples").cast("long").alias("g_sum"),
         F.lit(-1).cast("long").alias("b_sum"),
-        F.concat(F.lit("mp4meta:"), F.col("codec")).alias("fmt")) \
-        .distinct()
+        F.concat(F.lit("mp4meta:"), F.col("codec")).alias("fmt"))
     return png.unionByName(jpg).unionByName(gif) \
         .unionByName(mp4f).unionByName(mp4m)
 

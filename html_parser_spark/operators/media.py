@@ -375,13 +375,15 @@ def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
     prefix = b""
 
     def bump() -> None:
-        # LATE change: the decoder adds its matching entry one code
-        # later (no add on the first code after clear), so its count
-        # trails this one by exactly 1 — widen when the DECODER's
-        # table hits the boundary, not ours
+        # the decoder adds its matching entry one code later (no add
+        # on the first code after clear), so its count trails this
+        # one by exactly 1 — widen when the DECODER's table hits the
+        # 2^width boundary (giflib parity: its encoder checks
+        # RunningCode >= MaxCode1 before the insert, which lands on
+        # the same stream position)
         nonlocal next_code, width
         next_code += 1
-        if next_code - 2 == (1 << width) and width < 12:
+        if next_code - 1 == (1 << width) and width < 12:
             width += 1
 
     for ch in indices:
@@ -453,7 +455,9 @@ def _gif_lzw_decode(data: bytes, mcs: int) -> bytearray | None:
         if prev is not None and next_code < 4096:
             table.append(prev + entry[:1])
             next_code += 1
-            if next_code - 1 == (1 << width) and width < 12:
+            # spec/giflib timing: the next read must be wide enough
+            # for a KwKwK reference to the code about to be assigned
+            if next_code == (1 << width) and width < 12:
                 width += 1
         prev = entry
 

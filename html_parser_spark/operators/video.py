@@ -38,7 +38,7 @@ from html_parser_spark.operators.media import (
 
 __all__ = [
     "parse_mp4", "synth_mp4_videos", "sample_video_frames",
-    "extract_video_captions",
+    "extract_video_captions", "video_meta",
 ]
 
 
@@ -273,6 +273,11 @@ def _resolve_offsets(sizes: list[int], chunks: list[int],
     for i, (first, spc, _desc) in enumerate(runs):
         last = (runs[i + 1][0] - 1 if i + 1 < len(runs)
                 else len(chunks))
+        # clamp to the chunk table: corrupt first_chunk values must
+        # not inflate the expansion
+        last = min(last, len(chunks))
+        if first < 1 or first > last:
+            continue
         per_chunk += [spc] * (last - first + 1)
     offsets: list[int] = []
     si = 0
@@ -332,25 +337,50 @@ def _parse_tracks(payload: bytes) -> dict | None:
             elif four == b"stsd":
                 tk["codec"] = payload[b + 12:b + 16] \
                     .decode("latin-1")
+            # every entry count from the container is checked
+            # against what its box can physically hold BEFORE any
+            # allocation: a declared count beyond capacity marks the
+            # track corrupt (dropped later) instead of hanging or
+            # OOMing an executor on a hostile 32-bit field
             elif four == b"stts":
                 cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
+                if cnt > (e - b - 8) // 8:
+                    tk["corrupt"] = True
+                    continue
                 tk["stts"] = [struct.unpack(
                     ">II", payload[b + 8 + 8 * i:b + 16 + 8 * i])
                     for i in range(cnt)]
             elif four == b"stsz":
                 fixed, cnt = struct.unpack(
                     ">II", payload[b + 4:b + 12])
-                tk["sizes"] = ([fixed] * cnt if fixed else list(
-                    struct.unpack(f">{cnt}I",
-                                  payload[b + 12:b + 12 + 4 * cnt])))
+                if fixed:
+                    # a real file cannot hold more samples than it
+                    # has bytes
+                    if cnt > len(payload) // max(fixed, 1) + 1:
+                        tk["corrupt"] = True
+                        continue
+                    tk["sizes"] = [fixed] * cnt
+                else:
+                    if cnt > (e - b - 12) // 4:
+                        tk["corrupt"] = True
+                        continue
+                    tk["sizes"] = list(struct.unpack(
+                        f">{cnt}I",
+                        payload[b + 12:b + 12 + 4 * cnt]))
             elif four == b"stsc":
                 cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
+                if cnt > (e - b - 8) // 12:
+                    tk["corrupt"] = True
+                    continue
                 tk["stsc"] = [struct.unpack(
                     ">III", payload[b + 8 + 12 * i:b + 20 + 12 * i])
                     for i in range(cnt)]
             elif four in (b"stco", b"co64"):
                 cnt = struct.unpack(">I", payload[b + 4:b + 8])[0]
                 wd, fmt = (8, ">Q") if four == b"co64" else (4, ">I")
+                if cnt > (e - b - 8) // wd:
+                    tk["corrupt"] = True
+                    continue
                 tk["chunk_offsets"] = [struct.unpack(
                     fmt, payload[b + 8 + wd * i:b + 8 + wd * (i + 1)]
                 )[0] for i in range(cnt)]
@@ -362,7 +392,8 @@ def _parse_tracks(payload: bytes) -> dict | None:
             descend(b, e, None)
     good = []
     for tk in movie["tracks"]:
-        if not {"sizes", "chunk_offsets", "stsc"} <= tk.keys():
+        if tk.get("corrupt") \
+                or not {"sizes", "chunk_offsets", "stsc"} <= tk.keys():
             continue
         offs = _resolve_offsets(tk["sizes"], tk["chunk_offsets"],
                                 tk["stsc"])
@@ -370,13 +401,19 @@ def _parse_tracks(payload: bytes) -> dict | None:
             continue
         tk["offsets"] = offs
         # per-sample start times + durations from the stts runs
-        # (same expansion real players use for seek tables)
+        # (same expansion real players use for seek tables). stts
+        # legitimately covers exactly the sample count, so the
+        # expansion is capped there — a hostile run count in ONE
+        # valid 8-byte entry must not build a billion-entry list
+        n_samples = len(tk["sizes"])
         starts, durs, t = [], [], 0
         for cnt, delta in tk.get("stts", []):
-            for _ in range(cnt):
+            for _ in range(min(cnt, n_samples - len(starts))):
                 starts.append(t)
                 durs.append(delta)
                 t += delta
+            if len(starts) >= n_samples:
+                break
         tk["starts"], tk["durations"] = starts, durs
         good.append(tk)
     movie["tracks"] = good
@@ -439,7 +476,8 @@ def sample_video_frames(df: DataFrame, every_n: int = 2,
         for pdf in batches:
             rows = []
             for k, p in zip(pdf[key_col], pdf[payload_col]):
-                meta = parse_mp4(bytes(p))
+                buf = bytes(p)  # materialize ONCE per file, not
+                meta = parse_mp4(buf)  # once per sampled frame
                 if meta is None:
                     continue
                 ts = meta["timescale"] or 1
@@ -447,7 +485,7 @@ def sample_video_frames(df: DataFrame, every_n: int = 2,
                 for f in range(0, meta["n_samples"], every_n):
                     off, sz = meta["offsets"][f], meta["sizes"][f]
                     w, h, r, g, b = decode_jpeg_pixels(
-                        bytes(p)[off:off + sz])
+                        buf[off:off + sz])
                     if w is None:
                         continue
                     rows.append((int(k), f, w, h, r, g, b, dur_ms,
@@ -524,3 +562,39 @@ def extract_video_captions(df: DataFrame,
 
     return df.select(key_col, payload_col).mapInPandas(
         run, _CAPTION_SCHEMA)
+
+
+_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+])
+
+
+def video_meta(df: DataFrame, key_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """binary MP4 payloads -> one metadata row per container
+    (geometry, mvhd duration in ms, sample count, stsd codec) from
+    the box walk ALONE — no frame bytes are touched, so cataloging a
+    100 TB video corpus costs a few KB of moov per file, not a
+    decode. One Arrow map stage, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                meta = parse_mp4(bytes(p))
+                if meta is None:
+                    continue
+                ts = meta["timescale"] or 1
+                rows.append((int(k), meta["width"], meta["height"],
+                             meta["duration"] * 1000 // ts,
+                             meta["n_samples"], meta["codec"]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _META_SCHEMA])
+
+    return df.select(key_col, payload_col).mapInPandas(
+        run, _META_SCHEMA)

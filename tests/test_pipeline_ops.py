@@ -1379,6 +1379,43 @@ def test_gif_lzw_codec_parity():
     assert decode_gif_pixels(_synth_gif_full(0)[:40]) == (None,) * 5
 
 
+#: a REAL-ENCODER GIF (CPython's idlelib plusnode.gif icon, PSF
+#: licensed), 11x11, 4-color, mcs=2 — its 31-byte LZW stream crosses
+#: several code-width boundaries, so it pins the spec/giflib width
+#: timing (decoder widens at next_code == 2^width) that a
+#: self-consistent encode/decode pair cannot test
+_REAL_GIF = (
+    b"GIF89a\x0b\x00\x0b\x00\xf1\x03\x00\xff\xff\xff\x7f\x7f\x7f"
+    b"\x00\x00\x00\xc0\xc0\xc0!\xf9\x04\x05\x00\x00\x03\x00,\x00"
+    b"\x00\x00\x00\x0b\x00\x0b\x00\x00\x02\x1f\x9c\x8f\x16\xcb\xac"
+    b"\x00#\x08\x0f\x8aHG\x88\x17\xe6-\x84\xe1T\x01\x1d\xa9qX)}M"
+    b"\x93\xc4C\x01\x00;")
+
+
+def test_gif_real_world_decode():
+    """The width-growth timing bug class: streams from a REAL
+    encoder (not our own) must decode fully. The embedded golden
+    vector always runs; when the host Python ships the idlelib icon
+    set, every icon GIF is decoded as well (9/9 at fix time)."""
+    import glob
+    import os
+
+    from html_parser_spark.operators.media import decode_gif_pixels
+
+    assert decode_gif_pixels(_REAL_GIF) == (11, 11, 21944, 21944,
+                                            21944)
+    try:
+        import idlelib
+        icons = os.path.join(os.path.dirname(idlelib.__file__),
+                             "Icons")
+    except ImportError:
+        return
+    for p in glob.glob(os.path.join(icons, "*.gif")):
+        with open(p, "rb") as fh:
+            w, h, r, g, b = decode_gif_pixels(fh.read())
+        assert w and h and w * h > 0, p
+
+
 def test_mp4_frame_sampling(spark, docs):
     """The full video path on Spark: MJPEG-in-MP4 fixtures (rotating
     one-chunk / per-frame / multi-run stsc layouts; doc 5 would be
@@ -1446,6 +1483,22 @@ def test_mp4_parse_degrades():
     i = bad.find(b"stsz")
     struct.pack_into(">I", bad, i + 12, 99)  # claim 99 samples
     assert parse_mp4(bytes(bad)) is None
+    # hostile 32-bit counts must degrade instantly, not hang/OOM:
+    # a single valid stts entry claiming 2^31-1 samples, and an
+    # stsz/stco/stsc count far beyond what the box holds
+    import time
+
+    for four, at, val in ((b"stts", 4, 0x7FFFFFFF),
+                          (b"stsz", 8, 0x7FFFFFFF),
+                          (b"stsc", 4, 0x7FFFFFFF),
+                          (b"stco", 4, 0x7FFFFFFF)):
+        bomb = bytearray(full)
+        j = bomb.find(four)
+        struct.pack_into(">I", bomb, j + 4 + at, val)
+        t0 = time.monotonic()
+        parse_mp4(bytes(bomb))  # result may be None or clamped —
+        # the contract under attack is bounded time/memory
+        assert time.monotonic() - t0 < 2.0, four
 
 
 def test_mp4_caption_extraction(spark, docs):
