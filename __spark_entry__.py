@@ -957,8 +957,10 @@ def _q_bom_stats(spark, sf_dir):
 
 def _q_media_meta(spark, sf_dir):
     """Both byte-plumbing media arms in one variant-tagged row set:
-    container-header decode over blobs with genuine PNG/JPEG/GIF
-    headers (variant='meta': k=n_bytes, s=format, w/h=dims) and
+    container-header decode over blobs with genuine
+    PNG/JPEG/GIF/WebP headers (WebP rotating its three public
+    container layouts VP8/VP8L/VP8X, each with a different dim
+    encoding) (variant='meta': k=n_bytes, s=format, w/h=dims) and
     frame sampling (variant='frame': k=frame_idx, s=frame_hash,
     w=h=-1). The oracle recomputes the embedded dims and the frame
     hashes in closed form, so both byte-level paths are verified
@@ -2344,11 +2346,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "media_meta": """
             SELECT 'meta' AS variant, doc_id,
-                   CAST(CASE CAST(doc_id % 3 AS INT)
-                        WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 13 END
+                   CAST(CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 33 WHEN 1 THEN 21 WHEN 2 THEN 13
+                        ELSE CASE CAST((doc_id // 4) % 3 AS INT)
+                             WHEN 1 THEN 25 ELSE 30 END END
                         + length(text) AS INTEGER) AS k,
-                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-                        WHEN 1 THEN 'jpeg' ELSE 'gif' END AS s,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                        ELSE 'webp' END AS s,
                    CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS w,
                    CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS h
             FROM documents

@@ -77,16 +77,39 @@ def _gif_header(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
 
 
-#: header builders + per-format fixed header size, keyed doc_id % 3
+def _webp_header(w: int, h: int, sub: int) -> bytes:
+    """Real WebP RIFF header in all three public container layouts
+    (the dims live in a different encoding in each): sub 0 = lossy
+    VP8 (sync code + two 14-bit LE uint16s, 30 bytes), 1 = lossless
+    VP8L (signature 0x2F + bit-packed w-1/h-1, 25 bytes), 2 =
+    extended VP8X (24-bit LE w-1/h-1, 30 bytes)."""
+    if sub == 0:
+        body = (b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00"
+                + b"\x9d\x01\x2a" + struct.pack("<HH", w, h))
+    elif sub == 1:
+        bits = (w - 1) | ((h - 1) << 14)
+        body = (b"VP8L" + struct.pack("<I", 5) + b"\x2f"
+                + struct.pack("<I", bits))
+    else:
+        body = (b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+                + struct.pack("<I", w - 1)[:3]
+                + struct.pack("<I", h - 1)[:3])
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+#: header builders + per-format fixed header size, keyed doc_id % 4
+#: (webp's size depends on its sub-layout: (doc_id // 4) % 3)
 _HEADERS = ((_png_header, 33), (_jpeg_header, 21), (_gif_header, 13))
 
 
 def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Deterministic fixture blobs with REAL image headers: format =
-    doc_id % 3 (png/jpeg/gif), width = 16 + (doc_id*7) % 624,
-    height = 16 + (doc_id*13) % 464, body = the document text bytes.
-    Closed-form, so a SQL oracle can predict every parsed field."""
+    doc_id % 4 (png/jpeg/gif/webp, the webp sub-layout rotating
+    VP8/VP8L/VP8X by (doc_id // 4) % 3), width = 16 + (doc_id*7) %
+    624, height = 16 + (doc_id*13) % 464, body = the document text
+    bytes. Closed-form, so a SQL oracle can predict every parsed
+    field."""
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -98,11 +121,14 @@ def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
             payloads = []
             for key, text in zip(pdf[key_col], pdf[text_col]):
                 k = int(key)
-                build, _ = _HEADERS[k % 3]
                 w = 16 + (k * 7) % 624
                 h = 16 + (k * 13) % 464
+                if k % 4 == 3:
+                    head = _webp_header(w, h, (k // 4) % 3)
+                else:
+                    head = _HEADERS[k % 4][0](w, h)
                 body = (text if isinstance(text, str) else "").encode()
-                payloads.append(build(w, h) + body)
+                payloads.append(head + body)
             yield pd.DataFrame({"doc_id": pdf[key_col],
                                 "payload": payloads})
 
@@ -120,6 +146,10 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None,
       height/width at offsets +5/+7 into the segment.
     * GIF: 'GIF87a'/'GIF89a', little-endian logical-screen
       width/height.
+    * WebP: RIFF/WEBP container, then the first chunk's own dim
+      encoding — lossy 'VP8 ' (sync 9D 01 2A + 14-bit LE uint16s),
+      lossless 'VP8L' (0x2F signature + bit-packed w-1/h-1), or
+      extended 'VP8X' (24-bit LE w-1/h-1).
     * anything else: ('unknown', None, None) — never raises.
     """
     if payload.startswith(_PNG_SIG) and len(payload) >= 24 \
@@ -163,6 +193,23 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None,
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return "gif", w, h
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        four = payload[12:16]
+        if four == b"VP8 " and len(payload) >= 30 \
+                and payload[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            return "webp", w, h
+        if four == b"VP8L" and len(payload) >= 25 \
+                and payload[20] == 0x2F:
+            bits = struct.unpack("<I", payload[21:25])[0]
+            return ("webp", (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1)
+        if four == b"VP8X" and len(payload) >= 30:
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return "webp", w, h
+        return "webp", None, None
     return "unknown", None, None
 
 

@@ -354,6 +354,18 @@ def test_parse_image_header_golden_bytes():
     assert media.parse_image_header(b"not an image") == \
         ("unknown", None, None)
     assert media.parse_image_header(b"\xff\xd8trunc")[0] == "jpeg"
+    # WebP: all three public container layouts round-trip, and each
+    # has a distinct dim encoding so they cross-check each other
+    for sub in (0, 1, 2):
+        assert media.parse_image_header(
+            media._webp_header(641, 353, sub)) == ("webp", 641, 353)
+    # lossy chunk without its 9D 01 2A sync code is unparsed
+    broken = bytearray(media._webp_header(64, 64, 0))
+    broken[23] = 0x00
+    assert media.parse_image_header(bytes(broken)) == \
+        ("webp", None, None)
+    assert media.parse_image_header(b"RIFF\x00\x00\x00\x00WEBP") == \
+        ("webp", None, None)
 
 
 def test_media_meta_real_headers(spark, docs):
