@@ -70,8 +70,33 @@ def _q_headers(spark, sf_dir):
 
 
 def _q_links(spark, sf_dir):
+    """Both LinkExtor-family arms in one variant-tagged row set
+    (round-5 merge, freeing a registry slot under the 50-cap):
+    variant='link' rows are the per-link extraction over the
+    transcripts template (k=link_seq, s=tagname, s2=attr_name,
+    url); variant='host' rows are the per-host crawl-domain
+    aggregate over planted absolute URLs (conv_id=host, k=n_links,
+    s=n_unique_urls as text, s2='host', url=host). The oracle
+    re-derives both arms in closed form."""
     from html_parser_spark.operators.extract import links
-    return links(_tr(spark, sf_dir))
+    from html_parser_spark.operators.textstats import host_counts
+
+    link_rows = links(_tr(spark, sf_dir)).select(
+        F.lit("link").alias("variant"), "conv_id", "turn_idx",
+        F.col("link_seq").cast("int").alias("k"),
+        F.col("tagname").alias("s"),
+        F.col("attr_name").alias("s2"),
+        "url")
+    host_rows = host_counts(
+        links(_tmpl(spark, sf_dir, _T_HOSTS))).select(
+        F.lit("host").alias("variant"),
+        F.col("host").alias("conv_id"),
+        F.lit(-1).alias("turn_idx"),
+        F.col("n_links").cast("int").alias("k"),
+        F.col("n_unique_urls").cast("string").alias("s"),
+        F.lit("host").alias("s2"),
+        F.col("host").alias("url"))
+    return link_rows.unionByName(host_rows)
 
 
 def _q_event_stats(spark, sf_dir):
@@ -267,13 +292,45 @@ _T_HOSTS = ("'<a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
             "CAST(doc_id AS VARCHAR) || '.png\">'")
 
 
-def _q_link_hosts(spark, sf_dir):
-    """LinkExtor output -> per-host aggregate (crawl-curation domain
-    stats): planted absolute URLs give closed-form host counts."""
-    from html_parser_spark.operators.extract import links
-    from html_parser_spark.operators.textstats import host_counts
+def _q_warc_extract(spark, sf_dir):
+    """Crawl-to-text end-to-end over the STANDARD web-archive
+    container (ISO 28500 WARC — the Common Crawl format): the
+    transcripts corpus is packed into deterministic WARC segments
+    (warcinfo + request + response records; every 3rd-mod-2 doc as
+    per-record gzip members, the .warc.gz layout), parsed back by
+    the record walk + HTTP envelope split, and the response HTML is
+    run through the flagship extractor. variant='rec' rows verify
+    every record's headers/typing/body accounting; variant='text'
+    rows verify the extracted trimmed text of each response body.
+    The oracle re-derives all of it in closed form — record
+    lengths, URIs, status, and the extraction itself."""
+    from html_parser_spark.operators.extract import extract_text
+    from html_parser_spark.sources.warc import synth_warc, warc_records
 
-    return host_counts(links(_tmpl(spark, sf_dir, _T_HOSTS)))
+    recs = warc_records(synth_warc(_tr(spark, sf_dir)))
+    rec_rows = recs.select(
+        F.lit("rec").alias("variant"), "doc_id",
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        "warc_type",
+        F.col("uri").alias("s"),
+        F.col("http_status").cast("int").alias("status"),
+        F.col("n_body_bytes").alias("n_body"),
+        F.lit(None).cast("string").alias("trimmed"))
+    html = warc_records(synth_warc(_tr(spark, sf_dir))) \
+        .filter(F.col("warc_type") == "response") \
+        .select(F.col("doc_id").cast("string").alias("conv_id"),
+                F.col("rec_idx").alias("turn_idx"),
+                F.col("body").alias("text"))
+    text_rows = extract_text(html).select(
+        F.lit("text").alias("variant"),
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("turn_idx").cast("int").alias("rec_idx"),
+        F.lit("response").alias("warc_type"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("int").alias("status"),
+        F.col("n_chars_in").cast("long").alias("n_body"),
+        F.col("trimmed_text").alias("trimmed"))
+    return rec_rows.unionByName(text_rows)
 
 
 #: planted URLs covering the canonicalization cases: default-port +
@@ -1179,7 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "link_hosts": _q_link_hosts,
+        "warc_extract": _q_warc_extract,
         "canonical_urls": _q_canonical_urls,
         "term_stats": _q_term_stats,
         "sessionize": _q_sessionize,
@@ -1668,11 +1725,49 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT {_ID}, 0, 1, 'Expires', 'E' || {_ID} FROM documents""",
         "links": f"""
-            SELECT {_ID} AS conv_id, 0 AS turn_idx, 0 AS link_seq,
-                   'a' AS tagname, 'href' AS attr_name,
+            SELECT 'link' AS variant, {_ID} AS conv_id,
+                   0 AS turn_idx, 0 AS k, 'a' AS s, 'href' AS s2,
                    '/d/' || {_ID} AS url FROM documents
             UNION ALL
-            SELECT {_ID}, 0, 1, 'img', 'src', 'i' || {_ID} || '.png'
+            SELECT 'link', {_ID}, 0, 1, 'img', 'src',
+                   'i' || {_ID} || '.png' FROM documents
+            UNION ALL
+            SELECT 'host', 'h' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.ex.com', -1,
+                   CAST(count(*) AS INT),
+                   CAST(count(*) AS VARCHAR), 'host',
+                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com'
+            FROM documents GROUP BY doc_id % 7
+            UNION ALL
+            SELECT 'host', 'img.ex.com', -1, CAST(count(*) AS INT),
+                   CAST(count(*) AS VARCHAR), 'host', 'img.ex.com'
+            FROM documents""",
+        "warc_extract": f"""
+            SELECT 'rec' AS variant, doc_id, 0 AS rec_idx,
+                   'warcinfo' AS warc_type,
+                   CAST(NULL AS VARCHAR) AS s,
+                   CAST(NULL AS INT) AS status,
+                   CAST(55 AS BIGINT) AS n_body,
+                   CAST(NULL AS VARCHAR) AS trimmed
+            FROM documents
+            UNION ALL
+            SELECT 'rec', doc_id, 1, 'request',
+                   'https://ex.com/d/' || {_ID}, CAST(NULL AS INT),
+                   CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'rec', doc_id, 2, 'response',
+                   'https://ex.com/d/' || {_ID}, 200,
+                   CAST(length({wrap}) AS BIGINT),
+                   CAST(NULL AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'text', doc_id, 2, 'response',
+                   CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+                   CAST(length({wrap}) AS BIGINT),
+                   'Doc & ' || {_ID} || ' ' ||
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+                     ' <link> pic ' || {_ID}
             FROM documents""",
         "event_stats": f"""
             SELECT {_ID} AS conv_id,
@@ -1849,14 +1944,6 @@ def oracle_sql() -> dict[str, str]:
             FROM q LEFT JOIN sc USING (doc_id), b2""",
         "lang_id": _lang_id_oracle(),
         "curate_corpus": _curate_corpus_oracle(),
-        "link_hosts": f"""
-            SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com'
-                     AS host,
-                   count(*) AS n_links,
-                   count(*) AS n_unique_urls
-            FROM documents GROUP BY doc_id % 7
-            UNION ALL
-            SELECT 'img.ex.com', count(*), count(*) FROM documents""",
         "canonical_urls": f"""
             SELECT doc_id,
                    CASE CAST(doc_id % 5 AS INT)

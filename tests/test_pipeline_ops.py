@@ -1557,6 +1557,60 @@ def test_mp4_caption_degrades(spark):
     assert V.parse_mp4(p)["codec"] == "jpeg"  # video track untouched
 
 
+def test_warc_records_roundtrip(spark):
+    """The WARC source end-to-end on Spark: synth segments (plain
+    and per-record-gzip .warc.gz layouts) -> record walk -> HTTP
+    envelope split; every header, type, URI, status, and body
+    round-trips, and the response body is the original HTML."""
+    from html_parser_spark.sources.warc import (
+        synth_warc, warc_records)
+
+    html = "<p>hello &amp; goodbye</p>"
+    docs = spark.createDataFrame(
+        [(str(i), html + f"<b>{i}</b>") for i in range(6)],
+        "conv_id string, text string")
+    out = {(r.doc_id, r.rec_idx): r for r in
+           warc_records(synth_warc(docs)).collect()}
+    for d in range(6):  # d=2,5 exercise the gzip-member layout
+        assert [i for dd, i in sorted(out) if dd == d] == [0, 1, 2]
+        info, req, resp = (out[(d, i)] for i in range(3))
+        assert info.warc_type == "warcinfo" and info.uri is None
+        assert info.n_body_bytes == 55
+        assert req.warc_type == "request"
+        assert req.uri == f"https://ex.com/d/{d}"
+        assert req.http_status is None and req.n_body_bytes == 0
+        assert resp.warc_type == "response"
+        assert resp.http_status == 200
+        assert resp.content_type == "text/html; charset=utf-8"
+        assert resp.body == html + f"<b>{d}</b>"
+
+
+def test_warc_parse_degrades():
+    """Record-walk robustness: a torn record (corrupt
+    Content-Length) is skipped by resyncing on the next WARC/
+    marker without losing the records around it; truncation drops
+    only the torn tail; corrupt gzip yields []; never a raise."""
+    from html_parser_spark.sources.warc import (
+        _synth_warc_bytes, parse_warc)
+
+    p = _synth_warc_bytes(0, "<p>x</p>")
+    full = [h["warc-type"] for h, _ in parse_warc(p)]
+    assert full == ["warcinfo", "request", "response"]
+    # tear record 1 (request): corrupt its Content-Length value
+    i = p.find(b"Content-Length:", p.find(b"WARC-Type: request"))
+    torn = p[:i] + b"Content-Length: zz\r\n" + p[p.index(b"\r\n", i) + 2:]
+    kept = [h["warc-type"] for h, _ in parse_warc(torn)]
+    assert "warcinfo" in kept and "response" in kept \
+        and "request" not in kept
+    # truncated mid-response: earlier records survive
+    tail_cut = parse_warc(p[: len(p) - 40])
+    assert [h["warc-type"] for h, _ in tail_cut] == \
+        ["warcinfo", "request"]
+    assert parse_warc(b"\x1f\x8bnot really gzip") == []
+    assert parse_warc(b"") == []
+    assert parse_warc(b"no records here at all") == []
+
+
 def test_wav_audio_stats(spark, docs):
     """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
     depths: complete fixture WAVs (true chunk sizes, junk LIST
