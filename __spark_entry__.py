@@ -1043,7 +1043,12 @@ def _q_media_meta(spark, sf_dir):
     meta = decode_image_meta(synth_image_payloads(docs)).select(
         F.lit("meta").alias("variant"), "doc_id",
         F.col("n_bytes").cast("int").alias("k"),
-        F.col("format").alias("s"),
+        # JPEG rows carry the parsed EXIF orientation in the format
+        # tag so the APP1/TIFF walk is oracle-verified end-to-end
+        F.when(F.col("orientation").isNotNull(),
+               F.concat(F.col("format"), F.lit(":o"),
+                        F.col("orientation").cast("string")))
+        .otherwise(F.col("format")).alias("s"),
         F.col("width").cast("int").alias("w"),
         F.col("height").cast("int").alias("h"))
     frames = sample_frames(with_binary(docs)).select(
@@ -2434,12 +2439,14 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": """
             SELECT 'meta' AS variant, doc_id,
                    CAST(CASE CAST(doc_id % 4 AS INT)
-                        WHEN 0 THEN 33 WHEN 1 THEN 21 WHEN 2 THEN 13
+                        WHEN 0 THEN 33 WHEN 1 THEN 57 WHEN 2 THEN 13
                         ELSE CASE CAST((doc_id // 4) % 3 AS INT)
                              WHEN 1 THEN 25 ELSE 30 END END
                         + length(text) AS INTEGER) AS k,
                    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
-                        WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                        WHEN 1 THEN 'jpeg:o'
+                          || CAST(1 + doc_id % 8 AS VARCHAR)
+                        WHEN 2 THEN 'gif'
                         ELSE 'webp' END AS s,
                    CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS w,
                    CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS h

@@ -37,6 +37,7 @@ MEDIA_META_SCHEMA = T.StructType([
     T.StructField("format", T.StringType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    T.StructField("orientation", T.IntegerType()),
 ])
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -62,13 +63,31 @@ def _png_header(w: int, h: int) -> bytes:
             + b"\x00\x00\x00\x00")
 
 
-def _jpeg_header(w: int, h: int) -> bytes:
-    """Real JPEG SOI + SOF0 segment (21 bytes): the marker walk a
-    parser performs is genuine even without APPn segments."""
+def _exif_app1(orientation: int, big_endian: bool = False) -> bytes:
+    """Real APP1/Exif segment: TIFF header (II or MM byte order) +
+    a one-entry IFD0 carrying tag 0x0112 (orientation, SHORT)."""
+    e = ">" if big_endian else "<"
+    tiff = ((b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+            + struct.pack(e + "I", 8)        # IFD0 offset
+            + struct.pack(e + "H", 1)        # entry count
+            + struct.pack(e + "HHI", 0x0112, 3, 1)
+            + struct.pack(e + "H", orientation) + b"\x00\x00"
+            + struct.pack(e + "I", 0))       # next IFD
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_header(w: int, h: int,
+                 orientation: int | None = None) -> bytes:
+    """Real JPEG SOI (+ optional APP1/Exif) + SOF0 segment: the
+    marker walk a parser performs is genuine even without APPn
+    segments."""
     sof0 = (struct.pack(">H", 8 + 3 * 3) + b"\x08"
             + struct.pack(">HH", h, w) + b"\x03"
             + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
-    return b"\xff\xd8\xff\xc0" + sof0
+    app1 = b"" if orientation is None else _exif_app1(
+        orientation, big_endian=orientation % 2 == 0)
+    return b"\xff\xd8" + app1 + b"\xff\xc0" + sof0
 
 
 def _gif_header(w: int, h: int) -> bytes:
@@ -125,6 +144,13 @@ def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
                 h = 16 + (k * 13) % 464
                 if k % 4 == 3:
                     head = _webp_header(w, h, (k // 4) % 3)
+                elif k % 4 == 1:
+                    # JPEGs carry a real APP1/Exif orientation tag
+                    # (rotating all 8 values and both TIFF byte
+                    # orders) — the rotation metadata a curation
+                    # pipeline must respect before training
+                    head = _jpeg_header(w, h,
+                                        orientation=1 + k % 8)
                 else:
                     head = _HEADERS[k % 4][0](w, h)
                 body = (text if isinstance(text, str) else "").encode()
@@ -213,6 +239,55 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None,
     return "unknown", None, None
 
 
+def parse_jpeg_orientation(payload: bytes) -> int | None:
+    """EXIF orientation (tag 0x0112) from the first APP1/Exif
+    segment: TIFF header in either byte order (II/MM), IFD0 entry
+    walk bounded by the segment. None when absent/corrupt — never
+    raises. This is the rotation metadata a training pipeline must
+    apply (or at least record) before treating pixels as upright."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        pos, n = 2, len(payload)
+        while pos + 4 <= n and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if marker == 0xDA:  # entropy data starts: no EXIF ahead
+                return None
+            if marker == 0xE1 \
+                    and payload[pos + 4:pos + 10] == b"Exif\x00\x00":
+                t = pos + 10                  # TIFF header start
+                end = min(n, pos + 2 + seg_len)
+                order = payload[t:t + 2]
+                if order == b"II":
+                    e = "<"
+                elif order == b"MM":
+                    e = ">"
+                else:
+                    return None
+                ifd = t + struct.unpack(
+                    e + "I", payload[t + 4:t + 8])[0]
+                if ifd + 2 > end:
+                    return None
+                cnt = struct.unpack(e + "H", payload[ifd:ifd + 2])[0]
+                cnt = min(cnt, (end - ifd - 2) // 12)  # bounded walk
+                for i in range(cnt):
+                    eo = ifd + 2 + 12 * i
+                    tag, typ = struct.unpack(
+                        e + "HH", payload[eo:eo + 4])
+                    if tag == 0x0112 and typ == 3:
+                        return struct.unpack(
+                            e + "H", payload[eo + 8:eo + 10])[0]
+                return None
+            pos += 2 + seg_len
+        return None
+    except Exception:
+        return None
+
+
 def decode_image_meta(df: DataFrame, key_col: str = "doc_id",
                       payload_col: str = "payload") -> DataFrame:
     """binary payloads -> typed metadata via Arrow-batched UDF.
@@ -240,6 +315,10 @@ def decode_image_meta(df: DataFrame, key_col: str = "doc_id",
                                   dtype="Int64"),
                 "height": pd.array([m[2] for m in metas],
                                    dtype="Int64"),
+                "orientation": pd.array(
+                    [parse_jpeg_orientation(p) if m[0] == "jpeg"
+                     else None for p, m in zip(payloads, metas)],
+                    dtype="Int64"),
             })
 
     return df.select(key_col, payload_col).mapInPandas(

@@ -379,6 +379,31 @@ def test_media_meta_real_headers(spark, docs):
     assert (by[1].format, by[1].width, by[1].height) == \
         ("jpeg", 16 + 7, 16 + 13)
     assert by[2].format == "gif"
+    # fixture JPEGs embed a real APP1/Exif orientation (1 + d % 8,
+    # alternating TIFF byte orders); other formats report NULL
+    assert by[1].orientation == 2  # 1 + doc_id % 8
+    assert by[0].orientation is None and by[2].orientation is None
+
+
+def test_jpeg_exif_orientation_golden():
+    """The APP1/TIFF walk on hand-built bytes: all 8 orientation
+    values in both byte orders, EXIF-less JPEGs -> None, corrupt
+    TIFF headers and truncated segments degrade to None."""
+    from html_parser_spark.operators import media
+
+    for o in range(1, 9):
+        for be in (False, True):
+            p = (b"\xff\xd8" + media._exif_app1(o, big_endian=be)
+                 + media._jpeg_header(8, 8)[2:])
+            assert media.parse_jpeg_orientation(p) == o, (o, be)
+    assert media.parse_jpeg_orientation(
+        media._jpeg_header(8, 8)) is None
+    bad = bytearray(b"\xff\xd8" + media._exif_app1(3))
+    i = bad.find(b"II")
+    bad[i:i + 2] = b"ZZ"
+    assert media.parse_jpeg_orientation(bytes(bad)) is None
+    assert media.parse_jpeg_orientation(
+        (b"\xff\xd8" + media._exif_app1(3))[:20]) is None
 
 
 def test_frame_sample_fanout(spark, docs):
