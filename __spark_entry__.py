@@ -563,13 +563,26 @@ def _q_audio_stats(spark, sf_dir):
     from the closed-form ramps (the 8-bit arm's narrower ramp via a
     CASE), so the whole container+PCM decode chain is verified
     numerically at every depth.
+
+    Second arm (variant='mp3'): MPEG-1 Layer III frame-header walk
+    over complete fixture MP3s — ID3v2 syncsafe skip, bitrate/
+    sample-rate table decode, per-frame padding-bit lengths, channel
+    mode — reported in the same columns with sum_sq carrying
+    bitrate_kbps and peak carrying duration_ms; the oracle
+    re-derives every field including the frame-count duration.
     (The standalone lsh_pairs row this slot held is still
     driver-verified through ngram_jaccard, dedup_corpus,
     curate_corpus and dedup_incremental, whose oracles all re-derive
     the LSH banding in SQL.)"""
     from html_parser_spark.operators.audio import (
-        decode_wav_stats, synth_wav_audio)
-    return decode_wav_stats(synth_wav_audio(_docs(spark, sf_dir)))
+        decode_mp3_meta, decode_wav_stats, synth_mp3_audio,
+        synth_wav_audio)
+    docs = _docs(spark, sf_dir)
+    wav = decode_wav_stats(synth_wav_audio(docs)) \
+        .withColumn("variant", F.lit("wav"))
+    mp3 = decode_mp3_meta(synth_mp3_audio(docs)) \
+        .withColumn("variant", F.lit("mp3"))
+    return wav.unionByName(mp3)
 
 
 #: planted passage fixture: doc_id % 3 == 0 rows share one 8-word
@@ -2057,8 +2070,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sample_rate, channels,
                    CAST(nf AS INT) AS n_frames,
                    CAST(sum(v*v) AS BIGINT) AS sum_sq,
-                   CAST(max(abs(v)) AS INT) AS peak
-            FROM s GROUP BY doc_id, sample_rate, channels, nf""",
+                   CAST(max(abs(v)) AS INT) AS peak,
+                   'wav' AS variant
+            FROM s GROUP BY doc_id, sample_rate, channels, nf
+            UNION ALL
+            SELECT doc_id,
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(4 + doc_id % 4 AS INT) AS n_frames,
+                   CAST(96 + 16 * (doc_id % 3) AS BIGINT) AS sum_sq,
+                   CAST((4 + doc_id % 4) * 1152 * 1000
+                        // CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS INT) AS peak,
+                   'mp3' AS variant
+            FROM documents""",
         "dedup_incremental": f"""
             WITH {_LSH_BANDS_CTE},
             t AS (SELECT max(doc_id) // 2 AS t FROM documents)

@@ -193,3 +193,149 @@ def decode_wav_stats(df: DataFrame, key_col: str = "doc_id",
 
     return df.select(key_col, payload_col).mapInPandas(
         run, AUDIO_STATS_SCHEMA)
+
+
+# ----------------------------------------------- MPEG audio headers
+#
+# MP3 is the other audio format a web corpus actually contains. The
+# frame-header walk (public ISO/IEC 11172-3 layout: 11-bit sync,
+# version/layer bits, bitrate + sample-rate table indices, padding
+# bit, channel mode) plus the ID3v2 tag skip (syncsafe 28-bit size)
+# gives the cataloging metadata — bitrate, sample rate, channels,
+# frame count, duration — without any entropy decode, exactly like
+# the parse-only video_meta tier. Full PCM decode of MP3 (hybrid
+# filterbank) is deployment codec scope behind the same signature.
+
+#: MPEG-1 Layer III bitrate table, kbps (index 1..14)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+#: MPEG-1 sample-rate table (index 0..2)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _mp3_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(bitrate_kbps, sample_rate, channels, n_frames) —
+    closed-form, mirrored by the SQL oracle."""
+    return (96 + 16 * (doc_id % 3),          # table indices 7/8/9
+            _MP3_RATES[doc_id % 3],
+            1 + doc_id % 2,
+            4 + doc_id % 4)
+
+
+def _synth_mp3(doc_id: int) -> bytes:
+    """A COMPLETE MPEG-1 Layer III stream: an ID3v2.3 tag on every
+    2nd doc (syncsafe size, (doc_id % 7) * 3 bytes of padding), then
+    n_frames true-length frames (the padding bit alternates per
+    frame, so the walk must honor it)."""
+    kbps, sr, ch, n = _mp3_params(doc_id)
+    br_idx = _MP3_BITRATES.index(kbps)
+    sr_idx = _MP3_RATES.index(sr)
+    mode = 3 if ch == 1 else 0  # mono / stereo
+    out = bytearray()
+    if doc_id % 2 == 1:
+        tag_sz = (doc_id % 7) * 3
+        out += (b"ID3\x03\x00\x00"
+                + bytes([(tag_sz >> 21) & 0x7F, (tag_sz >> 14) & 0x7F,
+                         (tag_sz >> 7) & 0x7F, tag_sz & 0x7F])
+                + b"\x00" * tag_sz)
+    for i in range(n):
+        pad = (i + doc_id) % 2
+        flen = 144 * kbps * 1000 // sr + pad
+        hdr = bytes([0xFF, 0xFB,
+                     (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                     mode << 6])
+        body = bytes((7 * doc_id + 11 * i + j) % 256
+                     for j in range(flen - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def synth_mp3_audio(df: DataFrame,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP3 fixture blobs (see :func:`_synth_mp3`)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "payload": [_synth_mp3(int(k))
+                            for k in pdf[key_col]],
+            })
+
+    return df.select(key_col).mapInPandas(run, schema)
+
+
+def parse_mp3_meta(payload: bytes) -> tuple:
+    """ID3v2 skip + MPEG-1 Layer III frame-header walk ->
+    (sample_rate, channels, n_frames, bitrate_kbps, duration_ms);
+    (None,)*5 for anything that is not a clean MPEG-1 L3 stream
+    (free-form/reserved indices, MPEG-2, truncated tail frames) —
+    never raises."""
+    try:
+        pos, n = 0, len(payload)
+        if payload[:3] == b"ID3" and n >= 10:
+            size = ((payload[6] & 0x7F) << 21) \
+                | ((payload[7] & 0x7F) << 14) \
+                | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+            pos = 10 + size
+        frames = 0
+        kbps = sr = ch = None
+        while pos + 4 <= n:
+            b0, b1, b2, b3 = payload[pos:pos + 4]
+            if b0 != 0xFF or (b1 & 0xFB) != 0xFB:
+                return (None,) * 5  # sync lost / not MPEG-1 L3
+            br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+            if br_idx in (0, 15) or sr_idx == 3:
+                return (None,) * 5  # free-form/reserved
+            f_kbps = _MP3_BITRATES[br_idx]
+            f_sr = _MP3_RATES[sr_idx]
+            f_ch = 1 if (b3 >> 6) == 3 else 2
+            if frames == 0:
+                kbps, sr, ch = f_kbps, f_sr, f_ch
+            elif (f_kbps, f_sr, f_ch) != (kbps, sr, ch):
+                return (None,) * 5  # VBR = deployment scope
+            flen = 144 * f_kbps * 1000 // f_sr + ((b2 >> 1) & 1)
+            if pos + flen > n:
+                return (None,) * 5  # truncated final frame
+            pos += flen
+            frames += 1
+        if frames == 0 or pos != n:
+            return (None,) * 5
+        dur_ms = frames * _MP3_SAMPLES_PER_FRAME * 1000 // sr
+        return (sr, ch, frames, kbps, dur_ms)
+    except Exception:
+        return (None,) * 5
+
+
+def decode_mp3_meta(df: DataFrame, key_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """binary MP3 payloads -> header-walk metadata (no entropy
+    decode). Same Arrow map-stage scale shape as the WAV decoder;
+    output reuses AUDIO_STATS_SCHEMA's columns with sum_sq carrying
+    bitrate_kbps and peak carrying duration_ms (the variant-tagged
+    merge idiom — the driver query labels the arm)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [parse_mp3_meta(bytes(p))
+                   if p is not None else (None,) * 5
+                   for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "sample_rate": pd.array([r[0] for r in res],
+                                        dtype="Int64"),
+                "channels": pd.array([r[1] for r in res],
+                                     dtype="Int64"),
+                "n_frames": pd.array([r[2] for r in res],
+                                     dtype="Int64"),
+                "sum_sq": pd.array([r[3] for r in res],
+                                   dtype="Int64"),
+                "peak": pd.array([r[4] for r in res], dtype="Int64"),
+            })
+
+    return df.select(key_col, payload_col).mapInPandas(
+        run, AUDIO_STATS_SCHEMA)

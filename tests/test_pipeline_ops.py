@@ -1582,6 +1582,43 @@ def test_mp4_caption_degrades(spark):
     assert V.parse_mp4(p)["codec"] == "jpeg"  # video track untouched
 
 
+def test_mp3_meta_walk(spark, docs):
+    """MPEG-1 L3 frame-header walk through the Spark operator:
+    ID3v2 syncsafe skip, table decode, per-frame padding-bit
+    lengths; every field matches the closed-form params."""
+    from html_parser_spark.operators.audio import (
+        _mp3_params, decode_mp3_meta, synth_mp3_audio)
+
+    out = {r.doc_id: r for r in
+           decode_mp3_meta(synth_mp3_audio(docs)).collect()}
+    for d in range(5):  # odd docs carry the ID3v2 tag
+        kbps, sr, ch, n = _mp3_params(d)
+        r = out[d]
+        assert (r.sample_rate, r.channels, r.n_frames) == (sr, ch, n)
+        assert r.sum_sq == kbps  # bitrate in the merged-arm column
+        assert r.peak == n * 1152 * 1000 // sr  # duration_ms
+
+
+def test_mp3_walk_degrades():
+    """Stream robustness: truncated tails, lost sync, free-form
+    bitrate, VBR streams, and a bare ID3 tag all -> NULLs, never a
+    raise or a wrong count."""
+    from html_parser_spark.operators.audio import (
+        _synth_mp3, parse_mp3_meta)
+
+    good = _synth_mp3(3)
+    assert parse_mp3_meta(good)[2] == 4 + 3 % 4
+    assert parse_mp3_meta(good[:-1]) == (None,) * 5
+    assert parse_mp3_meta(b"\x00" + good) == (None,) * 5
+    assert parse_mp3_meta(b"\xff\xfb\x00\x00") == (None,) * 5
+    assert parse_mp3_meta(
+        b"ID3\x03\x00\x00\x00\x00\x00\x02xx") == (None,) * 5
+    # a VBR splice (two different-bitrate streams, no ID3 between)
+    # is documented scope -> NULLs via the parameter-change check
+    assert parse_mp3_meta(_synth_mp3(0) + _synth_mp3(2)) == \
+        (None,) * 5
+
+
 def test_warc_records_roundtrip(spark):
     """The WARC source end-to-end on Spark: synth segments (plain
     and per-record-gzip .warc.gz layouts) -> record walk -> HTTP
