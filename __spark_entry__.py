@@ -1144,7 +1144,9 @@ def _q_main_content(spark, sf_dir):
 def _q_media_pixels(spark, sf_dir):
     """Full pixel decode for the THREE dominant web image formats,
     merged into one variant-tagged row set (fmt = png | jpeg | gif):
-    PNG chunk walk -> zlib -> scanline un-filter; baseline-JPEG
+    PNG chunk walk -> zlib -> per-pass scanline un-filter across
+    ALL 8-bit color types (RGB / RGBA / grayscale / palette by
+    doc_id % 4, every 5th-mod-4 doc Adam7-interlaced); baseline-JPEG
     marker walk -> Huffman entropy decode -> dequant -> IDCT -> JFIF
     YCbCr->RGB (every 5th doc grayscale, every 7th-mod-3
     4:2:0-subsampled with interleaved MCUs + nearest-neighbor chroma
@@ -2573,9 +2575,22 @@ def oracle_sql() -> dict[str, str]:
                 END AS b
                 FROM jc)
             SELECT doc_id, w AS width, h AS height,
-                   CAST(sum((x + doc_id) % 256) AS BIGINT) AS r_sum,
-                   CAST(sum((y + 2 * doc_id) % 256) AS BIGINT) AS g_sum,
-                   CAST(sum((x + y + 3 * doc_id) % 256) AS BIGINT)
+                   CAST(sum(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 3 THEN (5 * ((x + 2*y + doc_id) % 256)
+                                  + doc_id) % 256
+                     ELSE (x + doc_id) % 256 END) AS BIGINT)
+                     AS r_sum,
+                   CAST(sum(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 2 THEN (x + doc_id) % 256
+                     WHEN 3 THEN (7 * ((x + 2*y + doc_id) % 256)
+                                  + 2 * doc_id) % 256
+                     ELSE (y + 2 * doc_id) % 256 END) AS BIGINT)
+                     AS g_sum,
+                   CAST(sum(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 2 THEN (x + doc_id) % 256
+                     WHEN 3 THEN (11 * ((x + 2*y + doc_id) % 256)
+                                  + 3 * doc_id) % 256
+                     ELSE (x + y + 3 * doc_id) % 256 END) AS BIGINT)
                      AS b_sum,
                    'png' AS fmt
             FROM px GROUP BY doc_id, w, h

@@ -344,39 +344,91 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 1.2 §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+#: samples per pixel by color type (8-bit depth)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_pixel_samples(doc_id: int, ctyp: int, x: int,
+                       y: int) -> bytes:
+    """Closed-form raw samples at (x, y) per color type — mirrored
+    by the SQL oracle. RGB/RGBA share the RGB formulas (alpha =
+    (x*y+d)%256 is stored but excluded from channel sums); gray is
+    the r-channel formula; palette stores the GIF-style index."""
+    d = doc_id
+    if ctyp == 0:
+        return bytes([(x + d) % 256])
+    if ctyp == 3:
+        return bytes([(x + 2 * y + d) % 256])
+    rgb = ((x + d) % 256, (y + 2 * d) % 256, (x + y + 3 * d) % 256)
+    if ctyp == 2:
+        return bytes(rgb)
+    return bytes(rgb) + bytes([(x * y + d) % 256])  # RGBA
+
+
+def _png_filter_rows(rows: list[bytes], bpp: int) -> bytes:
+    """Apply the fixture's rotating None/Up/Sub scanline filters."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for y, row in enumerate(rows):
+        if y == 0:
+            out += b"\x00" + row
+        elif y % 2:  # Up
+            out += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                   for i in range(len(row)))
+        else:        # Sub
+            out += b"\x01" + bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
 def _synth_png_full(doc_id: int) -> bytes:
-    """A COMPLETE valid RGB8 PNG (signature, IHDR, zlib IDAT, IEND,
-    real CRCs) with closed-form pixels: at (x, y) the channels are
-    ((x+d)%256, (y+2d)%256, (x+y+3d)%256), d = doc_id. Rows alternate
-    filter types None/Sub/Up so decode exercises real un-filtering.
-    """
+    """A COMPLETE valid 8-bit PNG (signature, IHDR, PLTE where
+    needed, zlib IDAT, IEND, real CRCs) with closed-form pixels (see
+    :func:`_png_pixel_samples`). The color type rotates RGB / RGBA /
+    grayscale / palette by doc_id % 4 (palette = the GIF fixture's
+    closed-form palette), every 5th-mod-4 doc is Adam7-interlaced,
+    and rows alternate filter types None/Up/Sub so decode exercises
+    real un-filtering in every layout."""
     import zlib
 
     w = 4 + doc_id % 13
     h = 4 + doc_id % 7
-    stride = w * 3
+    ctyp = (2, 6, 0, 3)[doc_id % 4]
+    bpp = _PNG_BPP[ctyp]
+    interlaced = doc_id % 5 == 4
+
+    def rows_for(x0: int, y0: int, dx: int, dy: int) -> list[bytes]:
+        return [b"".join(_png_pixel_samples(doc_id, ctyp, x, y)
+                         for x in range(x0, w, dx))
+                for y in range(y0, h, dy)]
+
     filtered = bytearray()
-    prev = bytes(stride)
-    for y in range(h):
-        row = bytearray()
-        for x in range(w):
-            row += bytes(((x + doc_id) % 256, (y + 2 * doc_id) % 256,
-                          (x + y + 3 * doc_id) % 256))
-        if y == 0:
-            ft, flt = 0, bytes(row)
-        elif y % 2:  # Up
-            ft = 2
-            flt = bytes((row[i] - prev[i]) & 0xFF
-                        for i in range(stride))
-        else:        # Sub
-            ft = 1
-            flt = bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
-                        for i in range(stride))
-        filtered += bytes([ft]) + flt
-        prev = bytes(row)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+    if interlaced:
+        for x0, y0, dx, dy in _ADAM7:
+            rows = [r for r in rows_for(x0, y0, dx, dy) if r]
+            if rows:
+                filtered += _png_filter_rows(rows, bpp)
+    else:
+        filtered += _png_filter_rows(rows_for(0, 0, 1, 1), bpp)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctyp, 0, 0,
+                       1 if interlaced else 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if ctyp == 3:
+        pal = bytearray()
+        for i in range(256):
+            pal += bytes(((5 * i + doc_id) % 256,
+                          (7 * i + 2 * doc_id) % 256,
+                          (11 * i + 3 * doc_id) % 256))
+        out += _png_chunk(b"PLTE", bytes(pal))
+    return (out + _png_chunk(b"IDAT",
+                             zlib.compress(bytes(filtered), 6))
             + _png_chunk(b"IEND", b""))
 
 
@@ -440,17 +492,23 @@ def _png_unfilter(raw: bytes, w: int, h: int,
 
 
 def decode_png_pixels(payload: bytes) -> tuple:
-    """Full stdlib PNG pixel decode for RGB8 non-interlaced images:
-    chunk walk -> concatenated IDAT zlib stream -> un-filter ->
-    per-channel sums. Returns (width, height, r_sum, g_sum, b_sum)
-    or (None,)*5 for anything unsupported (never raises)."""
+    """Full stdlib PNG pixel decode for every 8-bit color type
+    (grayscale, RGB, palette, gray+alpha, RGBA), interlaced or not:
+    chunk walk -> concatenated IDAT zlib stream -> per-pass
+    un-filter (Adam7 pass geometry when interlaced) -> palette
+    resolution -> per-channel sums (alpha excluded; gray counted in
+    all three channels). 16-bit depth stays unsupported scope.
+    Returns (width, height, r_sum, g_sum, b_sum) or (None,)*5 for
+    anything unsupported (never raises)."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
         return (None,) * 5
     pos = 8
     n = len(payload)
-    w = h = None
+    w = h = ctyp = None
+    interlaced = False
+    plte = None
     idat = bytearray()
     try:
         while pos + 8 <= n:
@@ -459,19 +517,59 @@ def decode_png_pixels(payload: bytes) -> tuple:
             data = payload[pos + 8:pos + 8 + clen]
             if ctype == b"IHDR":
                 w, h, depth, ctyp = struct.unpack(">IIBB", data[:10])
-                if depth != 8 or ctyp != 2 or data[12] != 0:
-                    return (None,) * 5  # not RGB8 non-interlaced
+                if depth != 8 or ctyp not in _PNG_BPP:
+                    return (None,) * 5  # 16-bit / bad type: scope
+                interlaced = data[12] == 1
+                if data[12] not in (0, 1):
+                    return (None,) * 5
+            elif ctype == b"PLTE":
+                plte = data
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
                 break
             pos += 12 + clen  # len + type + data + crc
-        if w is None or not idat:
+        if w is None or not idat or (ctyp == 3 and not plte):
             return (None,) * 5
-        px = _png_unfilter(zlib.decompress(bytes(idat)), w, h)
+        bpp = _PNG_BPP[ctyp]
+        raw = zlib.decompress(bytes(idat))
+        samples = bytearray(w * h * bpp)
+        if interlaced:
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = len(range(x0, w, dx))
+                ph = len(range(y0, h, dy))
+                if not pw or not ph:
+                    continue
+                need = (1 + pw * bpp) * ph
+                sub = _png_unfilter(raw[off:off + need], pw, ph, bpp)
+                off += need
+                for j, y in enumerate(range(y0, h, dy)):
+                    for i, x in enumerate(range(x0, w, dx)):
+                        s = (j * pw + i) * bpp
+                        t = (y * w + x) * bpp
+                        samples[t:t + bpp] = sub[s:s + bpp]
+        else:
+            samples = _png_unfilter(raw, w, h, bpp)
+        r_sum = g_sum = b_sum = 0
+        if ctyp in (0, 4):   # gray (+alpha): v in all channels
+            vals = samples[0::bpp]
+            r_sum = g_sum = b_sum = sum(vals)
+        elif ctyp == 3:      # palette indices
+            npal = len(plte) // 3
+            for i in samples:
+                if i >= npal:
+                    return (None,) * 5
+                r_sum += plte[3 * i]
+                g_sum += plte[3 * i + 1]
+                b_sum += plte[3 * i + 2]
+        else:                # RGB / RGBA (alpha excluded)
+            r_sum = sum(samples[0::bpp])
+            g_sum = sum(samples[1::bpp])
+            b_sum = sum(samples[2::bpp])
     except Exception:
         return (None,) * 5
-    return (w, h, sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
+    return (w, h, r_sum, g_sum, b_sum)
 
 
 # -------------------------------------------------- GIF pixel decode

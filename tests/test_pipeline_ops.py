@@ -1366,6 +1366,64 @@ def test_jpeg_decoder_scope_degrades():
     assert decode_jpeg_pixels(_jpeg_header(32, 16)) == (None,) * 5
 
 
+def test_png_color_types_and_adam7():
+    """PNG decode across the full 8-bit surface: RGB, RGBA (alpha
+    stored, excluded from sums), grayscale (counted in all three
+    channels), palette (PLTE lookup), and Adam7 interlace (per-pass
+    filter/unfilter, so wrong pass geometry corrupts sums). 16-bit
+    depth and a missing PLTE stay documented scope -> NULLs."""
+    import struct
+    import zlib
+
+    from html_parser_spark.operators.media import (
+        _PNG_SIG, _png_chunk, _synth_png_full, decode_png_pixels)
+
+    for d in range(25):  # covers every (ctyp, interlace) pairing
+        w, h = 4 + d % 13, 4 + d % 7
+        ctyp = (2, 6, 0, 3)[d % 4]
+        R = G = B = 0
+        for y in range(h):
+            for x in range(w):
+                if ctyp in (2, 6):
+                    R += (x + d) % 256
+                    G += (y + 2 * d) % 256
+                    B += (x + y + 3 * d) % 256
+                elif ctyp == 0:
+                    v = (x + d) % 256
+                    R += v
+                    G += v
+                    B += v
+                else:
+                    i = (x + 2 * y + d) % 256
+                    R += (5 * i + d) % 256
+                    G += (7 * i + 2 * d) % 256
+                    B += (11 * i + 3 * d) % 256
+        assert decode_png_pixels(_synth_png_full(d)) == \
+            (w, h, R, G, B), (d, ctyp)
+    # gray+alpha (type 4, outside the fixture rotation)
+    rows = b"".join(
+        b"\x00" + bytes(b for x in range(3)
+                        for b in ((x + y) % 256, 200))
+        for y in range(3))
+    ga = (_PNG_SIG
+          + _png_chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 3, 3, 8, 4, 0, 0, 0))
+          + _png_chunk(b"IDAT", zlib.compress(rows))
+          + _png_chunk(b"IEND", b""))
+    s = sum((x + y) % 256 for x in range(3) for y in range(3))
+    assert decode_png_pixels(ga) == (3, 3, s, s, s)
+    # 16-bit depth and palette-without-PLTE degrade
+    p16 = (_PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IEND", b""))
+    assert decode_png_pixels(p16) == (None,) * 5
+    p3 = (_PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _png_chunk(b"IEND", b""))
+    assert decode_png_pixels(p3) == (None,) * 5
+
+
 def test_gif_pixel_decode_full(spark, docs):
     """Complete GIF decode path: valid fixture GIFs (real GIF-LZW
     with LSB-first packing + late width change, extension blocks,
