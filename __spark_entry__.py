@@ -1195,8 +1195,25 @@ def _q_media_pixels(spark, sf_dir):
         F.col("n_samples").cast("long").alias("g_sum"),
         F.lit(-1).cast("long").alias("b_sum"),
         F.concat(F.lit("mp4meta:"), F.col("codec")).alias("fmt"))
+    # the FRAGMENTED (DASH/HLS) layout: the same closed-form frames
+    # reached through moof/tfhd/trun + trex-default resolution
+    # instead of the stbl — every 2nd frame plus the meta row, so
+    # the whole fragment walk is verified numerically
+    fvid = synth_mp4_videos(docs, fragmented=True)
+    fmp4f = sample_video_frames(fvid, every_n=2).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+        F.concat(F.lit("fmp4:"),
+                 F.col("frame_idx").cast("string")).alias("fmt"))
+    fmp4m = video_meta(synth_mp4_videos(docs, fragmented=True)) \
+        .select(
+            "doc_id", "width", "height",
+            F.col("duration_ms").alias("r_sum"),
+            F.col("n_samples").cast("long").alias("g_sum"),
+            F.lit(-1).cast("long").alias("b_sum"),
+            F.concat(F.lit("fmp4meta:"), F.col("codec")).alias("fmt"))
     return png.unionByName(jpg).unionByName(gif) \
-        .unionByName(mp4f).unionByName(mp4m)
+        .unionByName(mp4f).unionByName(mp4m) \
+        .unionByName(fmp4f).unionByName(fmp4m)
 
 
 def _q_pdf_text(spark, sf_dir):
@@ -2654,6 +2671,40 @@ def oracle_sql() -> dict[str, str]:
                         WHERE f % 2 = 0))
             GROUP BY doc_id, w, h, f
             UNION ALL
+            SELECT doc_id, w AS width, h AS height,
+                   CAST(sum(64 * r) AS BIGINT) AS r_sum,
+                   CAST(sum(64 * g) AS BIGINT) AS g_sum,
+                   CAST(sum(64 * b) AS BIGINT) AS b_sum,
+                   'fmp4:' || CAST(f AS VARCHAR) AS fmt
+            FROM (SELECT doc_id, w, h, f,
+                    GREATEST(0, LEAST(255, CAST(floor(
+                      yv + 1.402*(cr-128) + 0.5) AS BIGINT))) AS r,
+                    GREATEST(0, LEAST(255, CAST(floor(
+                      yv - 0.344136*(cb-128) - 0.714136*(cr-128)
+                      + 0.5) AS BIGINT))) AS g,
+                    GREATEST(0, LEAST(255, CAST(floor(
+                      yv + 1.772*(cb-128) + 0.5) AS BIGINT))) AS b
+                  FROM (SELECT doc_id, w, h, f,
+                          (17*bx + 29*by + doc_id + 41*f) % 256
+                            AS yv,
+                          (23*bx + 31*by + 2*doc_id + 43*f) % 256
+                            AS cb,
+                          (13*bx + 37*by + 3*doc_id + 47*f) % 256
+                            AS cr
+                        FROM (SELECT doc_id,
+                                CAST(8*(1+doc_id%3) AS INT) AS w,
+                                CAST(8*(1+doc_id%2) AS INT) AS h,
+                                3 + doc_id % 5 AS n
+                              FROM documents) vd,
+                             LATERAL (SELECT unnest(range(0, n))
+                                      AS f) fs,
+                             LATERAL (SELECT unnest(range(0, w//8))
+                                      AS bx) bxs,
+                             LATERAL (SELECT unnest(range(0, h//8))
+                                      AS by) bys
+                        WHERE f % 2 = 0))
+            GROUP BY doc_id, w, h, f
+            UNION ALL
             SELECT doc_id,
                    CAST(8*(1+doc_id%3) AS INT) AS width,
                    CAST(8*(1+doc_id%2) AS INT) AS height,
@@ -2661,6 +2712,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3+doc_id%5 AS BIGINT) AS g_sum,
                    CAST(-1 AS BIGINT) AS b_sum,
                    'mp4meta:jpeg' AS fmt
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   CAST(8*(1+doc_id%3) AS INT) AS width,
+                   CAST(8*(1+doc_id%2) AS INT) AS height,
+                   CAST(40*(3+doc_id%5) AS BIGINT) AS r_sum,
+                   CAST(3+doc_id%5 AS BIGINT) AS g_sum,
+                   CAST(-1 AS BIGINT) AS b_sum,
+                   'fmp4meta:jpeg' AS fmt
             FROM documents""",
     }
     return out

@@ -214,22 +214,84 @@ def _synth_mp4_full(doc_id: int) -> bytes:
                              _co_box(False, coffs)) + mdat)
 
 
-def synth_mp4_videos(df: DataFrame,
-                     key_col: str = "doc_id") -> DataFrame:
-    """Deterministic fully-decodable MJPEG-in-MP4 fixture blobs (see
-    :func:`_synth_mp4_full`) — a SQL oracle can predict every sampled
-    frame's decoded channel sums in closed form."""
+def _synth_fmp4(doc_id: int) -> bytes:
+    """A fragmented MP4 (the DASH/HLS streaming layout): ftyp +
+    moov whose video trak has an EMPTY stbl, with mvex/trex carrying
+    fragment defaults, followed by one moof+mdat pair per two frames
+    (trun with per-sample sizes and a moof-relative data offset).
+    Frames are the same closed-form MJPEG fixtures as the
+    progressive layout. Every other doc carries the default sample
+    duration in tfhd (flag 0x8) instead of trex, so both default
+    paths are exercised."""
+    w, h, n, _ = _mp4_layout(doc_id)
+    frames = [_synth_frame(doc_id, f, w, h) for f in range(n)]
+    tfhd_path = doc_id % 2 == 1
+
+    mvhd = _full(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, _TIMESCALE, 0)      # duration 0: fragmented
+        + struct.pack(">IHHQ", 0x00010000, 0x0100, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2))
+    ventry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+              + struct.pack(">H", 1) + b"\x00" * 16
+              + struct.pack(">HH", w, h)
+              + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+              + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    vtrak = _trak(1, 0, w, h, b"vide", ventry,
+                  struct.pack(">I", 0), [], [], _co_box(False, []))
+    trex = _full(b"trex", 0, struct.pack(
+        ">IIIII", 1, 1, 0 if tfhd_path else _FRAME_DUR, 0, 0))
+    moov = _box(b"moov", mvhd + vtrak + _box(b"mvex", trex))
+
+    def frag(seq: int, chunk: list[bytes]) -> bytes:
+        flags = 0x8 if tfhd_path else 0
+        tfhd = _box(b"tfhd", bytes([0]) + flags.to_bytes(3, "big")
+                    + struct.pack(">I", 1)
+                    + (struct.pack(">I", _FRAME_DUR)
+                       if tfhd_path else b""))
+
+        def trun_with(off: int) -> bytes:
+            return _box(b"trun",
+                        bytes([0]) + (0x201).to_bytes(3, "big")
+                        + struct.pack(">Ii", len(chunk), off)
+                        + b"".join(struct.pack(">I", len(fr))
+                                   for fr in chunk))
+
+        mfhd = _full(b"mfhd", 0, struct.pack(">I", seq))
+        blank = _box(b"moof", mfhd + _box(b"traf",
+                                          tfhd + trun_with(0)))
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun_with(
+            len(blank) + 8)))
+        return moof + _box(b"mdat", b"".join(chunk))
+
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200)
+                + b"iso5dash")
+    out = bytearray(ftyp + moov)
+    for seq, g in enumerate(range(0, n, 2), start=1):
+        out += frag(seq, frames[g:g + 2])
+    return bytes(out)
+
+
+def synth_mp4_videos(df: DataFrame, key_col: str = "doc_id",
+                     fragmented: bool = False) -> DataFrame:
+    """Deterministic fully-decodable MJPEG-in-MP4 fixture blobs
+    (progressive :func:`_synth_mp4_full`, or the DASH/HLS
+    :func:`_synth_fmp4` layout when ``fragmented``) — a SQL oracle
+    can predict every sampled frame's decoded channel sums in
+    closed form."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
     ])
+    build = _synth_fmp4 if fragmented else _synth_mp4_full
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf[key_col],
-                "payload": [_synth_mp4_full(int(k))
-                            for k in pdf[key_col]],
+                "payload": [build(int(k)) for k in pdf[key_col]],
             })
 
     return df.select(key_col).mapInPandas(run, schema)
@@ -321,9 +383,20 @@ def _parse_tracks(payload: bytes) -> dict | None:
                 tk = {}
                 movie["tracks"].append(tk)
                 descend(b, e, tk)
+            elif four == b"mvex":
+                descend(b, e, None)
+            elif four == b"trex":
+                # per-track fragment defaults (ISO 14496-12 §8.8.3)
+                tid, _di, ddur, dsz = struct.unpack(
+                    ">IIII", payload[b + 4:b + 20])
+                movie.setdefault("trex", {})[tid] = (ddur, dsz)
             elif tk is None:
                 continue
             elif four == b"tkhd":
+                v = payload[b]
+                tk["track_id"] = struct.unpack(
+                    ">I", payload[b + 20:b + 24] if v == 1
+                    else payload[b + 12:b + 16])[0]
                 wq, hq = struct.unpack(">II", payload[e - 8:e])
                 tk["width"], tk["height"] = wq >> 16, hq >> 16
             elif four == b"mdhd":
@@ -387,9 +460,83 @@ def _parse_tracks(payload: bytes) -> dict | None:
             elif four in _CONTAINERS:
                 descend(b, e, tk)
 
+    frags: list[dict] = []
+
+    def parse_moof(moof_start: int, pos: int, end: int) -> None:
+        """One movie fragment (ISO 14496-12 §8.8): traf > tfhd
+        (track id + default size/duration flags) + trun (sample
+        count, data offset relative to moof start, optional
+        per-sample sizes/durations). Counts are capacity-checked
+        like the stbl boxes."""
+        for four, b, e in _walk_boxes(payload, pos, end):
+            if four != b"traf":
+                continue
+            fr: dict = {"moof_start": moof_start}
+            for f4, fb, fe in _walk_boxes(payload, b, e):
+                if f4 == b"tfhd":
+                    flags = int.from_bytes(payload[fb + 1:fb + 4],
+                                           "big")
+                    fr["track_id"] = struct.unpack(
+                        ">I", payload[fb + 4:fb + 8])[0]
+                    p = fb + 8
+                    if flags & 0x1:   # base-data-offset
+                        fr["base"] = struct.unpack(
+                            ">Q", payload[p:p + 8])[0]
+                        p += 8
+                    if flags & 0x2:   # sample-description-index
+                        p += 4
+                    if flags & 0x8:
+                        fr["def_dur"] = struct.unpack(
+                            ">I", payload[p:p + 4])[0]
+                        p += 4
+                    if flags & 0x10:
+                        fr["def_size"] = struct.unpack(
+                            ">I", payload[p:p + 4])[0]
+                elif f4 == b"trun":
+                    flags = int.from_bytes(payload[fb + 1:fb + 4],
+                                           "big")
+                    cnt = struct.unpack(
+                        ">I", payload[fb + 4:fb + 8])[0]
+                    per = (4 * ((flags >> 8 & 1) + (flags >> 9 & 1)
+                                + (flags >> 10 & 1)
+                                + (flags >> 11 & 1)))
+                    head = 4 + (4 if flags & 0x1 else 0) \
+                        + (4 if flags & 0x4 else 0)
+                    if per and cnt > (fe - fb - 4 - head) // per:
+                        fr["corrupt"] = True
+                        continue
+                    p = fb + 8
+                    if flags & 0x1:   # signed data offset
+                        fr["data_offset"] = struct.unpack(
+                            ">i", payload[p:p + 4])[0]
+                        p += 4
+                    if flags & 0x4:   # first-sample-flags
+                        p += 4
+                    samples = []
+                    for _ in range(cnt):
+                        dur = sz = None
+                        if flags & 0x100:
+                            dur = struct.unpack(
+                                ">I", payload[p:p + 4])[0]
+                            p += 4
+                        if flags & 0x200:
+                            sz = struct.unpack(
+                                ">I", payload[p:p + 4])[0]
+                            p += 4
+                        if flags & 0x400:
+                            p += 4
+                        if flags & 0x800:
+                            p += 4
+                        samples.append((dur, sz))
+                    fr["samples"] = samples
+            if "track_id" in fr and not fr.get("corrupt"):
+                frags.append(fr)
+
     for four, b, e in tops:
         if four == b"moov":
             descend(b, e, None)
+        elif four == b"moof":
+            parse_moof(b - 8, b, e)
     good = []
     for tk in movie["tracks"]:
         if tk.get("corrupt") \
@@ -416,6 +563,35 @@ def _parse_tracks(payload: bytes) -> dict | None:
                 break
         tk["starts"], tk["durations"] = starts, durs
         good.append(tk)
+    # fragmented MP4: append each moof's run to its track, offsets
+    # relative to the moof start (the spec default when no explicit
+    # base-data-offset is carried), timing continuing per track
+    by_id = {tk.get("track_id"): tk for tk in good}
+    for fr in frags:
+        tk = by_id.get(fr["track_id"])
+        if tk is None or "samples" not in fr:
+            continue
+        off = fr.get("base", fr["moof_start"]) \
+            + fr.get("data_offset", 0)
+        t = tk["starts"][-1] + tk["durations"][-1] \
+            if tk["starts"] else 0
+        ddur, dsz = movie.get("trex", {}).get(fr["track_id"],
+                                              (0, 0))
+        ddur = fr.get("def_dur", ddur)
+        dsz = fr.get("def_size", dsz)
+        for dur, sz in fr["samples"]:
+            sz = sz if sz is not None else dsz
+            dur = dur if dur is not None else ddur
+            if sz <= 0:
+                tk["corrupt"] = True
+                break
+            tk["sizes"].append(sz)
+            tk["offsets"].append(off)
+            tk["starts"].append(t)
+            tk["durations"].append(dur)
+            off += sz
+            t += dur
+    good = [tk for tk in good if not tk.get("corrupt")]
     movie["tracks"] = good
     return movie if good else None
 
@@ -434,8 +610,12 @@ def parse_mp4(payload: bytes) -> dict | None:
                     if tk.get("handler") == "vide"), None)
         if vid is None:
             return None
+        # fragmented MP4s carry mvhd duration 0; the real duration
+        # is the sum of the fragment sample durations
+        duration = movie.get("duration", 0) \
+            or sum(vid.get("durations", []))
         return {"timescale": movie.get("timescale", 0),
-                "duration": movie.get("duration", 0),
+                "duration": duration,
                 "width": vid.get("width", 0),
                 "height": vid.get("height", 0),
                 "codec": vid.get("codec", ""),

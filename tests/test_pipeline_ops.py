@@ -1596,6 +1596,55 @@ def test_mp4_parse_degrades():
         assert time.monotonic() - t0 < 2.0, four
 
 
+def test_fmp4_fragment_walk(spark, docs):
+    """The fragmented (DASH/HLS) layout end-to-end: empty stbl +
+    mvex/trex defaults, moof/tfhd/trun runs with moof-relative data
+    offsets — both default-duration paths (trex and tfhd 0x8) —
+    resolve to the SAME frames and timing as the progressive
+    layout of the same doc ids."""
+    from html_parser_spark.operators.video import (
+        sample_video_frames, synth_mp4_videos)
+
+    prog = {(r.doc_id, r.frame_idx): r for r in
+            sample_video_frames(synth_mp4_videos(docs),
+                                every_n=2).collect()}
+    frag = {(r.doc_id, r.frame_idx): r for r in
+            sample_video_frames(
+                synth_mp4_videos(docs, fragmented=True),
+                every_n=2).collect()}
+    assert frag.keys() == prog.keys() and len(frag) > 0
+    for k, fr in frag.items():
+        pr = prog[k]
+        assert (fr.width, fr.height, fr.r_sum, fr.g_sum, fr.b_sum,
+                fr.duration_ms, fr.n_samples) == \
+            (pr.width, pr.height, pr.r_sum, pr.g_sum, pr.b_sum,
+             pr.duration_ms, pr.n_samples), k
+
+
+def test_fmp4_degrades():
+    """Fragment robustness: moov-only (fragments stripped) parses
+    with zero samples; a hostile trun sample count beyond the box is
+    dropped; a zero default size marks the track corrupt -> None."""
+    import struct
+
+    from html_parser_spark.operators.video import (
+        _synth_fmp4, parse_mp4)
+
+    full = _synth_fmp4(0)
+    moof_at = full.find(b"moof")
+    head_only = full[: moof_at - 4]
+    m = parse_mp4(head_only)
+    assert m is not None and m["n_samples"] == 0
+    bomb = bytearray(full)
+    i = bomb.find(b"trun")
+    struct.pack_into(">I", bomb, i + 8, 0x7FFFFFFF)
+    # the hostile first fragment is dropped (capacity check); the
+    # intact second fragment still merges — same torn-record
+    # resilience as the WARC walk, and bounded time/memory
+    m = parse_mp4(bytes(bomb))
+    assert m is not None and m["n_samples"] == 1
+
+
 def test_mp4_caption_extraction(spark, docs):
     """The timed-text leg: the multi-track walk finds the tx3g
     track alongside the video track, resolves ITS sample table, and
