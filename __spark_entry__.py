@@ -1078,7 +1078,19 @@ def _q_media_meta(spark, sf_dir):
         F.col("text").alias("s"),
         F.col("start_ms").cast("int").alias("w"),
         F.col("end_ms").cast("int").alias("h"))
-    return meta.unionByName(frames).unionByName(caps)
+    # file-based captions: WebVTT (even docs) / SRT (odd docs) cue
+    # extraction — the same timed-text row shape as the in-container
+    # tx3g arm, so both caption sources are verified side by side
+    from html_parser_spark.operators.subtitles import (
+        subtitle_cues, synth_subtitles)
+    cues = subtitle_cues(synth_subtitles(docs)).select(
+        F.col("fmt").alias("variant"), "doc_id",
+        F.col("cue_idx").alias("k"),
+        F.col("text").alias("s"),
+        F.col("start_ms").cast("int").alias("w"),
+        F.col("end_ms").cast("int").alias("h"))
+    return meta.unionByName(frames).unionByName(caps) \
+        .unionByName(cues)
 
 
 #: planted page layout for the boilerplate-removal heuristics: short
@@ -2514,6 +2526,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(40 * (f + 1) AS INTEGER)
             FROM (SELECT doc_id,
                          unnest(range(0, 1 + doc_id % 3)) AS f
+                  FROM documents)
+            UNION ALL
+            SELECT CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'vtt'
+                        ELSE 'srt' END,
+                   doc_id, CAST(i AS INTEGER),
+                   'cue ' || CAST(i AS VARCHAR) || ' of doc '
+                     || CAST(doc_id AS VARCHAR),
+                   CAST(i * 65432 + (doc_id % 7) * 1000 AS INTEGER),
+                   CAST(i * 65432 + (doc_id % 7) * 1000 + 2500
+                        AS INTEGER)
+            FROM (SELECT doc_id,
+                         unnest(range(0, 1 + doc_id % 3)) AS i
                   FROM documents)""",
         "render_conv": f"""
             WITH t AS (

@@ -1726,6 +1726,43 @@ def test_mp3_walk_degrades():
         (None,) * 5
 
 
+def test_subtitle_cues(spark, docs):
+    """WebVTT + SRT cue extraction on Spark: fixture timing/text in
+    closed form, and real-world wrinkles on hand-built samples —
+    NOTE/STYLE blocks, cue identifiers, SRT index lines, short
+    MM:SS.mmm stamps, torn blocks skipped without losing
+    neighbors."""
+    from html_parser_spark.operators.subtitles import (
+        parse_subtitles, subtitle_cues, synth_subtitles)
+
+    out = {(r.doc_id, r.cue_idx): r for r in
+           subtitle_cues(synth_subtitles(docs)).collect()}
+    for d in range(5):
+        n = 1 + d % 3
+        fmt = "vtt" if d % 2 == 0 else "srt"
+        assert [i for dd, i in sorted(out) if dd == d] \
+            == list(range(n))
+        for i in range(n):
+            r = out[(d, i)]
+            s = i * 65_432 + (d % 7) * 1000
+            assert (r.fmt, r.start_ms, r.end_ms) == (fmt, s, s + 2500)
+            assert r.text == f"cue {i} of doc {d}"
+    vtt = ("WEBVTT\n\nNOTE x\nmore note\n\n"
+           "00:01.000 --> 00:02.500\nHello\nsecond line\n\n"
+           "STYLE\n::cue { color: red }\n\n"
+           "id-7\n01:02:03.450 --> 01:02:04.000\nlater\n")
+    assert parse_subtitles(vtt) == [
+        ("vtt", 61_000, 62_500, "Hello\nsecond line"),
+        ("vtt", 3_723_450, 3_724_000, "later")]
+    srt = ("1\n00:00:01,000 --> 00:00:02,000\nfirst\n\n"
+           "garbage block\nwithout timing\n\n"
+           "2\n00:00:03,000 --> 00:00:04,000\nsecond\n")
+    assert [c[3] for c in parse_subtitles(srt)] == ["first",
+                                                   "second"]
+    assert parse_subtitles("") == []
+    assert parse_subtitles("random text\nno cues here\n") == []
+
+
 def test_warc_records_roundtrip(spark):
     """The WARC source end-to-end on Spark: synth segments (plain
     and per-record-gzip .warc.gz layouts) -> record walk -> HTTP
