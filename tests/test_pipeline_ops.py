@@ -1751,8 +1751,9 @@ def test_subtitle_cues(spark, docs):
            "00:01.000 --> 00:02.500\nHello\nsecond line\n\n"
            "STYLE\n::cue { color: red }\n\n"
            "id-7\n01:02:03.450 --> 01:02:04.000\nlater\n")
+    # "00:01.000" is the VTT short form MM:SS.mmm -> 1 s
     assert parse_subtitles(vtt) == [
-        ("vtt", 61_000, 62_500, "Hello\nsecond line"),
+        ("vtt", 1_000, 2_500, "Hello\nsecond line"),
         ("vtt", 3_723_450, 3_724_000, "later")]
     srt = ("1\n00:00:01,000 --> 00:00:02,000\nfirst\n\n"
            "garbage block\nwithout timing\n\n"
