@@ -570,19 +570,26 @@ def _q_audio_stats(spark, sf_dir):
     mode — reported in the same columns with sum_sq carrying
     bitrate_kbps and peak carrying duration_ms; the oracle
     re-derives every field including the frame-count duration.
+    Third arm (variant='flac'): STREAMINFO metadata-block walk
+    (bit-packed sample rate / channels / bits-per-sample / total
+    samples, last-flag block skipping) — sum_sq carries
+    bits_per_sample, peak carries duration_ms.
+
     (The standalone lsh_pairs row this slot held is still
     driver-verified through ngram_jaccard, dedup_corpus,
     curate_corpus and dedup_incremental, whose oracles all re-derive
     the LSH banding in SQL.)"""
     from html_parser_spark.operators.audio import (
-        decode_mp3_meta, decode_wav_stats, synth_mp3_audio,
-        synth_wav_audio)
+        decode_flac_meta, decode_mp3_meta, decode_wav_stats,
+        synth_flac_audio, synth_mp3_audio, synth_wav_audio)
     docs = _docs(spark, sf_dir)
     wav = decode_wav_stats(synth_wav_audio(docs)) \
         .withColumn("variant", F.lit("wav"))
     mp3 = decode_mp3_meta(synth_mp3_audio(docs)) \
         .withColumn("variant", F.lit("mp3"))
-    return wav.unionByName(mp3)
+    flac = decode_flac_meta(synth_flac_audio(docs)) \
+        .withColumn("variant", F.lit("flac"))
+    return wav.unionByName(mp3).unionByName(flac)
 
 
 #: planted passage fixture: doc_id % 3 == 0 rows share one 8-word
@@ -2117,6 +2124,23 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 0 THEN 44100 WHEN 1 THEN 48000
                            ELSE 32000 END AS INT) AS peak,
                    'mp3' AS variant
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 96000 END AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(1000 + 100 * (doc_id % 10) AS INT)
+                     AS n_frames,
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 16 WHEN 1 THEN 24
+                        ELSE 8 END AS BIGINT) AS sum_sq,
+                   CAST((1000 + 100 * (doc_id % 10)) * 1000
+                        // CASE CAST(doc_id % 3 AS INT)
+                           WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 96000 END AS INT) AS peak,
+                   'flac' AS variant
             FROM documents""",
         "dedup_incremental": f"""
             WITH {_LSH_BANDS_CTE},

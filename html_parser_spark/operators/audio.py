@@ -339,3 +339,122 @@ def decode_mp3_meta(df: DataFrame, key_col: str = "doc_id",
 
     return df.select(key_col, payload_col).mapInPandas(
         run, AUDIO_STATS_SCHEMA)
+
+
+# --------------------------------------------------- FLAC STREAMINFO
+#
+# FLAC (public xiph spec) rounds out the audio-catalog triad: WAV is
+# decoded fully, MP3 and FLAC at the metadata tier. STREAMINFO is
+# the mandatory first metadata block — sample rate (20 bits),
+# channels (3 bits, stored -1), bits per sample (5 bits, stored -1)
+# and total samples (36 bits) bit-packed big-endian. Frame decode
+# (rice-coded subframes) is deployment codec scope.
+
+
+def _flac_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, total_samples) —
+    closed-form, mirrored by the SQL oracle."""
+    return ((44100, 48000, 96000)[doc_id % 3],
+            1 + doc_id % 2,
+            (16, 24, 8)[doc_id % 3],
+            1000 + 100 * (doc_id % 10))
+
+
+def _synth_flac(doc_id: int) -> bytes:
+    """'fLaC' + a last-flagged STREAMINFO block with the closed-form
+    fields bit-packed per spec (min/max block and frame sizes
+    deterministic, MD5 zeroed), then a VORBIS_COMMENT block the
+    walk must skip when STREAMINFO is not last."""
+    sr, ch, bps, total = _flac_params(doc_id)
+    body = struct.pack(">HH", 4096, 4096)          # min/max block
+    body += (b"\x00\x00\x20" * 2)                  # min/max frame
+    packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    body += packed.to_bytes(8, "big")
+    body += b"\x00" * 16                           # MD5
+    last = doc_id % 2 == 0
+    out = bytearray(b"fLaC")
+    out += bytes([0x80 if last else 0x00]) + b"\x00\x00\x22" + body
+    if not last:
+        vc = b"\x04\x00\x00\x08" + b"\x00\x00\x00\x04ref\x00"
+        out += bytes([vc[0] | 0x80]) + vc[1:]
+    return bytes(out)
+
+
+def synth_flac_audio(df: DataFrame,
+                     key_col: str = "doc_id") -> DataFrame:
+    """Deterministic FLAC fixture blobs (see :func:`_synth_flac`)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "payload": [_synth_flac(int(k))
+                            for k in pdf[key_col]],
+            })
+
+    return df.select(key_col).mapInPandas(run, schema)
+
+
+def parse_flac_meta(payload: bytes) -> tuple:
+    """'fLaC' STREAMINFO walk -> (sample_rate, channels, n_frames=
+    total_samples, bits_per_sample, duration_ms); (None,)*5 for
+    anything that is not a well-formed FLAC header — never raises."""
+    try:
+        if payload[:4] != b"fLaC":
+            return (None,) * 5
+        pos, n = 4, len(payload)
+        while pos + 4 <= n:
+            hdr = payload[pos]
+            btype, last = hdr & 0x7F, bool(hdr & 0x80)
+            blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+            if pos + 4 + blen > n:
+                return (None,) * 5  # truncated block
+            if btype == 0:  # STREAMINFO
+                if blen != 34:
+                    return (None,) * 5
+                b = payload[pos + 4:pos + 4 + 34]
+                packed = int.from_bytes(b[10:18], "big")
+                sr = packed >> 44
+                ch = ((packed >> 41) & 0x7) + 1
+                bps = ((packed >> 36) & 0x1F) + 1
+                total = packed & ((1 << 36) - 1)
+                if sr == 0:
+                    return (None,) * 5
+                return (sr, ch, total, bps, total * 1000 // sr)
+            if last:
+                break
+            pos += 4 + blen
+        return (None,) * 5  # no STREAMINFO: corrupt per spec
+    except Exception:
+        return (None,) * 5
+
+
+def decode_flac_meta(df: DataFrame, key_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """binary FLAC payloads -> STREAMINFO metadata in the shared
+    AUDIO_STATS_SCHEMA columns (sum_sq carries bits_per_sample,
+    peak carries duration_ms — the variant-tagged merge idiom)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [parse_flac_meta(bytes(p))
+                   if p is not None else (None,) * 5
+                   for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "sample_rate": pd.array([r[0] for r in res],
+                                        dtype="Int64"),
+                "channels": pd.array([r[1] for r in res],
+                                     dtype="Int64"),
+                "n_frames": pd.array([r[2] for r in res],
+                                     dtype="Int64"),
+                "sum_sq": pd.array([r[3] for r in res],
+                                   dtype="Int64"),
+                "peak": pd.array([r[4] for r in res], dtype="Int64"),
+            })
+
+    return df.select(key_col, payload_col).mapInPandas(
+        run, AUDIO_STATS_SCHEMA)

@@ -1764,6 +1764,33 @@ def test_subtitle_cues(spark, docs):
     assert parse_subtitles("random text\nno cues here\n") == []
 
 
+def test_flac_streaminfo(spark, docs):
+    """FLAC STREAMINFO walk on Spark: bit-packed field extraction
+    across the rotating params, the not-last-block skip path (odd
+    docs append a VORBIS_COMMENT), and degradations."""
+    from html_parser_spark.operators.audio import (
+        _flac_params, _synth_flac, decode_flac_meta, parse_flac_meta,
+        synth_flac_audio)
+
+    out = {r.doc_id: r for r in
+           decode_flac_meta(synth_flac_audio(docs)).collect()}
+    for d in range(5):
+        sr, ch, bps, total = _flac_params(d)
+        r = out[d]
+        assert (r.sample_rate, r.channels, r.n_frames) == \
+            (sr, ch, total)
+        assert r.sum_sq == bps
+        assert r.peak == total * 1000 // sr
+    assert parse_flac_meta(b"") == (None,) * 5
+    assert parse_flac_meta(b"fLaC") == (None,) * 5
+    assert parse_flac_meta(_synth_flac(0)[:20]) == (None,) * 5
+    # a wrong-length STREAMINFO is corrupt, not mis-read (block
+    # header is at offset 4, its 24-bit length at offsets 5..7)
+    bad = bytearray(_synth_flac(0))
+    bad[5:8] = (33).to_bytes(3, "big")
+    assert parse_flac_meta(bytes(bad)) == (None,) * 5
+
+
 def test_warc_records_roundtrip(spark):
     """The WARC source end-to-end on Spark: synth segments (plain
     and per-record-gzip .warc.gz layouts) -> record walk -> HTTP
