@@ -330,7 +330,30 @@ def _q_warc_extract(spark, sf_dir):
         F.lit(None).cast("int").alias("status"),
         F.col("n_chars_in").cast("long").alias("n_body"),
         F.col("trimmed_text").alias("trimmed"))
-    return rec_rows.unionByName(text_rows)
+    # the OTHER standard corpus container: WebDataset tar shards
+    # (ustar walk incl. whole-shard gzip; members then regrouped
+    # into samples by stem — the multimodal training-shard layout)
+    from html_parser_spark.sources.tarshard import (
+        synth_tar_shards, tar_members, webdataset_samples)
+    mem = tar_members(synth_tar_shards(_docs(spark, sf_dir)))
+    tar_rows = mem.select(
+        F.lit("tar").alias("variant"), "doc_id",
+        F.col("member_idx").alias("rec_idx"),
+        F.concat(F.lit("tar:"), F.col("ext")).alias("warc_type"),
+        F.col("name").alias("s"),
+        F.lit(None).cast("int").alias("status"),
+        F.col("n_bytes").alias("n_body"),
+        F.col("body_text").alias("trimmed"))
+    wds_rows = webdataset_samples(mem).select(
+        F.lit("wds").alias("variant"), "doc_id",
+        F.col("n_members").alias("rec_idx"),
+        F.col("exts").alias("warc_type"),
+        F.col("stem").alias("s"),
+        F.lit(None).cast("int").alias("status"),
+        F.col("total_bytes").alias("n_body"),
+        F.lit(None).cast("string").alias("trimmed"))
+    return rec_rows.unionByName(text_rows) \
+        .unionByName(tar_rows).unionByName(wds_rows)
 
 
 #: planted URLs covering the canonicalization cases: default-port +
@@ -1824,7 +1847,41 @@ def oracle_sql() -> dict[str, str]:
                    'Doc & ' || {_ID} || ' ' ||
                      trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
                      ' <link> pic ' || {_ID}
-            FROM documents""",
+            FROM documents
+            UNION ALL
+            SELECT 'tar', doc_id, CAST(3 * j + k AS INT),
+                   'tar:' || CASE k WHEN 0 THEN 'cls'
+                             WHEN 1 THEN 'json' ELSE 'txt' END,
+                   'shard/sample' || CAST(j AS VARCHAR) || '-'
+                     || {_ID} || '.'
+                     || CASE k WHEN 0 THEN 'cls' WHEN 1 THEN 'json'
+                        ELSE 'txt' END,
+                   CAST(NULL AS INT),
+                   CAST(length(CASE k
+                     WHEN 0 THEN CAST(doc_id % 10 AS VARCHAR)
+                     WHEN 1 THEN '{{"id": ' || {_ID} || '}}'
+                     ELSE 'text ' || CAST(j AS VARCHAR)
+                          || ' of doc ' || {_ID} END) AS BIGINT),
+                   CASE k WHEN 0 THEN CAST(doc_id % 10 AS VARCHAR)
+                     WHEN 1 THEN '{{"id": ' || {_ID} || '}}'
+                     ELSE 'text ' || CAST(j AS VARCHAR)
+                          || ' of doc ' || {_ID} END
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 1 + doc_id % 2))
+                          AS j) js,
+                 LATERAL (SELECT unnest(range(0, 3)) AS k) ks
+            UNION ALL
+            SELECT 'wds', doc_id, 3, 'cls+json+txt',
+                   'shard/sample' || CAST(j AS VARCHAR) || '-'
+                     || {_ID},
+                   CAST(NULL AS INT),
+                   CAST(1 + length('{{"id": ' || {_ID} || '}}')
+                        + length('text ' || CAST(j AS VARCHAR)
+                                 || ' of doc ' || {_ID}) AS BIGINT),
+                   CAST(NULL AS VARCHAR)
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 1 + doc_id % 2))
+                          AS j) js""",
         "event_stats": f"""
             SELECT {_ID} AS conv_id,
                    CAST(24 AS BIGINT) AS n_events,

@@ -1845,6 +1845,49 @@ def test_warc_parse_degrades():
     assert parse_warc(b"no records here at all") == []
 
 
+def test_tar_webdataset(spark, docs):
+    """The WebDataset tar-shard source end-to-end: ustar member
+    walk (incl. whole-shard gzip), stem/ext split, and the
+    stem-grouped sample view; the hand-rolled walk is additionally
+    cross-checked against the stdlib tarfile reader in-process."""
+    import io
+    import tarfile
+
+    from html_parser_spark.sources.tarshard import (
+        _synth_tar, parse_tar, synth_tar_shards, tar_members,
+        webdataset_samples)
+
+    mem = tar_members(synth_tar_shards(docs))
+    rows = {(r.doc_id, r.member_idx): r for r in mem.collect()}
+    for d in range(5):  # d=1,4 are gzip shards
+        n = 1 + d % 2
+        assert [i for dd, i in sorted(rows) if dd == d] \
+            == list(range(3 * n))
+        for j in range(n):
+            cls, js, txt = (rows[(d, 3 * j + k)] for k in range(3))
+            assert cls.ext == "cls" and cls.body_text == str(d % 10)
+            assert js.ext == "json" \
+                and js.body_text == f'{{"id": {d}}}'
+            assert txt.stem == f"shard/sample{j}-{d}"
+            assert txt.body_text == f"text {j} of doc {d}"
+            assert txt.n_bytes == len(txt.body_text)
+    samples = {(r.doc_id, r.stem): r for r in
+               webdataset_samples(mem).collect()}
+    for d in range(5):
+        for j in range(1 + d % 2):
+            r = samples[(d, f"shard/sample{j}-{d}")]
+            assert r.n_members == 3 and r.exts == "cls+json+txt"
+    # independent-reader cross-check + degradations
+    std = tarfile.open(fileobj=io.BytesIO(_synth_tar(0)))
+    assert parse_tar(_synth_tar(0)) == [
+        (m.name, std.extractfile(m).read()) for m in std.getmembers()]
+    assert parse_tar(b"") == []
+    assert parse_tar(b"\x00" * 1024) == []
+    assert parse_tar(b"\x1f\x8bnot gzip") == []
+    torn = parse_tar(_synth_tar(0)[:700])  # torn mid-2nd member
+    assert [n for n, _ in torn] == ["shard/sample0-0.cls"]
+
+
 def test_wav_audio_stats(spark, docs):
     """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
     depths: complete fixture WAVs (true chunk sizes, junk LIST
