@@ -117,6 +117,12 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
             if plain is None:
                 return []
             payload = plain
+        elif payload[:3] == b"BZh":
+            import bz2
+            payload = bz2.decompress(payload)
+        elif payload[:6] == b"\xfd7zXZ\x00":
+            import lzma
+            payload = lzma.decompress(payload)
         out: list[tuple[str, bytes]] = []
         pos, n = 0, len(payload)
         while pos + 512 <= n:

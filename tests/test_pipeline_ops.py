@@ -1884,6 +1884,13 @@ def test_tar_webdataset(spark, docs):
     assert parse_tar(b"") == []
     assert parse_tar(b"\x00" * 1024) == []
     assert parse_tar(b"\x1f\x8bnot gzip") == []
+    # bz2/xz shard compression (stdlib) dispatches by magic
+    import bz2
+    import lzma
+
+    plain = _synth_tar(0)
+    assert parse_tar(bz2.compress(plain)) == parse_tar(plain)
+    assert parse_tar(lzma.compress(plain)) == parse_tar(plain)
     torn = parse_tar(_synth_tar(0)[:700])  # torn mid-2nd member
     assert [n for n, _ in torn] == ["shard/sample0-0.cls"]
 
