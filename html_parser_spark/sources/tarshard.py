@@ -161,6 +161,7 @@ _MEMBERS_SCHEMA = T.StructType([
     T.StructField("stem", T.StringType()),
     T.StructField("ext", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("body", T.BinaryType()),
     T.StructField("body_text", T.StringType()),
 ])
 
@@ -170,10 +171,13 @@ def tar_members(df: DataFrame, key_col: str = "doc_id",
     """binary tar shards -> one row per regular member, with the
     WebDataset stem/ext split (basename up to the first dot; the
     directory path stays in the stem so same-named files in
-    different dirs don't collide). ``body_text`` is the UTF-8
-    decode when the member is valid text, else NULL (image/audio
-    members stay opaque — route their bytes to the media decoders).
-    One Arrow map stage, no shuffle."""
+    different dirs don't collide). ``body`` carries the raw member
+    bytes — binary members (images/audio/video) route straight into
+    the media decoders from here — and ``body_text`` is the UTF-8
+    decode when the member is valid text, else NULL. One Arrow map
+    stage, no shuffle; at 100 TB select AWAY the body column in
+    metadata-only queries so column pruning keeps the bytes on
+    disk."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -191,7 +195,7 @@ def tar_members(df: DataFrame, key_col: str = "doc_id",
                     except UnicodeDecodeError:
                         txt = None
                     rows.append((int(k), i, name, stem, ext,
-                                 len(data), txt))
+                                 len(data), data, txt))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[f.name for f in _MEMBERS_SCHEMA])

@@ -1895,6 +1895,53 @@ def test_tar_webdataset(spark, docs):
     assert [n for n, _ in torn] == ["shard/sample0-0.cls"]
 
 
+def test_tar_multimodal_members_decode(spark):
+    """The WebDataset multimodal path end-to-end: a shard whose
+    samples carry BINARY image members routes those bytes straight
+    into the media pixel decoder — tar walk -> (stem, payload) ->
+    decode_image_pixels — while the text members keep flowing to
+    the text tier. This is the plumbing a 100 TB image+caption
+    corpus runs on."""
+    from pyspark.sql import functions as F
+
+    from html_parser_spark.operators.media import (
+        _synth_png_full, decode_image_pixels, decode_png_pixels)
+    from html_parser_spark.sources.tarshard import (
+        _tar_header, parse_tar, tar_members)
+
+    shard = bytearray()
+    for d in (3, 7):
+        png = _synth_png_full(d)
+        for name, data in ((f"s{d}.png", png),
+                           (f"s{d}.txt", f"caption {d}".encode())):
+            shard += _tar_header(name, len(data)) + data
+            shard += b"\x00" * ((-len(data)) % 512)
+    shard += b"\x00" * 1024
+    assert len(parse_tar(bytes(shard))) == 4
+
+    df = spark.createDataFrame([(0, bytes(shard))],
+                               "doc_id long, payload binary")
+    mem = tar_members(df)
+    # binary members: body_text NULL (not valid UTF-8), bytes intact
+    imgs = mem.filter(F.col("ext") == "png")
+    assert all(r.body_text is None for r in imgs.collect())
+    # route the image members IN-DATAFRAME into the pixel decoder:
+    # (stem as key, body as payload) -> decode_image_pixels
+    decoded = {r.doc_id: r for r in decode_image_pixels(
+        imgs.select(F.regexp_extract("stem", r"s(\d+)", 1)
+                    .cast("long").alias("doc_id"),
+                    F.col("body").alias("payload"))).collect()}
+    for d in (3, 7):
+        exp = decode_png_pixels(_synth_png_full(d))
+        r = decoded[d]
+        assert (r.width, r.height, r.r_sum, r.g_sum, r.b_sum) == exp
+        assert (r.width, r.height) == (4 + d % 13, 4 + d % 7)
+    # and the text members reach the text tier intact
+    caps = {r.stem: r.body_text for r in
+            mem.filter(F.col("ext") == "txt").collect()}
+    assert caps == {"s3": "caption 3", "s7": "caption 7"}
+
+
 def test_wav_audio_stats(spark, docs):
     """WAV/RIFF integer-PCM decode at the rotating 16/24/8-bit
     depths: complete fixture WAVs (true chunk sizes, junk LIST
