@@ -2578,15 +2578,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "media_meta": """
             SELECT 'meta' AS variant, doc_id,
-                   CAST(CASE CAST(doc_id % 4 AS INT)
+                   CAST(CASE CAST(doc_id % 5 AS INT)
                         WHEN 0 THEN 33 WHEN 1 THEN 57 WHEN 2 THEN 13
-                        ELSE CASE CAST((doc_id // 4) % 3 AS INT)
+                        WHEN 4 THEN 38
+                        ELSE CASE CAST((doc_id // 5) % 3 AS INT)
                              WHEN 1 THEN 25 ELSE 30 END END
                         + length(text) AS INTEGER) AS k,
-                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png'
+                   CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png'
                         WHEN 1 THEN 'jpeg:o'
                           || CAST(1 + doc_id % 8 AS VARCHAR)
                         WHEN 2 THEN 'gif'
+                        WHEN 4 THEN 'tiff'
                         ELSE 'webp' END AS s,
                    CAST(16 + (doc_id * 7) % 624 AS INTEGER) AS w,
                    CAST(16 + (doc_id * 13) % 464 AS INTEGER) AS h

@@ -116,19 +116,31 @@ def _webp_header(w: int, h: int, sub: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
-#: header builders + per-format fixed header size, keyed doc_id % 4
-#: (webp's size depends on its sub-layout: (doc_id // 4) % 3)
+def _tiff_header(w: int, h: int, big_endian: bool = False) -> bytes:
+    """Real standalone TIFF header (38 bytes): byte-order mark, IFD0
+    with LONG ImageWidth/ImageLength entries."""
+    e = ">" if big_endian else "<"
+    return ((b"MM\x00*" if big_endian else b"II*\x00")
+            + struct.pack(e + "I", 8)
+            + struct.pack(e + "H", 2)
+            + struct.pack(e + "HHII", 256, 4, 1, w)
+            + struct.pack(e + "HHII", 257, 4, 1, h)
+            + struct.pack(e + "I", 0))
+
+
+#: header builders + per-format fixed header size, keyed doc_id % 5
+#: (webp's size depends on its sub-layout: (doc_id // 5) % 3)
 _HEADERS = ((_png_header, 33), (_jpeg_header, 21), (_gif_header, 13))
 
 
 def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Deterministic fixture blobs with REAL image headers: format =
-    doc_id % 4 (png/jpeg/gif/webp, the webp sub-layout rotating
-    VP8/VP8L/VP8X by (doc_id // 4) % 3), width = 16 + (doc_id*7) %
-    624, height = 16 + (doc_id*13) % 464, body = the document text
-    bytes. Closed-form, so a SQL oracle can predict every parsed
-    field."""
+    doc_id % 5 (png/jpeg/gif/webp/tiff; the webp sub-layout rotates
+    VP8/VP8L/VP8X by (doc_id // 5) % 3, the tiff byte order by
+    (doc_id // 5) % 2), width = 16 + (doc_id*7) % 624, height =
+    16 + (doc_id*13) % 464, body = the document text bytes.
+    Closed-form, so a SQL oracle can predict every parsed field."""
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -142,9 +154,12 @@ def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
                 k = int(key)
                 w = 16 + (k * 7) % 624
                 h = 16 + (k * 13) % 464
-                if k % 4 == 3:
-                    head = _webp_header(w, h, (k // 4) % 3)
-                elif k % 4 == 1:
+                if k % 5 == 3:
+                    head = _webp_header(w, h, (k // 5) % 3)
+                elif k % 5 == 4:
+                    head = _tiff_header(w, h,
+                                        big_endian=(k // 5) % 2 == 1)
+                elif k % 5 == 1:
                     # JPEGs carry a real APP1/Exif orientation tag
                     # (rotating all 8 values and both TIFF byte
                     # orders) — the rotation metadata a curation
@@ -152,7 +167,7 @@ def synth_image_payloads(df: DataFrame, key_col: str = "doc_id",
                     head = _jpeg_header(w, h,
                                         orientation=1 + k % 8)
                 else:
-                    head = _HEADERS[k % 4][0](w, h)
+                    head = _HEADERS[k % 5][0](w, h)
                 body = (text if isinstance(text, str) else "").encode()
                 payloads.append(head + body)
             yield pd.DataFrame({"doc_id": pdf[key_col],
@@ -219,6 +234,31 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None,
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return "gif", w, h
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # standalone TIFF: IFD0 tags 256/257 (width/length), SHORT
+        # or LONG, either byte order — same IFD walk as EXIF
+        e = "<" if payload[:2] == b"II" else ">"
+        try:
+            ifd = struct.unpack(e + "I", payload[4:8])[0]
+            cnt = struct.unpack(e + "H", payload[ifd:ifd + 2])[0]
+            cnt = min(cnt, (len(payload) - ifd - 2) // 12)
+            w = h = None
+            for i in range(cnt):
+                eo = ifd + 2 + 12 * i
+                tag, typ = struct.unpack(e + "HH",
+                                         payload[eo:eo + 4])
+                if tag in (256, 257):
+                    val = struct.unpack(
+                        e + "H", payload[eo + 8:eo + 10])[0] \
+                        if typ == 3 else struct.unpack(
+                        e + "I", payload[eo + 8:eo + 12])[0]
+                    if tag == 256:
+                        w = val
+                    else:
+                        h = val
+            return "tiff", w, h
+        except Exception:
+            return "tiff", None, None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         four = payload[12:16]
         if four == b"VP8 " and len(payload) >= 30 \

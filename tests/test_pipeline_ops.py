@@ -366,6 +366,13 @@ def test_parse_image_header_golden_bytes():
         ("webp", None, None)
     assert media.parse_image_header(b"RIFF\x00\x00\x00\x00WEBP") == \
         ("webp", None, None)
+    # standalone TIFF in both byte orders; a dimension-less IFD is
+    # unparsed, not wrong
+    for be in (False, True):
+        assert media.parse_image_header(
+            media._tiff_header(800, 600, be)) == ("tiff", 800, 600)
+    assert media.parse_image_header(
+        b"II*\x00\x08\x00\x00\x00") == ("tiff", None, None)
 
 
 def test_media_meta_real_headers(spark, docs):

@@ -113,7 +113,7 @@ def test_image_header_parser_never_raises(payload: bytes):
     from html_parser_spark.operators.media import parse_image_header
 
     fmt, w, h = parse_image_header(payload)
-    assert fmt in ("png", "jpeg", "gif", "webp", "unknown")
+    assert fmt in ("png", "jpeg", "gif", "webp", "tiff", "unknown")
 
 
 @settings(max_examples=200, deadline=None)
