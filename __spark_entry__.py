@@ -316,8 +316,7 @@ def _q_warc_extract(spark, sf_dir):
         F.col("http_status").cast("int").alias("status"),
         F.col("n_body_bytes").alias("n_body"),
         F.lit(None).cast("string").alias("trimmed"))
-    html = warc_records(synth_warc(_tr(spark, sf_dir))) \
-        .filter(F.col("warc_type") == "response") \
+    html = recs.filter(F.col("warc_type") == "response") \
         .select(F.col("doc_id").cast("string").alias("conv_id"),
                 F.col("rec_idx").alias("turn_idx"),
                 F.col("body").alias("text"))

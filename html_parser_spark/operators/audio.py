@@ -287,7 +287,12 @@ def parse_mp3_meta(payload: bytes) -> tuple:
         kbps = sr = ch = None
         while pos + 4 <= n:
             b0, b1, b2, b3 = payload[pos:pos + 4]
-            if b0 != 0xFF or (b1 & 0xFB) != 0xFB:
+            # 11-bit sync + version bits 11 (MPEG-1) + layer bits 01
+            # (Layer III) -> b1 is 0xFA (CRC-protected) or 0xFB.
+            # Masking with 0xFE (not 0xFB, which drops the layer
+            # high bit) keeps Layer I/II streams OUT of the L3
+            # tables and lets protected L3 streams IN
+            if b0 != 0xFF or (b1 & 0xFE) != 0xFA:
                 return (None,) * 5  # sync lost / not MPEG-1 L3
             br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
             if br_idx in (0, 15) or sr_idx == 3:

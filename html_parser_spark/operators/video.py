@@ -536,7 +536,11 @@ def _parse_tracks(payload: bytes) -> dict | None:
         if four == b"moov":
             descend(b, e, None)
         elif four == b"moof":
-            parse_moof(b - 8, b, e)
+            # the box START anchors moof-relative offsets: for a
+            # normal box the fourcc sits at body-4, for a 64-bit
+            # largesize box at body-12 (header is 16 bytes)
+            start = b - 8 if payload[b - 4:b] == b"moof" else b - 16
+            parse_moof(start, b, e)
     good = []
     for tk in movie["tracks"]:
         if tk.get("corrupt") \
@@ -611,9 +615,16 @@ def parse_mp4(payload: bytes) -> dict | None:
         if vid is None:
             return None
         # fragmented MP4s carry mvhd duration 0; the real duration
-        # is the sum of the fragment sample durations
-        duration = movie.get("duration", 0) \
-            or sum(vid.get("durations", []))
+        # is the sum of the fragment sample durations — which live
+        # in the MEDIA (mdhd) timescale, so convert to the movie
+        # timescale the caller divides by (a real DASH file commonly
+        # runs mvhd at 1000 and the track at 90000)
+        duration = movie.get("duration", 0)
+        if not duration:
+            media_ts = vid.get("media_timescale") or 1
+            movie_ts = movie.get("timescale") or media_ts
+            duration = sum(vid.get("durations", [])) \
+                * movie_ts // media_ts
         return {"timescale": movie.get("timescale", 0),
                 "duration": duration,
                 "width": vid.get("width", 0),

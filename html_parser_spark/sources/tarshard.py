@@ -125,6 +125,7 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
             payload = lzma.decompress(payload)
         out: list[tuple[str, bytes]] = []
         pos, n = 0, len(payload)
+        pending_name: str | None = None
         while pos + 512 <= n:
             block = payload[pos:pos + 512]
             if block == b"\x00" * 512:
@@ -147,8 +148,20 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
             typeflag = block[156]
             data = payload[pos + 512:pos + 512 + size]
             pos += 512 + size + ((-size) % 512)
-            if typeflag in (0x30, 0x00):  # regular file
-                out.append((name, data))
+            if typeflag == 0x4C:  # GNU longname: names the NEXT one
+                pending_name = data.split(b"\x00")[0].decode(
+                    "utf-8", "replace")
+            elif typeflag == 0x78:  # pax header: 'len key=value\n'
+                for rec in data.split(b"\n"):
+                    _, _, kv = rec.partition(b" ")
+                    k, sep, v = kv.partition(b"=")
+                    if sep and k == b"path":
+                        pending_name = v.decode("utf-8", "replace")
+            elif typeflag in (0x30, 0x00):  # regular file
+                out.append((pending_name or name, data))
+                pending_name = None
+            else:
+                pending_name = None  # dirs/links reset the override
         return out
     except Exception:
         return []

@@ -27,7 +27,6 @@ format, so the engine covers crawl-to-text end-to-end.
 from __future__ import annotations
 
 import gzip
-import struct  # noqa: F401  (kept for parity with sibling codecs)
 import zlib
 from collections.abc import Iterator
 

@@ -1650,6 +1650,33 @@ def test_fmp4_degrades():
     # resilience as the WARC walk, and bounded time/memory
     m = parse_mp4(bytes(bomb))
     assert m is not None and m["n_samples"] == 1
+    # fragment durations live in the MEDIA timescale: a 90 kHz
+    # track under a 1000-unit movie must convert, not inflate 90x
+    from html_parser_spark.operators.video import _mp4_layout
+
+    p90 = bytearray(_synth_fmp4(6))
+    _, _, n6, _ = _mp4_layout(6)
+    j = p90.find(b"mdhd")
+    struct.pack_into(">I", p90, j + 4 + 12, 90000)
+    assert parse_mp4(bytes(p90))["duration"] == \
+        (40 * n6) * 1000 // 90000
+    # a 64-bit largesize moof header anchors offsets at the true
+    # box start (16-byte header), so frames still decode
+    from html_parser_spark.operators.media import decode_jpeg_pixels
+
+    q = bytearray(_synth_fmp4(0))
+    j = q.find(b"moof")
+    sz = struct.unpack(">I", q[j - 4:j])[0]
+    large = bytearray(q[:j - 4] + struct.pack(">I", 1) + b"moof"
+                      + struct.pack(">Q", sz + 8) + q[j + 4:])
+    t = large.find(b"trun", j)
+    off = struct.unpack(">i", large[t + 12:t + 16])[0]
+    struct.pack_into(">i", large, t + 12, off + 8)  # moof grew 8
+    m = parse_mp4(bytes(large))
+    assert m is not None and m["n_samples"] == 3
+    assert all(decode_jpeg_pixels(bytes(large)[o:o + s])[0]
+               is not None
+               for o, s in zip(m["offsets"], m["sizes"]))
 
 
 def test_mp4_caption_extraction(spark, docs):
@@ -1731,6 +1758,20 @@ def test_mp3_walk_degrades():
     # is documented scope -> NULLs via the parameter-change check
     assert parse_mp3_meta(_synth_mp3(0) + _synth_mp3(2)) == \
         (None,) * 5
+    # the sync mask keeps layers apart: Layer I (b1=0xFF) must be
+    # rejected, CRC-protected Layer III (b1=0xFA) accepted
+    def with_b1(v):
+        b = bytearray(good)
+        i = 0
+        while i < len(b) - 1:
+            if b[i] == 0xFF and b[i + 1] == 0xFB:
+                b[i + 1] = v
+            i += 1
+        return bytes(b)
+
+    assert parse_mp3_meta(with_b1(0xFF)) == (None,) * 5
+    assert parse_mp3_meta(with_b1(0xFA))[:4] == \
+        parse_mp3_meta(good)[:4]
 
 
 def test_subtitle_cues(spark, docs):
@@ -1898,6 +1939,23 @@ def test_tar_webdataset(spark, docs):
     plain = _synth_tar(0)
     assert parse_tar(bz2.compress(plain)) == parse_tar(plain)
     assert parse_tar(lzma.compress(plain)) == parse_tar(plain)
+    # pax and GNU long names (>100 chars) from STDLIB-written
+    # archives resolve to the full path via the 'x'/'L' override
+    # members
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=fmt) as tf:
+            longname = "deep/" + "x" * 150 + "/sample0.txt"
+            data = b"long-name payload"
+            ti = tarfile.TarInfo(longname)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+            ti2 = tarfile.TarInfo("short.cls")
+            ti2.size = 1
+            tf.addfile(ti2, io.BytesIO(b"7"))
+        assert parse_tar(buf.getvalue()) == \
+            [(longname, data), ("short.cls", b"7")], fmt
     torn = parse_tar(_synth_tar(0)[:700])  # torn mid-2nd member
     assert [n for n, _ in torn] == ["shard/sample0-0.cls"]
 
