@@ -132,6 +132,23 @@ def video_frames_stream(stream_df: DataFrame, **kw) -> DataFrame:
     return sample_video_frames(stream_df, **kw)
 
 
+def warc_records_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """WARC record extraction over a stream of binary segments —
+    the batch walk verbatim (stateless Arrow map, append mode): a
+    live crawl feed parses with the same code path the batch
+    backfill uses."""
+    from html_parser_spark.sources.warc import warc_records
+    return warc_records(stream_df, **kw)
+
+
+def tar_members_stream(stream_df: DataFrame, **kw) -> DataFrame:
+    """WebDataset tar-member extraction over a stream of binary
+    shards — the batch walk verbatim (stateless Arrow map, append
+    mode)."""
+    from html_parser_spark.sources.tarshard import tar_members
+    return tar_members(stream_df, **kw)
+
+
 def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
                          text_col: str = "text",
                          eval_text_col: str = "text",

@@ -454,6 +454,88 @@ def test_content_and_pdf_plans_shuffle_free(spark):
         extract_pdf_text(synth_pdf_payloads(docs)))
 
 
+def test_new_source_plans_shuffle_free(spark):
+    """The round-5 sources/decoders keep the per-row plan shape —
+    one Arrow map stage, zero Exchange — and the WebDataset sample
+    grouping is exactly ONE Exchange (its single partial-agg
+    groupBy), with map-side combine visible as two HashAggregates."""
+    from html_parser_spark.operators.audio import (
+        decode_flac_meta, decode_mp3_meta, synth_flac_audio,
+        synth_mp3_audio)
+    from html_parser_spark.operators.subtitles import (
+        subtitle_cues, synth_subtitles)
+    from html_parser_spark.operators.video import (
+        extract_video_captions, sample_video_frames,
+        synth_mp4_videos, video_meta)
+    from html_parser_spark.sources.tarshard import (
+        synth_tar_shards, tar_members, webdataset_samples)
+    from html_parser_spark.sources.warc import (
+        synth_warc, warc_records)
+
+    docs = spark.createDataFrame([(1, "x")],
+                                 "doc_id long, text string")
+    tr = spark.createDataFrame([("1", "<p>x</p>")],
+                               "conv_id string, text string")
+    for df in (warc_records(synth_warc(tr)),
+               tar_members(synth_tar_shards(docs)),
+               subtitle_cues(synth_subtitles(docs)),
+               sample_video_frames(synth_mp4_videos(docs)),
+               video_meta(synth_mp4_videos(docs, fragmented=True)),
+               extract_video_captions(synth_mp4_videos(docs)),
+               decode_mp3_meta(synth_mp3_audio(docs)),
+               decode_flac_meta(synth_flac_audio(docs))):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+    agg_plan = _plan(webdataset_samples(
+        tar_members(synth_tar_shards(docs))))
+    assert agg_plan.count("Exchange") == 1, agg_plan
+    assert agg_plan.count("HashAggregate") == 2, agg_plan
+
+
+def test_warc_and_tar_streams_match_batch(spark, tmp_path):
+    """Stream==batch parity for the archive sources: the WARC
+    record walk and the tar member walk are stateless Arrow maps,
+    so they run verbatim over binary-payload streams."""
+    from html_parser_spark.sources.tarshard import (
+        synth_tar_shards, tar_members)
+    from html_parser_spark.sources.warc import (
+        synth_warc, warc_records)
+    from html_parser_spark.streaming import extract_stream as es
+
+    docs = spark.createDataFrame(
+        [(i, f"<p>doc {i}</p>") for i in range(6)],
+        "doc_id long, text string")
+    tr = docs.selectExpr("CAST(doc_id AS STRING) AS conv_id",
+                         "text")
+    wsrc = str(tmp_path / "warc_src")
+    synth_warc(tr).write.parquet(wsrc)
+    tsrc = str(tmp_path / "tar_src")
+    synth_tar_shards(docs).write.parquet(tsrc)
+    bschema = "doc_id long, payload binary"
+
+    qw = (es.warc_records_stream(
+            spark.readStream.schema(bschema).parquet(wsrc))
+          .writeStream.format("memory").queryName("warc_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qt = (es.tar_members_stream(
+            spark.readStream.schema(bschema).parquet(tsrc))
+          .writeStream.format("memory").queryName("tar_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    qw.awaitTermination(120)
+    qt.awaitTermination(120)
+
+    got_w = sorted(map(tuple, spark.sql(
+        "SELECT * FROM warc_stream").collect()))
+    exp_w = sorted(map(tuple, warc_records(synth_warc(tr))
+                       .collect()))
+    assert got_w == exp_w and len(got_w) == 18  # 6 docs x 3 records
+    got_t = sorted(map(tuple, spark.sql(
+        "SELECT * FROM tar_stream").collect()))
+    exp_t = sorted(map(tuple, tar_members(synth_tar_shards(docs))
+                       .collect()))
+    assert got_t == exp_t and len(got_t) > 0
+
+
 def test_session_update_pure_kernel():
     """The per-batch session kernel: intra-batch gap splits, merge
     with stored state, late-row start extension, gap close."""
