@@ -178,3 +178,61 @@ def test_table_walker_never_raises(doc: str):
         k = (tab, row)
         assert cell == seen.get(k, -1) + 1
         seen[k] = cell
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_round5_binary_parsers_never_raise(payload: bytes):
+    """Every round-5 container parser is total over arbitrary bytes:
+    corrupt sizes, torn records, hostile counts all degrade to empty
+    or NULL results, never an exception — the executor-safety
+    contract of the whole decode tier."""
+    from html_parser_spark.operators.audio import (
+        decode_wav_stats_bytes, parse_flac_meta, parse_mp3_meta)
+    from html_parser_spark.operators.media import (
+        decode_gif_pixels, decode_jpeg_pixels, parse_jpeg_orientation)
+    from html_parser_spark.operators.video import parse_mp4
+    from html_parser_spark.sources.tarshard import parse_tar
+    from html_parser_spark.sources.warc import parse_warc, split_http
+
+    assert len(parse_mp3_meta(payload)) == 5
+    assert len(parse_flac_meta(payload)) == 5
+    assert len(decode_wav_stats_bytes(payload)) == 5
+    assert len(decode_gif_pixels(payload)) == 5
+    assert len(decode_jpeg_pixels(payload)) == 5
+    assert parse_jpeg_orientation(payload) is None \
+        or isinstance(parse_jpeg_orientation(payload), int)
+    m = parse_mp4(payload)
+    assert m is None or isinstance(m, dict)
+    assert isinstance(parse_tar(payload), list)
+    assert isinstance(parse_warc(payload), list)
+    assert len(split_http(payload)) == 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_round5_seeded_container_mutations_never_raise(tail: bytes):
+    """Adversarial variant: take REAL fixture containers and replace
+    their tails with arbitrary bytes, so parsers get past the
+    signature checks into the deep structural code before hitting
+    garbage."""
+    from html_parser_spark.operators.audio import (
+        parse_flac_meta, parse_mp3_meta)
+    from html_parser_spark.operators.audio import _synth_flac, _synth_mp3
+    from html_parser_spark.operators.media import (
+        _synth_gif_full, decode_gif_pixels)
+    from html_parser_spark.operators.video import (
+        _synth_fmp4, _synth_mp4_full, parse_mp4)
+    from html_parser_spark.sources.tarshard import _synth_tar, parse_tar
+    from html_parser_spark.sources.warc import _synth_warc_bytes, parse_warc
+
+    for base, fn in (
+            (_synth_mp4_full(1), parse_mp4),
+            (_synth_fmp4(2), parse_mp4),
+            (_synth_tar(0), parse_tar),
+            (_synth_warc_bytes(0, "<p>x</p>"), parse_warc),
+            (_synth_gif_full(0), decode_gif_pixels),
+            (_synth_mp3(0), parse_mp3_meta),
+            (_synth_flac(0), parse_flac_meta)):
+        keep = max(8, len(base) // 2)
+        fn(base[:keep] + tail)  # must not raise
