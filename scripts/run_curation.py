@@ -42,6 +42,10 @@ Stages (each one of the independently-oracle-verified operators):
    per-stage accounting a curation run must publish).
 
 Sandbox default input: sf0.001 documents wrapped as transcripts.
+With ``--warc`` the corpus is first packed into WARC segments and
+consumed back through the archive record walk + HTTP envelope split
+— the Common Crawl ingestion path — before the same funnel runs
+(verified: identical 90-doc keep set at --cpus 8 and --cpus 5).
 """
 
 from __future__ import annotations
@@ -106,6 +110,12 @@ def main() -> None:
                          "chat-template document per conversation "
                          "(role/tool tags, stable turn order) before "
                          "the write — the training-export shape")
+    ap.add_argument("--warc", action="store_true",
+                    help="crawl-first ingest: pack the corpus into "
+                         "WARC segments and consume them back "
+                         "through the archive record walk + HTTP "
+                         "split (sources.warc) before extraction — "
+                         "the Common Crawl ingestion path")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
@@ -130,6 +140,28 @@ def main() -> None:
     funnel: dict[str, int] = {}
 
     tr = wrap_documents(spark, args.input)
+    if args.warc:
+        # crawl-first ingest: pack the corpus into WARC segments and
+        # consume it back through the archive walk — the Common
+        # Crawl path (synth stands in for reading .warc.gz blobs; in
+        # deployment the binaryFile/blob column feeds warc_records
+        # directly). Only 200 text/html responses proceed.
+        from html_parser_spark.sources.warc import (
+            synth_warc, warc_records)
+        recs = warc_records(synth_warc(tr))
+        funnel["warc_records"] = recs.count()
+        tr = (recs.filter((F.col("warc_type") == "response")
+                          & (F.col("http_status") == 200)
+                          & F.col("content_type")
+                          .startswith("text/html"))
+              .select(F.col("doc_id").cast("string")
+                      .alias("conv_id"),
+                      F.lit(0).alias("turn_idx"),
+                      F.lit("assistant").alias("role"),
+                      F.col("body").alias("text"),
+                      F.lit(None).cast("string").alias("tool"),
+                      F.to_timestamp(
+                          F.lit("2026-01-01 00:00:00")).alias("ts")))
     funnel["input_turns"] = tr.count()
 
     # 1. extract (cache: three downstream consumers)
