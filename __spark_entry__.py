@@ -343,6 +343,20 @@ def _q_warc_extract(spark, sf_dir):
         F.lit(None).cast("int").alias("status"),
         F.col("n_bytes").alias("n_body"),
         F.col("body_text").alias("trimmed"))
+    # zip shards (Kaggle-dump class) carry the SAME sample members
+    # through the EOCD + central-directory walk (stored on even
+    # docs, deflate on odd) — container-agnostic member rows
+    from html_parser_spark.sources.tarshard import (
+        synth_zip_shards, zip_members)
+    zmem = zip_members(synth_zip_shards(_docs(spark, sf_dir)))
+    zip_rows = zmem.select(
+        F.lit("zip").alias("variant"), "doc_id",
+        F.col("member_idx").alias("rec_idx"),
+        F.concat(F.lit("zip:"), F.col("ext")).alias("warc_type"),
+        F.col("name").alias("s"),
+        F.lit(None).cast("int").alias("status"),
+        F.col("n_bytes").alias("n_body"),
+        F.col("body_text").alias("trimmed"))
     wds_rows = webdataset_samples(mem).select(
         F.lit("wds").alias("variant"), "doc_id",
         F.col("n_members").alias("rec_idx"),
@@ -352,7 +366,8 @@ def _q_warc_extract(spark, sf_dir):
         F.col("total_bytes").alias("n_body"),
         F.lit(None).cast("string").alias("trimmed"))
     return rec_rows.unionByName(text_rows) \
-        .unionByName(tar_rows).unionByName(wds_rows)
+        .unionByName(tar_rows).unionByName(zip_rows) \
+        .unionByName(wds_rows)
 
 
 #: planted URLs covering the canonicalization cases: default-port +
@@ -1850,6 +1865,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'tar', doc_id, CAST(3 * j + k AS INT),
                    'tar:' || CASE k WHEN 0 THEN 'cls'
+                             WHEN 1 THEN 'json' ELSE 'txt' END,
+                   'shard/sample' || CAST(j AS VARCHAR) || '-'
+                     || {_ID} || '.'
+                     || CASE k WHEN 0 THEN 'cls' WHEN 1 THEN 'json'
+                        ELSE 'txt' END,
+                   CAST(NULL AS INT),
+                   CAST(length(CASE k
+                     WHEN 0 THEN CAST(doc_id % 10 AS VARCHAR)
+                     WHEN 1 THEN '{{"id": ' || {_ID} || '}}'
+                     ELSE 'text ' || CAST(j AS VARCHAR)
+                          || ' of doc ' || {_ID} END) AS BIGINT),
+                   CASE k WHEN 0 THEN CAST(doc_id % 10 AS VARCHAR)
+                     WHEN 1 THEN '{{"id": ' || {_ID} || '}}'
+                     ELSE 'text ' || CAST(j AS VARCHAR)
+                          || ' of doc ' || {_ID} END
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 1 + doc_id % 2))
+                          AS j) js,
+                 LATERAL (SELECT unnest(range(0, 3)) AS k) ks
+            UNION ALL
+            SELECT 'zip', doc_id, CAST(3 * j + k AS INT),
+                   'zip:' || CASE k WHEN 0 THEN 'cls'
                              WHEN 1 THEN 'json' ELSE 'txt' END,
                    'shard/sample' || CAST(j AS VARCHAR) || '-'
                      || {_ID} || '.'

@@ -18,6 +18,7 @@ I/O), so a 1000-executor cluster streams members per-partition.
 """
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,7 +29,8 @@ from pyspark.sql import types as T
 from html_parser_spark.sources.warc import _gunzip_members
 
 __all__ = ["parse_tar", "synth_tar_shards", "tar_members",
-           "webdataset_samples"]
+           "webdataset_samples", "parse_zip", "synth_zip_shards",
+           "zip_members"]
 
 
 # ----------------------------------------------------- fixture build
@@ -227,3 +229,161 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("ext")), "+")
         .alias("exts"),
         F.sum("n_bytes").alias("total_bytes")))
+
+
+# ------------------------------------------------------- zip shards
+#
+# The other container datasets actually ship in (image sets, Kaggle
+# dumps). The walk reads the END-OF-CENTRAL-DIRECTORY record and the
+# central directory — the correct way to read a zip (local headers
+# alone mis-handle appended/overwritten entries) — then each local
+# header's actual name/extra lengths locate the data. Stored and
+# deflate members (zlib) are supported; other methods are skipped.
+
+
+def _zip_build(members: list[tuple[str, bytes]],
+               deflate: bool = False) -> bytes:
+    """Minimal correct zip writer for fixtures (stored or raw
+    deflate), with real CRC-32s and a proper central directory."""
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    method = 8 if deflate else 0
+    for name, data in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if deflate:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = c.compress(data) + c.flush()
+        else:
+            blob = data
+        offsets.append(len(out))
+        out += (b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(blob),
+            len(data), len(nb), 0) + nb + blob)
+    for (name, data), off in zip(members, offsets):
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        csize = struct.unpack(
+            "<I", out[off + 18:off + 22])[0]
+        central += (b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+            csize, len(data), len(nb), 0, 0, 0, 0, 0, off) + nb)
+    eocd = (b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(members), len(members),
+        len(central), len(out), 0))
+    return bytes(out + central + eocd)
+
+
+def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
+    """zip -> [(member_name, data), ...] via the EOCD + central
+    directory. Stored and deflate members decode; others and
+    corrupt/truncated entries are skipped (never raises)."""
+    import struct as _s
+    import zlib
+
+    try:
+        # EOCD: scan back past an up-to-64KB comment
+        tail = payload[-(65536 + 22):]
+        i = tail.rfind(b"PK\x05\x06")
+        if i < 0:
+            return []
+        base = len(payload) - len(tail)
+        n_entries, _, cd_size, cd_off = _s.unpack(
+            "<HHII", tail[i + 8:i + 20])
+        out: list[tuple[str, bytes]] = []
+        pos = cd_off
+        for _ in range(min(n_entries, len(payload) // 46 + 1)):
+            if payload[pos:pos + 4] != b"PK\x01\x02":
+                break
+            (method, crc, csize, usize, nlen, elen, clen,
+             off) = _s.unpack(
+                "<H4xIIIHHH8xI", payload[pos + 10:pos + 46])
+            name = payload[pos + 46:pos + 46 + nlen].decode(
+                "utf-8", "replace")
+            pos += 46 + nlen + elen + clen
+            lh = payload[off:off + 30]
+            if lh[:4] != b"PK\x03\x04":
+                continue
+            lnlen, lelen = _s.unpack("<HH", lh[26:30])
+            dstart = off + 30 + lnlen + lelen
+            blob = payload[dstart:dstart + csize]
+            if len(blob) < csize:
+                continue  # torn member
+            if method == 0:
+                data = blob
+            elif method == 8:
+                try:
+                    data = zlib.decompress(blob, -15)
+                except zlib.error:
+                    continue
+            else:
+                continue  # unsupported method: skip, don't lie
+            if zlib.crc32(data) & 0xFFFFFFFF != crc \
+                    or len(data) != usize:
+                continue  # corrupt payload
+            out.append((name, data))
+        return out
+    except Exception:
+        return []
+
+
+def _synth_zip(doc_id: int) -> bytes:
+    """Same closed-form WebDataset members as :func:`_synth_tar`,
+    zip-packed; every other doc deflates."""
+    members = [m for j in range(1 + doc_id % 2)
+               for m in _member_bytes(doc_id, j)]
+    return _zip_build(members, deflate=doc_id % 2 == 1)
+
+
+def synth_zip_shards(df: DataFrame,
+                     key_col: str = "doc_id") -> DataFrame:
+    """Deterministic zip shard blobs (see :func:`_synth_zip`)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[key_col],
+                "payload": [_synth_zip(int(k))
+                            for k in pdf[key_col]],
+            })
+
+    return df.select(key_col).mapInPandas(run, schema)
+
+
+def zip_members(df: DataFrame, key_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """binary zip shards -> the same member-row shape as
+    :func:`tar_members` (stem/ext split, raw body + text decode), so
+    downstream WebDataset grouping and media routing are
+    container-agnostic."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                for i, (name, data) in enumerate(
+                        parse_zip(bytes(p))):
+                    base = name.rsplit("/", 1)
+                    d, b = (base if len(base) == 2 else ("", name))
+                    dot = b.find(".")
+                    stem = (d + "/" if d else "") \
+                        + (b[:dot] if dot > 0 else b)
+                    ext = b[dot + 1:] if dot > 0 else ""
+                    try:
+                        txt = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        txt = None
+                    rows.append((int(k), i, name, stem, ext,
+                                 len(data), data, txt))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _MEMBERS_SCHEMA])
+
+    return df.select(key_col, payload_col).mapInPandas(
+        run, _MEMBERS_SCHEMA)

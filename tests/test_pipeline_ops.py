@@ -1939,6 +1939,26 @@ def test_tar_webdataset(spark, docs):
     plain = _synth_tar(0)
     assert parse_tar(bz2.compress(plain)) == parse_tar(plain)
     assert parse_tar(lzma.compress(plain)) == parse_tar(plain)
+    # zip shards: EOCD + central-directory walk, stored and deflate
+    # members, stdlib zipfile cross-check, CRC-gated corruption
+    import zipfile
+
+    from html_parser_spark.sources.tarshard import (
+        _synth_zip, parse_zip)
+
+    for d in (0, 1):  # stored, deflate
+        zp = _synth_zip(d)
+        got = parse_zip(zp)
+        zf = zipfile.ZipFile(io.BytesIO(zp))
+        assert got == [(zi.filename, zf.read(zi))
+                       for zi in zf.infolist()], d
+    assert parse_zip(b"") == []
+    assert parse_zip(_synth_zip(0)[:-10]) == []  # torn EOCD
+    flip = bytearray(_synth_zip(0))
+    i = flip.find(b"text 0 of doc 0")
+    flip[i] ^= 0xFF  # CRC mismatch drops that member only
+    assert [n for n, _ in parse_zip(bytes(flip))] == \
+        ["shard/sample0-0.cls", "shard/sample0-0.json"]
     # pax and GNU long names (>100 chars) from STDLIB-written
     # archives resolve to the full path via the 'x'/'L' override
     # members
