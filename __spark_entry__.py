@@ -278,12 +278,69 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(planted, ["doc_id"])
 
 
-def _q_gopher_quality(spark, sf_dir):
-    """Gopher document-filter rule bundle; every feature and rule
-    verdict re-derived independently by the oracle."""
-    from html_parser_spark.operators.textstats import gopher_quality
-    return gopher_quality(_docs(spark, sf_dir), ["doc_id"],
-                          min_words=20)
+def _q_quality_rules(spark, sf_dir):
+    """BOTH published document-filter rule bundles in one
+    variant-tagged long row set: variant='gopher' (Rae et al. 2021
+    word/symbol/stopword rules) and variant='c4' (Raffel et al. 2020
+    line-retention + sentence/lorem/brace/badword page rules). One
+    row per (doc, rule) with the rule's boolean verdict and its
+    feature metric (-1.0 for purely boolean rules), so the oracle
+    re-derives every feature AND every verdict of both bundles.
+
+    The C4 arm runs on a planted multi-line fixture (the corpus text
+    has no newlines or punctuation): six lines per doc keyed on
+    doc_id mod 5/7/11/13 so that every rule — line retention,
+    sentence count, lorem-ipsum, brace, badword — both passes and
+    fails somewhere in the corpus."""
+    from html_parser_spark.operators.textstats import (c4_quality,
+                                                       gopher_quality)
+    docs = _docs(spark, sf_dir)
+    g = gopher_quality(docs, ["doc_id"], min_words=20)
+    gl = g.selectExpr(
+        "'gopher' as variant", "doc_id",
+        "stack(6, "
+        "'word_count', ok_word_count, cast(n_words as double), "
+        "'mean_word_len', ok_mean_word_len, mean_word_len, "
+        "'symbol_ratio', ok_symbol_ratio, symbol_ratio, "
+        "'alpha_words', ok_alpha_words, alpha_word_ratio, "
+        "'stopwords', ok_stopwords, cast(n_stopwords as double), "
+        "'passes', passes_gopher, cast(-1.0 as double)"
+        ") as (rule, ok, metric)")
+    planted = docs.select(
+        "doc_id",
+        F.expr(_T_C4.replace("AS VARCHAR", "AS STRING")).alias("text"))
+    c = c4_quality(planted, ["doc_id"])
+    cl = c.selectExpr(
+        "'c4' as variant", "doc_id",
+        "stack(6, "
+        "'lines', ok_lines, cast(n_kept_lines as double), "
+        "'sentences', ok_sentences, cast(n_sentences as double), "
+        "'no_lorem', ok_no_lorem, cast(-1.0 as double), "
+        "'no_brace', ok_no_brace, cast(-1.0 as double), "
+        "'no_badword', ok_no_badword, cast(-1.0 as double), "
+        "'passes', passes_c4, cast(-1.0 as double)"
+        ") as (rule, ok, metric)")
+    return gl.unionByName(cl)
+
+
+#: six-line C4 fixture page, keyed on doc_id (shared Spark/DuckDB
+#: expression — only AS VARCHAR is swapped to AS STRING on the Spark
+#: side): line A kept always; B dropped (3 words, no terminal punct);
+#: C dropped ("javascript"); D dropped on %5, lorem-flagged on %7;
+#: E braced+dropped on %11; F dropped on %5, badword-flagged on %13.
+_T_C4 = (
+    "'doc ' || CAST(doc_id AS VARCHAR) || "
+    "' opens with a good line today.' || chr(10) || "
+    "'only three words' || chr(10) || "
+    "'please enable javascript to continue now.' || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'just three words' "
+    "WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' "
+    "ELSE 'what would the answer be today?' END || chr(10) || "
+    "CASE WHEN doc_id % 11 = 0 THEN 'var f = function() { return 1; }' "
+    "ELSE 'these lines end with real marks!' END || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'no closing punct here' "
+    "WHEN doc_id % 13 = 0 THEN 'this page contains badword1 content now.' "
+    "ELSE 'a final sentence closes the page.' END")
 
 
 _T_HOSTS = ("'<a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
@@ -1348,7 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "bpe_tokens": _q_bpe_tokens,
         "dedup_incremental": _q_dedup_incremental,
-        "gopher_quality": _q_gopher_quality,
+        "quality_rules": _q_quality_rules,
         "lineage": _q_lineage,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2280,7 +2337,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY doc_id % 4""",
-        "gopher_quality": f"""
+        "quality_rules": f"""
             WITH s AS (SELECT doc_id, text,
                               regexp_split_to_array(trim(text), '\\s+')
                                 AS w
@@ -2301,24 +2358,65 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(w,
                         x -> list_contains({_STOPLIST}, x)))
                       AS n_stopwords
-                  FROM s)
-            SELECT doc_id,
-                   CAST(n_words AS BIGINT) AS n_words,
-                   mean_word_len, symbol_ratio, alpha_word_ratio,
-                   CAST(n_stopwords AS BIGINT) AS n_stopwords,
-                   n_words >= 20 AND n_words <= 100000
-                     AS ok_word_count,
-                   mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                     AS ok_mean_word_len,
-                   symbol_ratio <= 0.1 AS ok_symbol_ratio,
-                   alpha_word_ratio >= 0.8 AS ok_alpha_words,
-                   n_stopwords >= 2 AS ok_stopwords,
-                   (n_words >= 20 AND n_words <= 100000)
-                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-                   AND symbol_ratio <= 0.1
-                   AND alpha_word_ratio >= 0.8
-                   AND n_stopwords >= 2 AS passes_gopher
-            FROM c""",
+                  FROM s),
+            gop AS (SELECT doc_id, n_words, mean_word_len,
+                      symbol_ratio, alpha_word_ratio, n_stopwords,
+                      n_words >= 20 AND n_words <= 100000 AS ok_wc,
+                      mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AS ok_mwl,
+                      symbol_ratio <= 0.1 AS ok_sr,
+                      alpha_word_ratio >= 0.8 AS ok_aw,
+                      n_stopwords >= 2 AS ok_sw
+                    FROM c),
+            c4d AS (SELECT doc_id, {_T_C4} AS text FROM documents),
+            c4k AS (SELECT doc_id, text,
+                      len(string_split(text, chr(10))) AS n_lines,
+                      list_filter(string_split(text, chr(10)), ln ->
+                        len(regexp_split_to_array(trim(ln), '\\s+'))
+                          >= 5
+                        AND regexp_matches(ln, '[.!?"]$')
+                        AND NOT contains(lower(ln), 'javascript'))
+                        AS kept
+                    FROM c4d),
+            c4f AS (SELECT doc_id, n_lines, len(kept) AS n_kept,
+                      length(regexp_replace(
+                        array_to_string(kept, chr(10)),
+                        '[^.!?]', '', 'g')) AS n_sent,
+                      NOT contains(lower(text), 'lorem ipsum')
+                        AS ok_lor,
+                      NOT contains(text, '{{') AS ok_br,
+                      NOT list_has_any(
+                        regexp_split_to_array(lower(trim(text)),
+                                              '\\s+'),
+                        ['badword1', 'badword2']) AS ok_bad
+                    FROM c4k)
+            SELECT 'gopher' AS variant, doc_id,
+                   'word_count' AS rule, ok_wc AS ok,
+                   CAST(n_words AS DOUBLE) AS metric FROM gop
+            UNION ALL SELECT 'gopher', doc_id, 'mean_word_len',
+                   ok_mwl, mean_word_len FROM gop
+            UNION ALL SELECT 'gopher', doc_id, 'symbol_ratio',
+                   ok_sr, symbol_ratio FROM gop
+            UNION ALL SELECT 'gopher', doc_id, 'alpha_words',
+                   ok_aw, alpha_word_ratio FROM gop
+            UNION ALL SELECT 'gopher', doc_id, 'stopwords',
+                   ok_sw, CAST(n_stopwords AS DOUBLE) FROM gop
+            UNION ALL SELECT 'gopher', doc_id, 'passes',
+                   ok_wc AND ok_mwl AND ok_sr AND ok_aw AND ok_sw,
+                   -1.0 FROM gop
+            UNION ALL SELECT 'c4', doc_id, 'lines',
+                   n_kept >= 1, CAST(n_kept AS DOUBLE) FROM c4f
+            UNION ALL SELECT 'c4', doc_id, 'sentences',
+                   n_sent >= 3, CAST(n_sent AS DOUBLE) FROM c4f
+            UNION ALL SELECT 'c4', doc_id, 'no_lorem', ok_lor,
+                   -1.0 FROM c4f
+            UNION ALL SELECT 'c4', doc_id, 'no_brace', ok_br,
+                   -1.0 FROM c4f
+            UNION ALL SELECT 'c4', doc_id, 'no_badword', ok_bad,
+                   -1.0 FROM c4f
+            UNION ALL SELECT 'c4', doc_id, 'passes',
+                   n_kept >= 1 AND n_sent >= 3 AND ok_lor AND ok_br
+                   AND ok_bad, -1.0 FROM c4f""",
         "dedup_corpus": f"""
             WITH RECURSIVE {_LSH_BANDS_CTE},
             edges AS (SELECT id_a AS u, id_b AS v FROM cand

@@ -300,6 +300,76 @@ def gopher_quality(df: DataFrame, key_cols: list[str],
     )
 
 
+#: default badword list for the C4 page filter. The published C4 run
+#: used the public "List of Dirty, Naughty, Obscene..." list (~400
+#: entries per language); embedding it verbatim adds nothing to the
+#: engine, so the default is a small placeholder and the real list is
+#: an argument.
+C4_BADWORDS = ("badword1", "badword2")
+
+
+def c4_quality(df: DataFrame, key_cols: list[str],
+               text_col: str = "text",
+               min_line_words: int = 5,
+               min_sentences: int = 3,
+               badwords: tuple = C4_BADWORDS) -> DataFrame:
+    """C4-style page-quality filter bundle (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning with a Unified
+    Text-to-Text Transformer", §2.2 — public rule set): line-level
+    retention (>= `min_line_words` words AND terminal punctuation
+    ``. ! ? "`` AND no "javascript"), then page-level rules over what
+    survived — >= `min_sentences` sentences, no "lorem ipsum", no
+    ``{``, no badword. Each rule is its own boolean column plus the
+    conjunction so a curation run can audit which rule rejected a
+    page. C4's remaining rule (three-sentence-span dedup across
+    pages) is the passage tier — :func:`~html_parser_spark.operators.
+    dedup.passage_dedup` — not re-implemented here.
+
+    Pure JVM: the line filter is one higher-order ``F.filter`` over
+    ``split(text, '\\n')``, sentence counting is one regexp scan of
+    the kept text, the page checks are substring/array-overlap tests.
+    One codegen stage, shuffle-free, no Python — at 100 TB this is a
+    map-only pass like its Gopher sibling.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.size(F.split(F.trim(ln), r"\s+"))
+                    >= min_line_words)
+        & ln.rlike('[.!?"]$')
+        & ~F.lower(ln).contains("javascript"))
+    kept_text = F.array_join(kept, "\n")
+    bad_arr = F.array(*[F.lit(b) for b in badwords])
+    page_words = F.split(F.lower(F.trim(t)), r"\s+")
+    feats = df.select(
+        *key_cols,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.size(F.regexp_extract_all(kept_text, F.lit("[.!?]"), 0))
+        .cast("long").alias("n_sentences"),
+        (~F.lower(t).contains("lorem ipsum")).alias("ok_no_lorem"),
+        (~t.contains("{")).alias("ok_no_brace"),
+        (~F.arrays_overlap(page_words, bad_arr)).alias("ok_no_badword"),
+    )
+    checks = {
+        "ok_lines": F.col("n_kept_lines") >= 1,
+        "ok_sentences": F.col("n_sentences") >= min_sentences,
+        "ok_no_lorem": F.col("ok_no_lorem"),
+        "ok_no_brace": F.col("ok_no_brace"),
+        "ok_no_badword": F.col("ok_no_badword"),
+    }
+    overall = None
+    for c in checks.values():
+        overall = c if overall is None else (overall & c)
+    return feats.select(
+        *key_cols,
+        "n_lines", "n_kept_lines", "n_sentences",
+        *[v.alias(k) for k, v in checks.items()],
+        overall.alias("passes_c4"),
+    )
+
+
 def normalize_text(df: DataFrame, key_cols: list[str],
                    text_col: str = "text",
                    form: str = "NFC") -> DataFrame:

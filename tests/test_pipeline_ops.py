@@ -2925,6 +2925,38 @@ def test_gopher_quality_rules(spark):
     assert not got[4].ok_stopwords and not got[4].passes_gopher
 
 
+def test_c4_quality_rules(spark):
+    """Each C4 rule flips independently on planted pages; the line
+    filter applies all three line tests (length, terminal punct,
+    javascript) independently."""
+    good = ("this page has a first good sentence.\n"
+            'and a "quoted" second line it keeps here.\n'
+            "finally one more sentence to finish!")
+    rows = [
+        (0, good),
+        # every line dropped: short / no punct / javascript
+        (1, "tiny line.\nthis line has no terminal punct at all\n"
+            "Please enable JavaScript to view this page."),
+        (2, good + "\nsome Lorem Ipsum filler text here."),   # lorem
+        (3, good + "\nif (x) { return; } is code today."),    # brace
+        (4, good + "\nthis page mentions badword1 openly."),  # badword
+        (5, "only two sentences on this page today.\n"
+            "the second and last one is right here."),        # < 3
+        (6, None),                                            # NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.c4_quality(df, ["doc_id"]).collect()}
+    assert got[0].passes_c4 and got[0].n_sentences == 3
+    assert got[1].n_kept_lines == 0 and not got[1].ok_lines \
+        and not got[1].passes_c4
+    assert not got[2].ok_no_lorem and got[2].ok_no_brace
+    assert not got[3].ok_no_brace and got[3].ok_no_lorem
+    assert not got[4].ok_no_badword and not got[4].passes_c4
+    assert got[5].n_sentences == 2 and not got[5].ok_sentences
+    assert got[6].n_kept_lines == 0 and not got[6].passes_c4
+
+
 def test_dedup_corpus_composition(spark):
     """minhash -> LSH -> star CC -> canonical keep: exact dup pairs
     collapse to one survivor, distinct docs all survive."""
