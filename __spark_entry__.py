@@ -793,11 +793,32 @@ def _q_cosine_knn(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    """Default (bucketed) path: same-sketch-bucket candidates, exact
-    cosine on candidates only; the oracle rebuilds the sketch."""
-    from html_parser_spark.operators.dedup import embedding_near_dup
-    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.3,
-                              dim=64, n_bits=8)
+    """Both embedding-dedup tiers in one variant-tagged row set:
+    variant='pairs' is the bucketed near-dup path (same-sketch-bucket
+    candidates, exact cosine on candidates only; the oracle rebuilds
+    the identical md5-parity sketch) and variant='semdedup' is the
+    cluster-then-prune SemDeDup composition (Abbas et al. 2023) with
+    deterministic 'trained' centroids (the first four corpus vectors
+    stand in for offline k-means output, the lsh_ann precedent):
+    rows (id_a=vec_id, id_b=its component's keeper, cos_sim=cosine to
+    own centroid) for every member of a duplicate component — the
+    oracle re-derives assignment, the in-cluster dup graph, its
+    connected components, and the lowest-centroid-similarity keep
+    rule."""
+    from html_parser_spark.operators.dedup import (embedding_near_dup,
+                                                   semdedup)
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dup(emb, threshold=0.3, dim=64, n_bits=8) \
+        .select(F.lit("pairs").alias("variant"), "id_a", "id_b",
+                "cos_sim")
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    sem = semdedup(emb, cents, threshold=0.3) \
+        .select(F.lit("semdedup").alias("variant"),
+                F.col("vec_id").alias("id_a"),
+                F.col("keeper_id").alias("id_b"),
+                F.col("cent_sim").alias("cos_sim"))
+    return pairs.unionByName(sem)
 
 
 def _q_lsh_ann(spark, sf_dir):
@@ -2568,18 +2589,63 @@ def oracle_sql() -> dict[str, str]:
                               FROM embeddings WHERE vec_id <= 2) q))
             WHERE rn <= 5""",
         "embedding_near_dup": f"""
-            WITH c AS (
+            WITH RECURSIVE c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      {_lsh_bucket_expr("CAST(embedding AS DOUBLE[])")}
                        AS bucket
-              FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              FROM embeddings),
+            cent AS (SELECT vec_id AS k, v FROM c WHERE vec_id < 4),
+            sims AS (SELECT c.vec_id, cent.k,
+                            CAST(list_cosine_similarity(c.v, cent.v)
+                                 AS DOUBLE) AS s
+                     FROM c, cent),
+            assign AS (SELECT vec_id, k AS cluster_id,
+                              round(s, 3) AS cent_sim
+                       FROM (SELECT vec_id, k, s, row_number() OVER (
+                                 PARTITION BY vec_id
+                                 ORDER BY s DESC, k ASC) AS rn
+                             FROM sims)
+                       WHERE rn = 1),
+            dpairs AS (
+              SELECT a.vec_id AS u, b.vec_id AS w
+              FROM assign a JOIN assign b
+                ON a.cluster_id = b.cluster_id
+                AND a.vec_id < b.vec_id
+              JOIN c ca ON ca.vec_id = a.vec_id
+              JOIN c cb ON cb.vec_id = b.vec_id
+              WHERE round(CAST(list_cosine_similarity(ca.v, cb.v)
+                               AS DOUBLE), 3) >= 0.3),
+            edges AS (SELECT u, w FROM dpairs
+                      UNION SELECT w, u FROM dpairs),
+            reach(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r
+                ON e.w = r.u),
+            comp AS (SELECT u AS vec_id, min(label) AS component
+                     FROM reach GROUP BY u),
+            keeper AS (
+              SELECT component, vec_id AS keeper_id
+              FROM (SELECT comp.component, comp.vec_id,
+                           row_number() OVER (
+                             PARTITION BY comp.component
+                             ORDER BY a.cent_sim ASC, comp.vec_id ASC)
+                             AS rn
+                    FROM comp JOIN assign a USING (vec_id))
+              WHERE rn = 1)
+            SELECT 'pairs' AS variant, a.vec_id AS id_a,
+                   b.vec_id AS id_b,
                    round(CAST(list_cosine_similarity(a.v, b.v)
                               AS DOUBLE), 3) AS cos_sim
             FROM c a JOIN c b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(CAST(list_cosine_similarity(a.v, b.v)
-                             AS DOUBLE), 3) >= 0.3""",
+                             AS DOUBLE), 3) >= 0.3
+            UNION ALL
+            SELECT 'semdedup', comp.vec_id, k.keeper_id, a.cent_sim
+            FROM comp
+            JOIN keeper k USING (component)
+            JOIN assign a ON a.vec_id = comp.vec_id""",
         "lsh_ann": f"""
             WITH c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

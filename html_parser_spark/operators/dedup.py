@@ -542,6 +542,78 @@ def embedding_near_dup(df: DataFrame, key_col: str = "vec_id",
     )
 
 
+def semdedup(df: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.7, key_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication" —
+    public algorithm): cluster-then-prune over an embedding column.
+
+    Stages, each in the engine's established idiom:
+
+    1. **assign** — nearest-centroid coarse quantization (the IVF
+       assignment expression: K×dim centroid literals folded into one
+       shuffle-free JVM projection; first index wins ties) plus the
+       row's cosine to its own centroid, rounded to 3 decimals so the
+       keep decision is reproducible across engines.
+    2. **in-cluster pairs** — equi-join on cluster id with
+       ``id_a < id_b``, exact cosine, keep pairs ``>= threshold``.
+       This is the paper's O(c^2)-per-cluster design: at corpus scale
+       you pick k so clusters stay bounded (k ~ n / target_cluster),
+       making the join output-bounded — the corpus is never crossed
+       with itself and nothing corpus-sized is broadcast. Train the
+       centroids on a sample with :func:`~html_parser_spark.operators.
+       similarity.kmeans_centroids`.
+    3. **components** — large-star/small-star connected components
+       over the dup graph (O(log n) rounds, skew-resistant).
+    4. **keep rule** — per component keep the member with the LOWEST
+       centroid similarity (the paper keeps the most atypical
+       example, preserving diversity), ties broken by id; one
+       ``min_by`` partial aggregation.
+
+    Returns one row per member of any duplicate component:
+    ``(vec_id, cluster_id, cent_sim, keeper_id, keep)`` — rows with
+    ``keep = false`` are the prune set. Vectors with no in-cluster
+    neighbor above threshold are not emitted (they are all keepers).
+    """
+    from html_parser_spark.operators.similarity import (cosine_expr,
+                                                        ivf_sims_expr)
+
+    norm = df.select(F.col(key_col).alias("key"),
+                     F.col(vec_col).alias("v"))
+    # two projections so the K-ary sims array is named once instead
+    # of inlined into both the argmax and the element_at
+    sims = norm.select("key", "v",
+                       ivf_sims_expr("v", centroids).alias("_sims"))
+    assigned = sims.select(
+        "key", "v", "_sims",
+        F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+        .cast("int").alias("cluster_id"),
+    ).select(
+        "key", "v", "cluster_id",
+        F.round(F.element_at(F.col("_sims"), F.col("cluster_id")), 3)
+        .alias("cent_sim"))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                    & (F.col("a.key") < F.col("b.key")))
+             .select(F.col("a.key").alias("id_a"),
+                     F.col("b.key").alias("id_b"),
+                     F.round(cosine_expr(F.col("a.v"), F.col("b.v")),
+                             3).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+    comp = connected_components_star(pairs)
+    meta = assigned.select(F.col("key").alias("id"),
+                           "cluster_id", "cent_sim")
+    members = comp.join(meta, "id")
+    keepers = members.groupBy("component").agg(
+        F.min_by("id", F.struct("cent_sim", "id")).alias("keeper_id"))
+    return (members.join(keepers, "component")
+            .select(F.col("id").alias(key_col), "cluster_id",
+                    "cent_sim", "keeper_id",
+                    (F.col("id") == F.col("keeper_id")).alias("keep")))
+
+
 def passage_dup_spans(df: DataFrame, key_col: str = "doc_id",
                       text_col: str = "text", k: int = 5,
                       min_count: int = 2) -> DataFrame:

@@ -298,6 +298,38 @@ def test_embedding_near_dup(spark, vecs):
     assert pairs[(0, 1)] >= 0.999
 
 
+def test_semdedup_keep_rule(spark):
+    """Cluster-then-prune: dup components resolve to ONE keeper, the
+    member with the LOWEST centroid similarity (ties by id); vectors
+    with no in-cluster neighbor above threshold are not emitted."""
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        # cluster 1: 0 and 1 are near-dups; 1 is farther from the
+        # centroid (lower cent_sim) -> 1 is the keeper
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.3, 0.0]),
+        # cluster 1 too, but orthogonal-ish to 0/1 in the y-z plane
+        # component: far enough to stay below threshold vs both
+        (2, [0.7, -0.7, 0.0]),
+        # cluster 2: a 3-chain 3~4, 4~5 -> one component of 3
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.2]),
+        (5, [0.0, 0.85, 0.4]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           dedup.semdedup(df, cents, threshold=0.9).collect()}
+    assert set(got) == {0, 1, 3, 4, 5}     # 2 has no dup neighbor
+    assert got[0].cluster_id == 1 and got[3].cluster_id == 2
+    # cluster-1 component keeps 1 (cent_sim 0.9xx < 1.0)
+    assert got[0].keeper_id == 1 and not got[0].keep
+    assert got[1].keeper_id == 1 and got[1].keep
+    # cluster-2 chain component keeps 5 (lowest centroid similarity)
+    for i in (3, 4, 5):
+        assert got[i].keeper_id == 5
+    assert got[5].keep and not got[3].keep and not got[4].keep
+
+
 # ------------------------------------------------------------ similarity
 
 def test_cosine_neighbors_and_topk(spark, vecs):
