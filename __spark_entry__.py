@@ -199,16 +199,18 @@ def _q_dsir(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023) of every doc
     against a planted target slice (doc_id % 5 == 0), joined with
     the hashed-n-gram LM cross-entropy under the same target model
-    (the CCNet perplexity-filtering analogue): hashed unigram+bigram
-    bucket models with add-1 smoothing. The oracle re-derives the
-    md5 bucketing, both models, the per-doc log-ratio sums AND the
-    per-gram cross-entropy."""
-    from html_parser_spark.operators.sampling import (
-        dsir_logweights, ngram_xent)
+    AND its CCNet head/middle/tail perplexity tercile (Wenzek et al.
+    2020: rank by LM score, integer-exact tercile edges): hashed
+    unigram+bigram bucket models with add-1 smoothing. The oracle
+    re-derives the md5 bucketing, both models, the per-doc log-ratio
+    sums, the per-gram cross-entropy, and the full (xent, doc_id)
+    ranking behind each tercile label."""
+    from html_parser_spark.operators.sampling import (ccnet_terciles,
+                                                      dsir_logweights)
     docs = _docs(spark, sf_dir)
     target = docs.filter("doc_id % 5 = 0")
     return dsir_logweights(docs, target, buckets=1000).join(
-        ngram_xent(docs, target, buckets=1000), "doc_id")
+        ccnet_terciles(docs, target, buckets=1000), "doc_id")
 
 
 def _q_quality(spark, sf_dir):
@@ -2085,12 +2087,25 @@ def oracle_sql() -> dict[str, str]:
                                 / (np.np + 1000.0))) AS xs,
                          count(*) AS xn
                   FROM bk LEFT JOIN cp USING (b), np
-                  GROUP BY bk.doc_id)
+                  GROUP BY bk.doc_id),
+            xr AS (SELECT doc_id, round(-xs / xn, 3) AS xent FROM x),
+            rk AS (SELECT doc_id,
+                          row_number() OVER (
+                            ORDER BY xent ASC, doc_id ASC) AS r,
+                          count(*) OVER () AS n
+                   FROM xr WHERE xent IS NOT NULL)
             SELECT d0.doc_id,
                    round(coalesce(s.s, 0.0), 3) AS dsir_logw,
-                   round(-x.xs / x.xn, 3) AS ngram_xent
+                   xr.xent AS ngram_xent,
+                   CAST(rk.r AS BIGINT) AS ppl_rank,
+                   coalesce(CASE WHEN rk.r * 3 <= rk.n THEN 'head'
+                                 WHEN rk.r * 3 <= 2 * rk.n
+                                   THEN 'middle'
+                                 ELSE 'tail' END,
+                            'unscored') AS ppl_bucket
             FROM documents d0 LEFT JOIN s USING (doc_id)
-            LEFT JOIN x USING (doc_id)""",
+            LEFT JOIN xr USING (doc_id)
+            LEFT JOIN rk USING (doc_id)""",
         "quality_score": f"""
             WITH q AS (
               SELECT doc_id,

@@ -306,6 +306,65 @@ def ngram_xent(df: DataFrame, target_df: DataFrame,
                             ndigits).alias("ngram_xent")))
 
 
+def ccnet_terciles(df: DataFrame, target_df: DataFrame,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   target_text_col: str | None = None,
+                   buckets: int = 10_000, alpha: float = 1.0,
+                   ndigits: int = 3) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — public method): rank every document by its LM score
+    (:func:`ngram_xent` under the target model; lower = more
+    target-like) and split the corpus into equal-size head / middle /
+    tail terciles — CCNet keeps 'head' for training and treats 'tail'
+    as noise.
+
+    Bucket edges are INTEGER-EXACT (no percentile interpolation, so
+    the split is bit-portable across engines): total order =
+    (rounded xent asc, key asc); bucket = 'head' when rank*3 <= n,
+    'middle' when rank*3 <= 2n, else 'tail'. Gram-free rows (NULL
+    xent) cannot be ranked and come back as 'unscored' with NULL
+    rank. Returns (key, ngram_xent, ppl_rank, ppl_bucket).
+
+    Scale shape: the global order is never materialized as a global
+    sort. Rounded-``ndigits`` scores have bounded cardinality, so
+    ranking decomposes into (1) a partial-agg histogram of distinct
+    scores, (2) ONE ordered window over that <= |distinct scores| row
+    histogram for cumulative offsets (the bounded-window precedent of
+    ``pipeline.pack_sequences``), and (3) a per-score PARTITIONED
+    row_number for tie order — bounded groups, never a
+    single-partition pass over the corpus. The doc count joins in as
+    a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    xs = ngram_xent(df, target_df, key_col, text_col,
+                    target_text_col, buckets, alpha, ndigits)
+    scored = xs.filter(F.col("ngram_xent").isNotNull())
+    hist = scored.groupBy("ngram_xent").agg(F.count("*").alias("_c"))
+    w_h = (Window.orderBy("ngram_xent")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offs = hist.select(
+        "ngram_xent",
+        F.coalesce(F.sum("_c").over(w_h), F.lit(0)).alias("_before"))
+    tot = scored.agg(F.count("*").alias("_n"))
+    w_g = Window.partitionBy("ngram_xent").orderBy(key_col)
+    ranked = (scored.join(F.broadcast(offs), "ngram_xent")
+              .select(key_col, "ngram_xent",
+                      (F.col("_before") + F.row_number().over(w_g))
+                      .cast("long").alias("ppl_rank"))
+              .crossJoin(F.broadcast(tot)))
+    bucket = (F.when(F.col("ppl_rank") * 3 <= F.col("_n"), "head")
+              .when(F.col("ppl_rank") * 3 <= 2 * F.col("_n"), "middle")
+              .otherwise("tail"))
+    ranked = ranked.select(key_col, "ppl_rank",
+                           bucket.alias("ppl_bucket"))
+    return (xs.join(ranked, key_col, "left")
+            .select(key_col, "ngram_xent", "ppl_rank",
+                    F.coalesce(F.col("ppl_bucket"), F.lit("unscored"))
+                    .alias("ppl_bucket")))
+
+
 def dsir_select(df: DataFrame, target_df: DataFrame, k: int,
                 key_col: str = "doc_id", text_col: str = "text",
                 seed: int = 0, buckets: int = 10_000,

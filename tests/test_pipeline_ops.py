@@ -963,6 +963,44 @@ def test_quality_lr_classifier(spark):
     assert sc[0] > 0.5 > sc[6]
 
 
+def test_ccnet_terciles(spark):
+    """Head/middle/tail split is integer-exact and ordered by
+    (xent, doc_id): target-like docs land in head, gibberish in
+    tail, terciles are equal-size, gram-free docs are 'unscored',
+    and the same ranks survive repartitioning."""
+    from html_parser_spark.operators import sampling
+
+    tgt_text = "spark shuffle partition executor arrow batch"
+    rows = [(i, tgt_text) for i in range(3)]            # target-like
+    rows += [(i, tgt_text + " cats purr windowsill dusk")
+             for i in range(3, 6)]                       # mixed
+    rows += [(i, "zz qq ww vv uu tt ss rr " * 2)
+             for i in range(6, 9)]                       # gibberish
+    rows += [(9, "")]                                    # gram-free
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id < 3")
+    out = {r.doc_id: r for r in
+           sampling.ccnet_terciles(df, target, buckets=128).collect()}
+    assert len(out) == 10
+    assert out[9].ppl_bucket == "unscored" and out[9].ppl_rank is None
+    scored = [r for r in out.values() if r.doc_id != 9]
+    from collections import Counter
+    assert Counter(r.ppl_bucket for r in scored) == {
+        "head": 3, "middle": 3, "tail": 3}
+    assert {r.doc_id for r in scored if r.ppl_bucket == "head"} \
+        == {0, 1, 2}
+    assert {r.doc_id for r in scored if r.ppl_bucket == "tail"} \
+        == {6, 7, 8}
+    # rank = row_number over (xent asc, doc_id asc)
+    order = sorted(scored, key=lambda r: (r.ngram_xent, r.doc_id))
+    assert [r.ppl_rank for r in order] == list(range(1, 10))
+    again = {r.doc_id: (r.ppl_rank, r.ppl_bucket) for r in
+             sampling.ccnet_terciles(df.repartition(7), target,
+                                     buckets=128).collect()}
+    assert again == {r.doc_id: (r.ppl_rank, r.ppl_bucket)
+                     for r in out.values()}
+
+
 def test_dsir_weights_select_and_determinism(spark):
     """DSIR importance weights: re-derived exactly in pure Python
     (md5 buckets, add-alpha smoothing, log-ratio sums) for every
