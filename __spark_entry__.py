@@ -433,26 +433,41 @@ def _q_warc_extract(spark, sf_dir):
 #: tracking + fragment, root default-https, explicit non-default
 #: port, missing path, tracking-only query
 _T_URLS = (
-    "CASE CAST(doc_id % 5 AS INT) "
+    "CASE CAST(doc_id % 7 AS INT) "
     "WHEN 0 THEN 'HTTP://Ex' || CAST(doc_id AS VARCHAR) ||"
     " '.COM:80/a/b?utm_source=x&b=2&a=1#frag' "
     "WHEN 1 THEN 'https://Host.Org:443/' "
     "WHEN 2 THEN 'https://h.com:8080/p' || CAST(doc_id AS VARCHAR) ||"
     " '?z=1' "
     "WHEN 3 THEN 'http://plain' || CAST(doc_id AS VARCHAR) || '.com' "
-    "ELSE 'https://t.co/x?fbclid=' || CAST(doc_id AS VARCHAR) END")
+    "WHEN 4 THEN 'https://t.co/x?fbclid=' || CAST(doc_id AS VARCHAR) "
+    "WHEN 5 THEN 'https://Sub.Bad.Example/casino/poker' "
+    "ELSE 'http://ok' || CAST(doc_id AS VARCHAR) ||"
+    " '.org/viagra-deals' END")
 
 
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (scheme/host case, default ports,
-    fragments, tracking params, query sort) — pure JVM; the oracle
-    states each planted case's canonical form in closed form."""
-    from html_parser_spark.operators.urls import canonicalize_urls
+    fragments, tracking params, query sort) COMPOSED with the
+    RefinedWeb-style URL gate (Penedo et al. 2023 §3.1) over the
+    canonical form: per-URL host, blocked-domain (exact 't.co' and
+    subdomain-of-'bad.example' both planted), blocked-substring
+    ('/casino/'), soft-word score (the %6 case plants exactly ONE
+    soft word, under the >=2 threshold, so the soft gate's
+    non-firing is verified too) and the keep conjunction — pure JVM;
+    the oracle states each planted case's canonical form and every
+    verdict in closed form."""
+    from html_parser_spark.operators.urls import (canonicalize_urls,
+                                                  url_filter)
 
     planted = _docs(spark, sf_dir).select(
         "doc_id",
         F.expr(_T_URLS.replace("AS VARCHAR", "AS STRING")).alias("url"))
-    return canonicalize_urls(planted).select("doc_id", "canonical_url")
+    canon = canonicalize_urls(planted).select("doc_id",
+                                              "canonical_url")
+    return url_filter(canon, url_col="canonical_url",
+                      blocked_domains=("t.co", "bad.example"),
+                      blocked_substrings=("/casino/",))
 
 
 def _q_sessionize(spark, sf_dir):
@@ -2188,15 +2203,33 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_corpus_oracle(),
         "canonical_urls": f"""
             SELECT doc_id,
-                   CASE CAST(doc_id % 5 AS INT)
+                   CASE CAST(doc_id % 7 AS INT)
                      WHEN 0 THEN 'http://ex' || {_ID}
                        || '.com/a/b?a=1&b=2'
                      WHEN 1 THEN 'https://host.org/'
                      WHEN 2 THEN 'https://h.com:8080/p' || {_ID}
                        || '?z=1'
                      WHEN 3 THEN 'http://plain' || {_ID} || '.com/'
-                     ELSE 'https://t.co/x'
-                   END AS canonical_url
+                     WHEN 4 THEN 'https://t.co/x'
+                     WHEN 5 THEN 'https://sub.bad.example/casino/poker'
+                     ELSE 'http://ok' || {_ID} || '.org/viagra-deals'
+                   END AS canonical_url,
+                   CASE CAST(doc_id % 7 AS INT)
+                     WHEN 0 THEN 'ex' || {_ID} || '.com'
+                     WHEN 1 THEN 'host.org'
+                     WHEN 2 THEN 'h.com'
+                     WHEN 3 THEN 'plain' || {_ID} || '.com'
+                     WHEN 4 THEN 't.co'
+                     WHEN 5 THEN 'sub.bad.example'
+                     ELSE 'ok' || {_ID} || '.org'
+                   END AS host,
+                   CAST(doc_id % 7 AS INT) IN (4, 5)
+                     AS blocked_domain,
+                   CAST(doc_id % 7 AS INT) = 5 AS blocked_pattern,
+                   CAST(CASE CAST(doc_id % 7 AS INT)
+                     WHEN 5 THEN 2 WHEN 6 THEN 1 ELSE 0 END AS INT)
+                     AS soft_score,
+                   CAST(doc_id % 7 AS INT) NOT IN (4, 5) AS keep_url
             FROM documents""",
         "term_stats": """
             WITH tok AS (SELECT doc_id,

@@ -70,3 +70,72 @@ def canonicalize_urls(df: DataFrame,
     """links table -> same rows + ``canonical_url`` column."""
     return df.withColumn("canonical_url",
                          canonical_url_expr(F.col(url_col)))
+
+
+#: default soft-word list for :func:`url_filter`. The published
+#: RefinedWeb run scores URL words from a curated weighted list;
+#: embedding a real adult/fraud blocklist adds nothing to the engine,
+#: so the default is a small placeholder and the real list is an
+#: argument.
+URL_SOFT_WORDS = ("casino", "poker", "porn", "xxx", "viagra")
+
+
+def url_filter(df: DataFrame, url_col: str = "url",
+               blocked_domains: tuple = (),
+               blocked_substrings: tuple = (),
+               soft_words: tuple = URL_SOFT_WORDS,
+               soft_threshold: int = 2) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1,
+    "The RefinedWeb Dataset for Falcon LLM" — public method): the
+    document-level URL gate a crawl curation runs BEFORE fetching or
+    extracting, with three independent verdicts per URL so the
+    pipeline can audit which gate fired:
+
+    * ``blocked_domain`` — the URL's host equals a blocklisted
+      registered domain or is a subdomain of one (suffix match on
+      ``'.' + domain``, so ``abad.example`` does NOT match
+      ``bad.example``);
+    * ``blocked_pattern`` — the URL contains a blocklisted substring
+      (path fragments like ``'/casino/'``);
+    * ``soft_score`` — count of flagged words appearing in the
+      lowercased URL (RefinedWeb's weighted word score with unit
+      weights); blocking applies at ``>= soft_threshold`` so a single
+      incidental match ('viagra' in a pharmacology paper's slug)
+      does not hard-block.
+
+    ``keep_url`` is the conjunction. Pure JVM: host via ``parse_url``,
+    the domain test is one ``exists()`` over the blocklist literal,
+    pattern/word hits are ``contains`` folds. At crawl scale the
+    blocklists are KB..MB-sized literals against a corpus-sized URL
+    column — a shuffle-free map, same class as the decontamination
+    probe's broadcast side.
+    """
+    u = F.col(url_col)
+    low = F.lower(u)
+    host = F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")),
+                              F.lit("")))
+    if blocked_domains:
+        dom_arr = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+        blocked_dom = F.exists(
+            dom_arr, lambda d: (host == d)
+            | host.endswith(F.concat(F.lit("."), d)))
+    else:
+        blocked_dom = F.lit(False)
+    blocked_pat = F.lit(False)
+    for p in blocked_substrings:
+        blocked_pat = blocked_pat | low.contains(p.lower())
+    soft = F.lit(0)
+    for w in soft_words:
+        soft = soft + F.when(low.contains(w.lower()),
+                             F.lit(1)).otherwise(F.lit(0))
+    out = df.select(
+        "*",
+        host.alias("host"),
+        blocked_dom.alias("blocked_domain"),
+        blocked_pat.alias("blocked_pattern"),
+        soft.cast("int").alias("soft_score"),
+    )
+    return out.withColumn(
+        "keep_url",
+        ~F.col("blocked_domain") & ~F.col("blocked_pattern")
+        & (F.col("soft_score") < soft_threshold))

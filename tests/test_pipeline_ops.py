@@ -2950,6 +2950,40 @@ def test_canonicalize_urls(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_url_filter_gates(spark):
+    """Each URL gate fires independently: exact-domain and
+    subdomain-of match but sibling prefixes ('abad.example') do NOT;
+    substring and soft-word gates are independent; one soft word
+    stays under the default >=2 threshold; relative URLs (no host)
+    never domain-block. Plan stays pure JVM and shuffle-free."""
+    from html_parser_spark.operators.urls import url_filter
+
+    rows = [
+        (0, "https://good.example.org/article"),
+        (1, "https://t.co/x"),                     # exact domain
+        (2, "https://sub.bad.example/page"),       # subdomain
+        (3, "https://abad.example/page"),          # sibling: NO match
+        (4, "https://ok.org/casino/poker-night"),  # pattern + 2 soft
+        (5, "https://ok.org/viagra-info"),         # 1 soft: under thr
+        (6, "/relative/only"),                     # no host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_filter(df, blocked_domains=("t.co", "bad.example"),
+                     blocked_substrings=("/casino/",))
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].keep_url and got[0].host == "good.example.org"
+    assert got[1].blocked_domain and not got[1].keep_url
+    assert got[2].blocked_domain and not got[2].blocked_pattern
+    assert not got[3].blocked_domain and got[3].keep_url
+    assert got[4].blocked_pattern and got[4].soft_score == 2 \
+        and not got[4].keep_url
+    assert got[5].soft_score == 1 and got[5].keep_url
+    assert got[6].host == "" and not got[6].blocked_domain \
+        and got[6].keep_url
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_term_freq(spark):
     df = spark.createDataFrame(
         [(0, "the cat and The dog"), (1, "the dog runs")],
