@@ -598,6 +598,50 @@ def test_minhash_signatures_stream_match_batch(spark, tmp_path):
     assert got == exp and len(got) == 12
 
 
+def test_quality_and_url_gates_stream_match_batch(spark, tmp_path):
+    """Stream==batch parity for the round-5 curation gates: the C4
+    page filter and the RefinedWeb URL gate are stateless narrow
+    projections, so the batch operators run verbatim over a stream —
+    gate-verdict parity certifies continuous-ingestion curation."""
+    from html_parser_spark.operators.textstats import c4_quality
+    from html_parser_spark.operators.urls import url_filter
+
+    docs = spark.createDataFrame(
+        [(i, ("a good first sentence lives here.\n"
+              "short\n" + ("lorem ipsum dolor sit amet.\n"
+                           if i % 3 == 0 else "")
+              + f"another closing sentence number {i} here.\n"
+              "and one final line to make three!"),
+          f"https://{'t.co' if i % 4 == 0 else 'ok.org'}/p{i}")
+         for i in range(12)],
+        "doc_id long, text string, url string")
+    src = str(tmp_path / "gate_src")
+    docs.write.parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, url string")
+              .parquet(src))
+
+    def gates(df):
+        # url rides through c4_quality as a key column, so the
+        # composition stays one stateless projection chain — no join
+        return url_filter(c4_quality(df, ["doc_id", "url"]),
+                          blocked_domains=("t.co",))
+
+    q = (gates(stream)
+         .writeStream.format("memory").queryName("gate_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM gate_stream").collect()))
+    exp = sorted(map(tuple, gates(docs).collect()))
+    assert got == exp and len(got) == 12
+    by_id = {t[0]: t for t in got}
+    cols = gates(docs).columns
+    passes, keep = cols.index("passes_c4"), cols.index("keep_url")
+    assert not by_id[0][passes] and not by_id[0][keep]  # lorem + t.co
+    assert by_id[1][passes] and by_id[1][keep]
+
+
 def test_decontaminate_stream_matches_batch(spark, tmp_path):
     """Stream==batch parity for benchmark decontamination: the
     stateless per-row eval-shingle filter keeps/drops exactly the
