@@ -147,6 +147,40 @@ def mix_fractions(
     }
 
 
+def temperature_weights(counts: Mapping[str, int],
+                        temperature: float = 2.0,
+                        ndigits: int = 6) -> dict[str, float]:
+    """Temperature-scaled mixing weights (the examples-proportional-
+    with-temperature rule of Raffel et al. 2020 §3.5.2, also the
+    XLM-R multilingual recipe — public): stratum share proportional
+    to ``n_s ** (1/T)``, so T=1 is proportional sampling and larger T
+    flattens the mixture toward uniform, up-weighting low-resource
+    strata. Feed the result straight into :func:`mix_corpus` /
+    :func:`mix_fractions` (with ``normalize=False`` — the shares are
+    already normalized here).
+
+    Driver-side math on a #strata-sized dict (the same bookkeeping
+    class as mix_corpus's stratum counts — never corpus-sized).
+    Deterministic: T=2 uses IEEE-correctly-rounded ``sqrt``, the
+    normalizing sum runs in sorted-key order, and shares are rounded
+    to ``ndigits`` — so the produced weight literals are reproducible
+    bit-for-bit across hosts and runs.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    live = {k: n for k, n in counts.items() if n > 0}
+    if temperature == 2.0:
+        raw = {k: math.sqrt(n) for k, n in live.items()}
+    else:
+        raw = {k: n ** (1.0 / temperature) for k, n in live.items()}
+    total = 0.0
+    for k in sorted(raw):
+        total += raw[k]
+    if total == 0.0:
+        return {}
+    return {k: round(v / total, ndigits) for k, v in raw.items()}
+
+
 def mix_corpus(
     df: DataFrame,
     strata_col: str,

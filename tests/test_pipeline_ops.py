@@ -963,6 +963,38 @@ def test_quality_lr_classifier(spark):
     assert sc[0] > 0.5 > sc[6]
 
 
+def test_temperature_weights():
+    """Temperature mixing: T=1 reproduces proportional shares, T=2
+    is sqrt-proportional (exact closed form), T->inf flattens toward
+    uniform; zero-count strata drop; shares always sum to ~1."""
+    import math
+
+    from html_parser_spark.operators.sampling import (
+        mix_fractions, temperature_weights)
+
+    counts = {"en": 900, "fr": 90, "de": 9, "zz": 0}
+    w1 = temperature_weights(counts, temperature=1.0)
+    assert "zz" not in w1
+    assert w1["en"] == round(900 / 999, 6)
+    w2 = temperature_weights(counts, temperature=2.0)
+    s = math.sqrt(900) + math.sqrt(90) + math.sqrt(9)
+    assert w2 == {"en": round(30 / s, 6), "fr": round(math.sqrt(90) / s, 6),
+                  "de": round(3 / s, 6)}
+    w100 = temperature_weights(counts, temperature=100.0)
+    assert max(w100.values()) - min(w100.values()) < 0.02  # near-flat
+    for w in (w1, w2, w100):
+        assert abs(sum(w.values()) - 1.0) < 1e-5
+    # up-weighting: higher T raises the low-resource share
+    assert w100["de"] > w2["de"] > w1["de"]
+    # composes with mix_fractions verbatim (already-normalized)
+    fr = mix_fractions(counts, w2, normalize=False)
+    assert set(fr) == {"en", "fr", "de"} and all(
+        0 < f <= 1.0 for f in fr.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_weights(counts, temperature=0.0)
+
+
 def test_ccnet_terciles(spark):
     """Head/middle/tail split is integer-exact and ordered by
     (xent, doc_id): target-like docs land in head, gibberish in
