@@ -14,8 +14,19 @@ Stages (each one of the independently-oracle-verified operators):
 2. **quality gate** — Gopher rule bundle on the extracted text
    (`textstats.gopher_quality`): word count / mean word length /
    symbol ratio / alpha-word ratio / stopword presence.
+   With ``--c4``, the C4 page-filter bundle (`textstats.c4_quality`)
+   additionally gates on the LINE-structured extracted text (line
+   retention, sentence count, lorem/brace/badword page rules).
+   Note the sandbox corpus is punctuation-free synthetic prose, so
+   C4's terminal-punctuation line rule faithfully drops ALL of it
+   (verified: the funnel runs an empty corpus through every later
+   stage and the write without error).
 3. **language gate** — char-trigram `lang_id`, keep a configured
    language allowlist.
+   With ``--ppl-terciles T.parquet``, a CCNet perplexity gate then
+   ranks survivors by hashed-n-gram LM score under the target table
+   and keeps only the ``--ppl-keep`` buckets (default head,middle —
+   the CCNet recipe).
 4. **benchmark decontamination** — drop docs sharing any n-word
    shingle with an eval/benchmark table (`dedup.decontaminate`,
    broadcast probe; ``--eval-table`` points at a parquet of texts,
@@ -46,6 +57,9 @@ With ``--warc`` the corpus is first packed into WARC segments and
 consumed back through the archive record walk + HTTP envelope split
 — the Common Crawl ingestion path — before the same funnel runs
 (verified: identical 90-doc keep set at --cpus 8 and --cpus 5).
+``--url-blocklist d1,d2`` (WARC mode) applies the RefinedWeb URL
+gate (`urls.url_filter`) on each response's target URI BEFORE
+extraction — blocked domains/subdomains never enter the funnel.
 """
 
 from __future__ import annotations
@@ -110,6 +124,23 @@ def main() -> None:
                          "chat-template document per conversation "
                          "(role/tool tags, stable turn order) before "
                          "the write — the training-export shape")
+    ap.add_argument("--c4", action="store_true",
+                    help="additionally gate pages on the C4 rule "
+                         "bundle (textstats.c4_quality) applied to "
+                         "the line-structured extracted text")
+    ap.add_argument("--url-blocklist", default=None,
+                    help="comma list of blocked registered domains "
+                         "(RefinedWeb URL gate, urls.url_filter) "
+                         "applied to response target URIs — WARC "
+                         "mode only, before extraction")
+    ap.add_argument("--ppl-terciles", default=None,
+                    help="parquet of target-LM texts (column "
+                         "'text'); enables the CCNet perplexity "
+                         "gate (sampling.ccnet_terciles) after the "
+                         "language gate")
+    ap.add_argument("--ppl-keep", default="head,middle",
+                    help="comma list of perplexity buckets to keep "
+                         "(head/middle/tail/unscored)")
     ap.add_argument("--warc", action="store_true",
                     help="crawl-first ingest: pack the corpus into "
                          "WARC segments and consume them back "
@@ -150,10 +181,24 @@ def main() -> None:
             synth_warc, warc_records)
         recs = warc_records(synth_warc(tr))
         funnel["warc_records"] = recs.count()
-        tr = (recs.filter((F.col("warc_type") == "response")
-                          & (F.col("http_status") == 200)
-                          & F.col("content_type")
-                          .startswith("text/html"))
+        resp = recs.filter((F.col("warc_type") == "response")
+                           & (F.col("http_status") == 200)
+                           & F.col("content_type")
+                           .startswith("text/html"))
+        if args.url_blocklist:
+            # RefinedWeb URL gate on the record's target URI, BEFORE
+            # extraction — a blocked crawl never costs a parse
+            from html_parser_spark.operators.urls import url_filter
+            doms = tuple(d.strip()
+                         for d in args.url_blocklist.split(",")
+                         if d.strip())
+            resp = (url_filter(resp, url_col="uri",
+                               blocked_domains=doms)
+                    .filter("keep_url")
+                    .drop("host", "blocked_domain", "blocked_pattern",
+                          "soft_score", "keep_url"))
+            funnel["after_url_gate"] = resp.count()
+        tr = (resp
               .select(F.col("doc_id").cast("string")
                       .alias("conv_id"),
                       F.lit(0).alias("turn_idx"),
@@ -205,6 +250,19 @@ def main() -> None:
     step2 = ex.join(ok_q, ["conv_id", "turn_idx"], "left_semi").cache()
     funnel["after_quality"] = step2.count()
 
+    # 2b. optional C4 page gate — judged on the LINE-structured
+    # as-extracted text (trimmed/collapsed text has no newlines for
+    # the line-retention rule to see)
+    if args.c4:
+        c4v = textstats.c4_quality(
+            ex0.select("conv_id", "turn_idx",
+                       F.col("extracted_text").alias("text")),
+            ["conv_id", "turn_idx"])
+        ok_c4 = c4v.filter("passes_c4").select("conv_id", "turn_idx")
+        step2 = step2.join(ok_c4, ["conv_id", "turn_idx"],
+                           "left_semi").cache()
+        funnel["after_c4"] = step2.count()
+
     # 3. language gate
     allow = [x.strip() for x in args.langs.split(",") if x.strip()]
     lang = textstats.lang_id(step2, ["conv_id", "turn_idx"]).cache()
@@ -212,6 +270,23 @@ def main() -> None:
             .select("conv_id", "turn_idx"))
     step3 = step2.join(ok_l, ["conv_id", "turn_idx"], "left_semi").cache()
     funnel["after_lang"] = step3.count()
+
+    # 3b. optional CCNet perplexity gate: rank survivors by
+    # hashed-n-gram LM score under the target table, keep the
+    # configured buckets (head,middle = the CCNet recipe)
+    if args.ppl_terciles:
+        from html_parser_spark.operators.sampling import ccnet_terciles
+        tgt = spark.read.parquet(args.ppl_terciles)
+        keep_buckets = [x.strip() for x in args.ppl_keep.split(",")
+                        if x.strip()]
+        keyed_p = step3.withColumn(
+            "doc_key", F.concat_ws("#", "conv_id", "turn_idx"))
+        terc = ccnet_terciles(keyed_p, tgt, key_col="doc_key")
+        ok_p = (terc.filter(F.col("ppl_bucket").isin(keep_buckets))
+                .select("doc_key"))
+        step3 = (keyed_p.join(ok_p, "doc_key", "left_semi")
+                 .drop("doc_key").cache())
+        funnel["after_ppl"] = step3.count()
 
     # 4. benchmark decontamination (broadcast eval-shingle probe).
     # drop mode is keyed by conv_id: one leaked turn drops the whole
