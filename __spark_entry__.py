@@ -424,9 +424,64 @@ def _q_warc_extract(spark, sf_dir):
         F.lit(None).cast("int").alias("status"),
         F.col("total_bytes").alias("n_body"),
         F.lit(None).cast("string").alias("trimmed"))
+    # robots.txt admission (RFC 9309) — the gate a crawl consults
+    # BEFORE any of the above records exist. Planted per-doc robots
+    # files exercise comments, a pre-group ignored rule, '*' vs
+    # named-agent group precedence (%3 docs carry a 'trainbot'
+    # group), wildcard and '$'-anchored patterns, longest-match with
+    # allow-wins ties, and the empty Disallow; verdicts for four
+    # paths per doc under the 'trainbot' product token. The oracle
+    # re-derives the ENTIRE chain — line/field parse, group
+    # numbering, group selection, pattern->regex translation, and
+    # the longest-match verdict.
+    from html_parser_spark.operators.robots import (parse_robots,
+                                                    robots_allowed)
+    docs = _docs(spark, sf_dir)
+    rb = docs.select(
+        "doc_id",
+        F.expr(_T_ROBOTS.replace("AS VARCHAR", "AS STRING"))
+        .alias("robots_txt"))
+    rules = parse_robots(rb, key_col="doc_id")
+    paths = docs.select("doc_id", F.explode(F.array(
+        F.concat(F.lit("/private/pub"), F.col("doc_id").cast("string")),
+        F.lit("/private/x"), F.lit("/tmp"), F.lit("/train/go")))
+        .alias("path"))
+    verd = robots_allowed(rules, paths, user_agent="trainbot",
+                          key_col="doc_id", path_col="path")
+    robots_rows = verd.select(
+        F.lit("robots").alias("variant"),
+        F.col("key").alias("doc_id"),
+        F.when(F.col("path") == "/private/x", 1)
+        .when(F.col("path") == "/tmp", 2)
+        .when(F.col("path") == "/train/go", 3)
+        .otherwise(0).cast("int").alias("rec_idx"),
+        F.lit("robots").alias("warc_type"),
+        F.col("path").alias("s"),
+        F.col("allowed").cast("int").alias("status"),
+        F.coalesce(F.length("matched_pattern").cast("long"),
+                   F.lit(-1)).alias("n_body"),
+        F.when(F.col("matched_rule").isNotNull(),
+               F.concat_ws(" ", "matched_rule", "matched_pattern"))
+        .alias("trimmed"))
     return rec_rows.unionByName(text_rows) \
         .unionByName(tar_rows).unionByName(zip_rows) \
-        .unionByName(wds_rows)
+        .unionByName(wds_rows).unionByName(robots_rows)
+
+
+#: per-doc robots.txt fixture (shared Spark/DuckDB expression): a
+#: pre-group rule (ignored), a '*' group with prefix / wildcard /
+#: '$'-anchored rules + an inline comment, a named 'trainbot' group
+#: on %3 docs (which then SUPPLANTS the '*' group per RFC 9309
+#: §2.2.1), and a trailing empty Disallow (matches nothing).
+_T_ROBOTS = (
+    "'Disallow: /pregroup-ignored/' || chr(10) || "
+    "'User-agent: *' || chr(10) || "
+    "'Disallow: /private/   # comment' || chr(10) || "
+    "'Allow: /private/pub*' || chr(10) || "
+    "'Disallow: /tmp$' || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'User-agent: trainbot' || chr(10)"
+    " || 'Disallow: /train/' "
+    "ELSE '# no extra group' END || chr(10) || 'Disallow:'")
 
 
 #: planted URLs covering the canonicalization cases: default-port +
@@ -2012,7 +2067,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR)
             FROM documents,
                  LATERAL (SELECT unnest(range(0, 1 + doc_id % 2))
-                          AS j) js""",
+                          AS j) js
+            UNION ALL
+            SELECT 'robots', doc_id, rec_idx, 'robots', path,
+                   status, n_body, trimmed
+            FROM (
+              WITH rb AS (SELECT doc_id, {_T_ROBOTS} AS rt
+                          FROM documents),
+              lns AS (SELECT doc_id, string_split(rt, chr(10)) AS l
+                      FROM rb),
+              ln AS (SELECT doc_id, CAST(u.pos AS INT) AS pos,
+                            trim(regexp_replace(u.line, '#.*', ''))
+                              AS line
+                     FROM (SELECT doc_id,
+                             unnest(list_transform(range(0, len(l)),
+                               i -> {{'pos': i, 'line': l[i+1]}})) AS u
+                           FROM lns)),
+              fv0 AS (SELECT doc_id, pos,
+                        lower(trim(regexp_extract(line,
+                                                  '^([^:]+):', 1)))
+                          AS field,
+                        trim(regexp_extract(line, '^[^:]+:(.*)$', 1))
+                          AS value
+                      FROM ln WHERE line <> ''),
+              fv AS (SELECT * FROM fv0
+                     WHERE field IN ('user-agent', 'allow',
+                                     'disallow')),
+              st AS (SELECT *,
+                       CASE WHEN field = 'user-agent'
+                             AND coalesce(lag(field) OVER (
+                                 PARTITION BY doc_id ORDER BY pos),
+                               '') <> 'user-agent'
+                            THEN 1 ELSE 0 END AS is_start
+                     FROM fv),
+              grp AS (SELECT *, sum(is_start) OVER (
+                          PARTITION BY doc_id ORDER BY pos) AS gid
+                      FROM st),
+              ag AS (SELECT doc_id, gid,
+                            list_sort(list(lower(value))) AS agents
+                     FROM grp WHERE field = 'user-agent'
+                     GROUP BY 1, 2),
+              rl AS (SELECT doc_id, gid, field AS rule,
+                            value AS pattern, length(value) AS plen
+                     FROM grp WHERE field <> 'user-agent'
+                       AND gid > 0 AND value <> ''),
+              rrules AS (SELECT rl.*, ag.agents FROM rl
+                         JOIN ag USING (doc_id, gid)),
+              hasname AS (SELECT DISTINCT doc_id AS hd FROM rrules
+                          WHERE list_contains(agents, 'trainbot')),
+              app AS (SELECT r.doc_id, rule, pattern, plen
+                      FROM rrules r
+                      LEFT JOIN hasname h ON r.doc_id = h.hd
+                      WHERE CASE WHEN h.hd IS NOT NULL
+                            THEN list_contains(agents, 'trainbot')
+                            ELSE list_contains(agents, '*') END),
+              urls AS (SELECT doc_id, CAST(u.i AS INT) AS rec_idx,
+                              u.p AS path
+                       FROM (SELECT doc_id,
+                               unnest(list_transform(range(0, 4),
+                                 i -> {{'i': i, 'p': CASE i
+                                   WHEN 0 THEN '/private/pub'
+                                     || {_ID}
+                                   WHEN 1 THEN '/private/x'
+                                   WHEN 2 THEN '/tmp'
+                                   ELSE '/train/go' END}})) AS u
+                             FROM documents)),
+              cand AS (SELECT u.doc_id, u.rec_idx, u.path, a.rule,
+                              a.pattern, a.plen,
+                         CASE WHEN a.pattern IS NULL THEN FALSE
+                           ELSE regexp_matches(u.path, '^' ||
+                             regexp_replace(regexp_replace(
+                               CASE WHEN a.pattern LIKE '%$'
+                                 THEN substr(a.pattern, 1,
+                                             length(a.pattern) - 1)
+                                 ELSE a.pattern END,
+                               '([\\.\\[\\]{{}}()+?^$|])',
+                               '\\\\\\1', 'g'),
+                               '\\*', '.*', 'g')
+                             || CASE WHEN a.pattern LIKE '%$'
+                                THEN '$' ELSE '' END) END AS m
+                       FROM urls u LEFT JOIN app a USING (doc_id)),
+              ver AS (SELECT *, row_number() OVER (
+                          PARTITION BY doc_id, rec_idx
+                          ORDER BY m DESC, plen DESC,
+                                   (rule = 'allow') DESC,
+                                   rule DESC, pattern DESC) AS rn
+                      FROM cand)
+              SELECT doc_id, rec_idx, path,
+                     CAST(CASE WHEN NOT m THEN 1
+                               WHEN rule = 'allow' THEN 1
+                               ELSE 0 END AS INT) AS status,
+                     CAST(CASE WHEN m THEN plen ELSE -1 END
+                          AS BIGINT) AS n_body,
+                     CASE WHEN m THEN rule || ' ' || pattern END
+                       AS trimmed
+              FROM ver WHERE rn = 1) rsub""",
         "event_stats": f"""
             SELECT {_ID} AS conv_id,
                    CAST(24 AS BIGINT) AS n_events,

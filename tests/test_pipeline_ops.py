@@ -2982,6 +2982,56 @@ def test_canonicalize_urls(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_robots_rfc9309(spark):
+    """robots.txt parse + admission per RFC 9309: comment stripping,
+    pre-group rules ignored, UA-run grouping, named-group precedence
+    over '*' (the '*' group does NOT also apply), wildcard and
+    '$'-anchored patterns, longest-match with allow-wins ties, empty
+    Disallow matches nothing, missing robots = allowed."""
+    from html_parser_spark.operators.robots import (parse_robots,
+                                                    robots_allowed)
+
+    rob_a = ("# site A\nUser-agent: *\nDisallow: /private/\n"
+             "Allow: /private/pub*\nDisallow: /tmp$\n\n"
+             "User-agent: trainbot\nUser-agent: otherbot\n"
+             "Disallow: /train/\nAllow: /train/open/\n")
+    rob_b = "Disallow: /ignored-pregroup/\nUser-agent: *\nDisallow:\n"
+    robots = spark.createDataFrame(
+        [("a.com", rob_a), ("b.com", rob_b)],
+        "host string, robots_txt string")
+    rules = parse_robots(robots)
+    rmap = {(r.key, r.rule, r.pattern): (r.group_id, sorted(r.agents))
+            for r in rules.collect()}
+    assert rmap[("a.com", "disallow", "/train/")] == \
+        (2, ["otherbot", "trainbot"])
+    assert ("b.com", "disallow", "/ignored-pregroup/") not in rmap
+    assert not [k for k in rmap if k[0] == "b.com"]  # empty pattern
+
+    urls = spark.createDataFrame(
+        [("a.com", "/private/x"), ("a.com", "/private/pub/ok"),
+         ("a.com", "/tmp"), ("a.com", "/tmp/inner"),
+         ("a.com", "/train/x"), ("a.com", "/train/open/f"),
+         ("b.com", "/anything"), ("c.com", "/no-robots")],
+        "host string, path string")
+
+    star = {(r.key, r.path): r.allowed
+            for r in robots_allowed(rules, urls).collect()}
+    assert star[("a.com", "/private/pub/ok")]          # longest=allow
+    assert not star[("a.com", "/private/x")]
+    assert not star[("a.com", "/tmp")]                 # $-anchored
+    assert star[("a.com", "/tmp/inner")]               # past anchor
+    assert star[("a.com", "/train/x")]                 # other group
+    assert star[("b.com", "/anything")]
+    assert star[("c.com", "/no-robots")]               # no robots
+
+    bot = {(r.key, r.path): r.allowed
+           for r in robots_allowed(rules, urls,
+                                   user_agent="TrainBot").collect()}
+    assert bot[("a.com", "/private/x")]     # '*' group supplanted
+    assert not bot[("a.com", "/train/x")]
+    assert bot[("a.com", "/train/open/f")]  # longest match = allow
+
+
 def test_url_filter_gates(spark):
     """Each URL gate fires independently: exact-domain and
     subdomain-of match but sibling prefixes ('abad.example') do NOT;
