@@ -70,15 +70,21 @@ def _q_headers(spark, sf_dir):
 
 
 def _q_links(spark, sf_dir):
-    """Both LinkExtor-family arms in one variant-tagged row set
+    """All three URL-discovery arms in one variant-tagged row set
     (round-5 merge, freeing a registry slot under the 50-cap):
     variant='link' rows are the per-link extraction over the
     transcripts template (k=link_seq, s=tagname, s2=attr_name,
     url); variant='host' rows are the per-host crawl-domain
     aggregate over planted absolute URLs (conv_id=host, k=n_links,
-    s=n_unique_urls as text, s2='host', url=host). The oracle
-    re-derives both arms in closed form."""
+    s=n_unique_urls as text, s2='host', url=host);
+    variant='sitemap' rows parse planted sitemaps.org XML — both
+    the <urlset> leaf and <sitemapindex> index shapes, with an
+    XML-escaped &amp; in the loc and an OPTIONAL lastmod — through
+    the engine's OWN event tokenizer in xml_mode (turn_idx=entry,
+    s=lastmod, s2=role, url=decoded loc). The oracle re-derives all
+    three arms in closed form, entity decode included."""
     from html_parser_spark.operators.extract import links
+    from html_parser_spark.operators.sitemap import sitemap_urls
     from html_parser_spark.operators.textstats import host_counts
 
     link_rows = links(_tr(spark, sf_dir)).select(
@@ -96,7 +102,38 @@ def _q_links(spark, sf_dir):
         F.col("n_unique_urls").cast("string").alias("s"),
         F.lit("host").alias("s2"),
         F.col("host").alias("url"))
-    return link_rows.unionByName(host_rows)
+    sm = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_T_SITEMAP.replace("AS VARCHAR", "AS STRING"))
+        .alias("text"))
+    sitemap_rows = sitemap_urls(sm, key_cols=["doc_id"]).select(
+        F.lit("sitemap").alias("variant"),
+        F.col("conv_id"),
+        F.col("entry").alias("turn_idx"),
+        F.lit(-1).alias("k"),
+        F.col("lastmod").alias("s"),
+        F.col("role").alias("s2"),
+        F.col("loc").alias("url"))
+    return link_rows.unionByName(host_rows) \
+        .unionByName(sitemap_rows)
+
+
+#: planted sitemap fixture (shared Spark/DuckDB expression): even
+#: docs get a two-entry <urlset> (first loc XML-escaped, second
+#: without the optional lastmod), odd docs a one-entry
+#: <sitemapindex> — both protocol shapes, parsed by the engine's own
+#: tokenizer.
+_T_SITEMAP = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<?xml version=\"1.0\"?><urlset><url><loc>https://ex.com/d/' "
+    "|| CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2</loc>"
+    "<lastmod>2026-01-11</lastmod></url>"
+    "<url><loc>https://ex.com/p/' || CAST(doc_id AS VARCHAR) || "
+    "'</loc></url></urlset>' "
+    "ELSE '<sitemapindex><sitemap><loc>https://ex.com/maps/m' || "
+    "CAST(doc_id AS VARCHAR) || '.xml</loc><lastmod>2026-02-0' || "
+    "CAST(doc_id % 9 + 1 AS VARCHAR) || "
+    "'</lastmod></sitemap></sitemapindex>' END")
 
 
 def _q_event_stats(spark, sf_dir):
@@ -1984,7 +2021,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'host', 'img.ex.com', -1, CAST(count(*) AS INT),
                    CAST(count(*) AS VARCHAR), 'host', 'img.ex.com'
-            FROM documents""",
+            FROM documents
+            UNION ALL
+            SELECT 'sitemap', {_ID}, 1, -1, '2026-01-11', 'url',
+                   'https://ex.com/d/' || {_ID} || '?a=1&b=2'
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'sitemap', {_ID}, 2, -1, CAST(NULL AS VARCHAR),
+                   'url', 'https://ex.com/p/' || {_ID}
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'sitemap', {_ID}, 1, -1,
+                   '2026-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR),
+                   'sitemap',
+                   'https://ex.com/maps/m' || {_ID} || '.xml'
+            FROM documents WHERE doc_id % 2 = 1""",
         "warc_extract": f"""
             SELECT 'rec' AS variant, doc_id, 0 AS rec_idx,
                    'warcinfo' AS warc_type,

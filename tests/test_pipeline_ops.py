@@ -2982,6 +2982,41 @@ def test_canonicalize_urls(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_sitemap_urls(spark):
+    """sitemaps.org extraction through the engine's own tokenizer:
+    urlset and sitemapindex shapes, entity-decoded loc, optional
+    lastmod, inter-element whitespace never misattributes, and
+    hostile inputs (truncated XML, no entries, NULL) degrade to
+    empty/partial rows instead of crashing."""
+    from html_parser_spark.operators.sitemap import sitemap_urls
+
+    leaf = ('<?xml version="1.0"?>\n<urlset>\n'
+            '  <url>\n    <loc>https://e.com/a?x=1&amp;y=2</loc>\n'
+            '    <lastmod>2026-03-01</lastmod>\n  </url>\n'
+            '  <url><loc> https://e.com/b </loc></url>\n'
+            '</urlset>')
+    idx = ('<sitemapindex><sitemap><loc>https://e.com/m1.xml</loc>'
+           '</sitemap><sitemap><loc>https://e.com/m2.xml</loc>'
+           '<lastmod>2026-04-05</lastmod></sitemap></sitemapindex>')
+    rows = [(0, leaf), (1, idx),
+            (2, "<urlset><url><loc>https://e.com/tru"),  # truncated
+            (3, "<urlset></urlset>"),                    # no entries
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.conv_id, r.entry): r
+           for r in sitemap_urls(df, key_cols=["doc_id"]).collect()}
+    assert got[("0", 1)].loc == "https://e.com/a?x=1&y=2"
+    assert got[("0", 1)].lastmod == "2026-03-01"
+    assert got[("0", 2)].loc == "https://e.com/b"   # trimmed
+    assert got[("0", 2)].lastmod is None
+    assert got[("1", 1)].role == "sitemap"
+    assert got[("1", 2)].lastmod == "2026-04-05"
+    # truncated file still yields its partial loc text; empty and
+    # NULL files yield nothing
+    assert got[("2", 1)].loc == "https://e.com/tru"
+    assert not [k for k in got if k[0] in ("3", "4")]
+
+
 def test_robots_rfc9309(spark):
     """robots.txt parse + admission per RFC 9309: comment stripping,
     pre-group rules ignored, UA-run grouping, named-group precedence
