@@ -1,0 +1,83 @@
+"""Crawl-frontier composition: sitemap discovery -> robots admission
+-> URL gate.
+
+Ties the three crawl-side operators into the one DataFrame a fetch
+fleet actually consumes: URLs discovered from sitemaps.org files
+(:func:`~html_parser_spark.operators.sitemap.sitemap_urls`, parsed by
+the engine's own tokenizer), admitted per RFC 9309
+(:mod:`~html_parser_spark.operators.robots`), and filtered through
+the RefinedWeb-style URL gate
+(:func:`~html_parser_spark.operators.urls.url_filter`).
+
+Scale shape inherits from the parts: sitemap parse is a map + bounded
+per-file windows, robots matching is an equi-join on host (the
+natural crawl-frontier partitioning), the URL gate is a shuffle-free
+map over literal-sized blocklists. The only cross-input join is
+URLs-per-host x rules-per-host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def crawl_frontier(sitemaps: DataFrame, robots: DataFrame,
+                   user_agent: str = "*",
+                   blocked_domains: tuple = (),
+                   blocked_substrings: tuple = (),
+                   sitemap_key: str = "host",
+                   xml_col: str = "sitemap_xml",
+                   robots_key: str = "host",
+                   robots_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_xml) x (host, robots_txt) -> the admitted
+    frontier: one row per discovered leaf URL with its verdicts
+    ``(host, url, path, role, robots_allowed, matched_rule,
+    keep_url, frontier)``.
+
+    ``frontier`` is the conjunction — robots-allowed AND URL-gate
+    kept. Sitemap-index entries (``role='sitemap'``) are emitted too
+    (a crawler recurses into them) but their admission is evaluated
+    the same way. Robots matching uses path+query per RFC 9309;
+    hosts are taken from each loc itself, so a sitemap pointing at a
+    foreign host is admitted under THAT host's robots file (or by
+    default when none is known).
+    """
+    from html_parser_spark.operators.robots import (parse_robots,
+                                                    robots_allowed)
+    from html_parser_spark.operators.sitemap import sitemap_urls
+    from html_parser_spark.operators.urls import url_filter
+
+    locs = sitemap_urls(
+        sitemaps.select(F.col(sitemap_key).alias("conv_id"),
+                        F.lit(0).alias("turn_idx"),
+                        F.col(xml_col).alias("text")))
+    urls = locs.select(
+        F.col("role"),
+        F.col("loc").alias("url"),
+        F.lower(F.coalesce(F.parse_url("loc", F.lit("HOST")),
+                           F.lit(""))).alias("host"),
+        F.concat(
+            F.coalesce(F.parse_url("loc", F.lit("PATH")), F.lit("")),
+            F.coalesce(F.concat(F.lit("?"),
+                                F.parse_url("loc", F.lit("QUERY"))),
+                       F.lit(""))).alias("path"))
+    rules = parse_robots(robots, key_col=robots_key,
+                         text_col=robots_col)
+    verd = robots_allowed(rules, urls, user_agent=user_agent,
+                          key_col="host", path_col="path")
+    joined = urls.join(
+        verd.select(F.col("key").alias("host"), "path",
+                    F.col("allowed").alias("robots_allowed"),
+                    "matched_rule"),
+        ["host", "path"])
+    # url_filter re-derives 'host' from the url itself, so drop the
+    # join key first and keep its single host column
+    gated = url_filter(joined.drop("host"), url_col="url",
+                       blocked_domains=blocked_domains,
+                       blocked_substrings=blocked_substrings)
+    return gated.select(
+        "host", "url", "path", "role", "robots_allowed",
+        "matched_rule", "keep_url",
+        (F.col("robots_allowed") & F.col("keep_url"))
+        .alias("frontier"))

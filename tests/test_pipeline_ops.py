@@ -2982,6 +2982,41 @@ def test_canonicalize_urls(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_crawl_frontier_composition(spark):
+    """sitemap discovery -> robots admission -> URL gate compose
+    into the admitted frontier: each gate vetoes independently,
+    foreign hosts without robots default to allowed, index entries
+    are emitted with role='sitemap'."""
+    from html_parser_spark.operators.crawl import crawl_frontier
+
+    sm = ("<urlset>"
+          "<url><loc>https://a.com/ok/page</loc></url>"
+          "<url><loc>https://a.com/private/x?id=1</loc></url>"
+          "<url><loc>https://a.com/casino/page</loc></url>"
+          "<url><loc>https://other.com/anything</loc></url>"
+          "</urlset>")
+    idx = ("<sitemapindex><sitemap><loc>https://a.com/more.xml"
+           "</loc></sitemap></sitemapindex>")
+    sitemaps = spark.createDataFrame(
+        [("a.com", sm), ("a.com-idx", idx)],
+        "host string, sitemap_xml string")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    got = {r.url: r for r in crawl_frontier(
+        sitemaps, robots,
+        blocked_substrings=("/casino/",)).collect()}
+    assert len(got) == 5
+    assert got["https://a.com/ok/page"].frontier
+    r = got["https://a.com/private/x?id=1"]
+    assert not r.robots_allowed and r.keep_url and not r.frontier
+    r = got["https://a.com/casino/page"]
+    assert r.robots_allowed and not r.keep_url and not r.frontier
+    assert got["https://other.com/anything"].frontier  # no robots
+    r = got["https://a.com/more.xml"]
+    assert r.role == "sitemap" and r.frontier
+
+
 def test_sitemap_urls(spark):
     """sitemaps.org extraction through the engine's own tokenizer:
     urlset and sitemapindex shapes, entity-decoded loc, optional
