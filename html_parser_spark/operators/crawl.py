@@ -55,12 +55,12 @@ def crawl_frontier(sitemaps: DataFrame, robots: DataFrame,
     urls = locs.select(
         F.col("role"),
         F.col("loc").alias("url"),
-        F.lower(F.coalesce(F.parse_url("loc", F.lit("HOST")),
+        F.lower(F.coalesce(F.try_parse_url("loc", F.lit("HOST")),
                            F.lit(""))).alias("host"),
         F.concat(
-            F.coalesce(F.parse_url("loc", F.lit("PATH")), F.lit("")),
+            F.coalesce(F.try_parse_url("loc", F.lit("PATH")), F.lit("")),
             F.coalesce(F.concat(F.lit("?"),
-                                F.parse_url("loc", F.lit("QUERY"))),
+                                F.try_parse_url("loc", F.lit("QUERY"))),
                        F.lit(""))).alias("path"))
     rules = parse_robots(robots, key_col=robots_key,
                          text_col=robots_col)

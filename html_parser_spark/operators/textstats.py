@@ -468,7 +468,7 @@ def host_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
     # hostnames are case-insensitive (RFC 3986 §3.2.2) and parse_url
     # preserves case — lowercase so mixed-case spellings of one host
     # don't split its statistics
-    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     return (df.groupBy(host.alias("host"))
             .agg(F.count("*").alias("n_links"),
                  F.countDistinct(url_col).alias("n_unique_urls")))

@@ -36,18 +36,18 @@ def canonical_url_expr(url: Column) -> Column:
     # (?s): a '#' fragment may contain embedded newlines (HTML
     # attribute values span lines); '.' must not stop at them
     u = F.regexp_replace(F.trim(url), "(?s)#.*$", "")
-    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
-    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    authority = F.try_parse_url(u, F.lit("AUTHORITY"))
     port = F.regexp_extract(authority, ":([0-9]+)$", 1)
     default_port = ((proto == "http") & (port == "80")) | \
         ((proto == "https") & (port == "443")) | (port == "")
     port_part = F.when(default_port, F.lit("")).otherwise(
         F.concat(F.lit(":"), port))
-    raw_path = F.parse_url(u, F.lit("PATH"))
+    raw_path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when((raw_path == "") | raw_path.isNull(), F.lit("/")) \
         .otherwise(raw_path)
-    q = F.parse_url(u, F.lit("QUERY"))
+    q = F.try_parse_url(u, F.lit("QUERY"))
 
     def _keep(x: Column) -> Column:
         tracking = None
@@ -110,9 +110,11 @@ def url_filter(df: DataFrame, url_col: str = "url",
     column — a shuffle-free map, same class as the decontamination
     probe's broadcast side.
     """
-    u = F.col(url_col)
+    # NULL url = the absent row: every verdict stays DEFINED (a NULL
+    # keep_url would silently drop the row from a filter)
+    u = F.coalesce(F.col(url_col), F.lit(""))
     low = F.lower(u)
-    host = F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")),
+    host = F.lower(F.coalesce(F.try_parse_url(u, F.lit("HOST")),
                               F.lit("")))
     if blocked_domains:
         dom_arr = F.array(*[F.lit(d.lower()) for d in blocked_domains])

@@ -2982,6 +2982,69 @@ def test_canonicalize_urls(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_crawl_text_parsers_total_on_hostile_input(spark):
+    """Totality sweep for the round-5 crawl/text gates (the
+    DataFrame twin of the binary-parser fuzz suite): hostile robots
+    files — regex metacharacters in patterns, lone '$'/'*' rules,
+    trailing backslashes, colonless lines, binary-ish junk — and
+    hostile sitemap/C4/URL inputs must all produce defined rows,
+    never a worker exception or an invalid generated regex."""
+    import hashlib
+
+    from html_parser_spark.operators.robots import (parse_robots,
+                                                    robots_allowed)
+    from html_parser_spark.operators.sitemap import sitemap_urls
+    from html_parser_spark.operators.textstats import c4_quality
+    from html_parser_spark.operators.urls import url_filter
+
+    junk = "".join(chr(32 + hashlib.md5(bytes([i])).digest()[0] % 90)
+                   for i in range(160))
+    nasty_patterns = ["(((", "****", "$", "*$", "/a\\", "/[b-a]/",
+                      "/x{2,}", "/)(", "/a|b", "/.*$", "\\", "/+?^"]
+    robots_texts = [
+        "User-agent: *\n" + "\n".join(
+            f"Disallow: {p}" for p in nasty_patterns),
+        "User-agent: *\nAllow: " + "*" * 50 + "\n",
+        junk, "::::\nUser-agent\nDisallow :x\n", "",
+        "User-agent: *\r\nDisallow: /a\r\n",   # CRLF tolerance
+    ]
+    robots = spark.createDataFrame(
+        [(f"h{i}", t) for i, t in enumerate(robots_texts)],
+        "host string, robots_txt string")
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [(f"h{i}", p) for i in range(len(robots_texts))
+         for p in ("/a", "/x" * 30, junk[:40], "")],
+        "host string, path string")
+    verd = robots_allowed(rules, urls).collect()
+    assert len(verd) == len(robots_texts) * 4
+    assert all(r.allowed is not None for r in verd)
+
+    sm = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            [junk, "<url><loc>" + junk + "</loc>", "<<<>>>",
+             "<urlset>" + "<url><loc>x</loc></url>" * 50 +
+             "</urlset>", None])],
+        "doc_id long, text string")
+    assert sitemap_urls(sm, key_cols=["doc_id"]).count() >= 51
+
+    hostile_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            [junk, "\n" * 100, ".", "a" * 5000, None, "{" * 80])],
+        "doc_id long, text string")
+    c4 = c4_quality(hostile_docs, ["doc_id"]).collect()
+    assert len(c4) == 6 and all(r.passes_c4 is not None for r in c4)
+
+    hostile_urls = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(
+            [junk, "http://", "://x", "https://[::1]/p", None,
+             "https://" + "a" * 300 + ".com/x"])],
+        "doc_id long, url string")
+    uf = url_filter(hostile_urls, blocked_domains=("a.com",),
+                    blocked_substrings=("/x/",)).collect()
+    assert len(uf) == 6 and all(r.keep_url is not None for r in uf)
+
+
 def test_crawl_frontier_composition(spark):
     """sitemap discovery -> robots admission -> URL gate compose
     into the admitted frontier: each gate vetoes independently,
