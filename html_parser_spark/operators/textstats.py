@@ -55,7 +55,7 @@ def token_stats(df: DataFrame, key_cols: list[str],
         *key_cols,
         F.length(t).alias("n_chars"),
         F.size(w).alias("n_words"),
-        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.regexp_count(t, F.lit(TOKEN_RE)).alias("n_tokens"),
     )
 
 
@@ -346,7 +346,7 @@ def c4_quality(df: DataFrame, key_cols: list[str],
         *key_cols,
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
-        F.size(F.regexp_extract_all(kept_text, F.lit("[.!?]"), 0))
+        F.regexp_count(kept_text, F.lit("[.!?]"))
         .cast("long").alias("n_sentences"),
         (~F.lower(t).contains("lorem ipsum")).alias("ok_no_lorem"),
         (~t.contains("{")).alias("ok_no_brace"),
@@ -424,7 +424,7 @@ def redact_pii(df: DataFrame, key_cols: list[str],
     counts = []
     for name, rx, repl in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(red, F.lit(rx), 0))
+            F.regexp_count(red, F.lit(rx))
             .alias(f"n_{name}"))
         red = F.regexp_replace(red, rx, repl)
     return df.select(*key_cols, *counts, red.alias("redacted"))
