@@ -387,6 +387,14 @@ _T_HOSTS = ("'<a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
             "<img src=\"https://img.ex.com/i' || "
             "CAST(doc_id AS VARCHAR) || '.png\">'")
 
+# link-graph fixture: page on h(doc_id%7) anchors to h(doc_id%5) and
+# (uppercase-spelled, exercising the case fold) H((3*doc_id+1)%11)
+_T_LINKGRAPH = (
+    "'<a href=\"https://h' || CAST(doc_id % 5 AS VARCHAR) || "
+    "'.ex.com/a/' || CAST(doc_id AS VARCHAR) || '\">x</a>"
+    "<a href=\"https://H' || CAST((3 * doc_id + 1) % 11 AS VARCHAR)"
+    " || '.EX.com/b\">y</a>'")
+
 
 def _q_warc_extract(spark, sf_dir):
     """Crawl-to-text end-to-end over the STANDARD web-archive
@@ -880,13 +888,19 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_cosine_knn(spark, sf_dir):
-    """Both exact-cosine retrieval modes in one row set, tagged by
-    `variant`: threshold search (rank = -1) and multi-query exact
-    top-k via the shuffle-bounded two-phase reduction (per-partition
-    top-k before the exchange); DuckDB re-derives the top-k with a
-    window rank over exact scores."""
+    """All four vector-retrieval modes in ONE variant-tagged row set
+    (round-5 merge of the former lsh_ann query, freeing a registry
+    slot under the 50-cap): variant='thresh' is exact threshold
+    search, 'topk' is multi-query exact top-k via the shuffle-bounded
+    two-phase reduction (per-partition top-k before the exchange),
+    'lsh' is hyperplane-LSH bucketing (the oracle rebuilds the
+    identical md5-parity sketch, so bucketing is verified too), and
+    'ivf' is IVF-flat with deterministic 'trained' centroids (the
+    first four corpus vectors stand in for offline k-means output;
+    the oracle rebuilds assignment, probe ranking, and re-scoring).
+    ANN arms report rank = -1 like threshold search."""
     from html_parser_spark.operators.similarity import (
-        cosine_neighbors, cosine_topk)
+        cosine_neighbors, cosine_topk, ivf_neighbors, lsh_neighbors)
     emb = _emb(spark, sf_dir)
     q1 = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -898,7 +912,15 @@ def _q_cosine_knn(spark, sf_dir):
     topk = cosine_topk(emb, q3, k=5).select(
         F.lit("topk").alias("variant"), "query_id", "vec_id",
         "cos_sim", "rank")
-    return thresh.unionByName(topk)
+    lsh = lsh_neighbors(emb, q1, dim=64, n_bits=8, threshold=0.2) \
+        .select(F.lit("lsh").alias("variant"), "query_id", "vec_id",
+                "cos_sim", F.lit(-1).cast("int").alias("rank"))
+    cents = [list(r.embedding) for r in
+             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    ivf = ivf_neighbors(emb, q1, cents, n_probe=2, threshold=0.2) \
+        .select(F.lit("ivf").alias("variant"), "query_id", "vec_id",
+                "cos_sim", F.lit(-1).cast("int").alias("rank"))
+    return thresh.unionByName(topk).unionByName(lsh).unionByName(ivf)
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -930,27 +952,28 @@ def _q_embedding_near_dup(spark, sf_dir):
     return pairs.unionByName(sem)
 
 
-def _q_lsh_ann(spark, sf_dir):
-    """Both scale-path ANN indexes in one row set, tagged by
-    `variant`: hyperplane-LSH bucketing (the DuckDB oracle rebuilds
-    the identical md5-parity sketch, so bucketing is verified too)
-    and IVF-flat with deterministic 'trained' centroids (the first
-    four corpus vectors stand in for offline k-means output; the
-    oracle rebuilds assignment, probe ranking, and re-scoring)."""
-    from html_parser_spark.operators.similarity import (
-        ivf_neighbors, lsh_neighbors)
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    lsh = lsh_neighbors(emb, q, dim=64, n_bits=8, threshold=0.2) \
-        .select(F.lit("lsh").alias("variant"), "query_id", "vec_id",
-                "cos_sim")
-    cents = [list(r.embedding) for r in
-             emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
-    ivf = ivf_neighbors(emb, q, cents, n_probe=2, threshold=0.2) \
-        .select(F.lit("ivf").alias("variant"), "query_id", "vec_id",
-                "cos_sim")
-    return lsh.unionByName(ivf)
+def _q_link_graph(spark, sf_dir):
+    """Host-level link graph + fixed-point PageRank over URLs the
+    ENGINE'S OWN tokenizer extracts: each doc-page lives on host
+    h(doc_id%7).ex.com and anchors to h(doc_id%5).ex.com and
+    H((3·doc_id+1)%11).EX.com (the second spelled uppercase, so the
+    RFC 3986 case fold is exercised end-to-end). The residue classes
+    saturate at a few hundred docs, so the distinct host graph — and
+    this query's row set — is the same at every SF while the edge
+    EXTRACTION still scans the whole corpus. PageRank runs 3 rounds
+    of exact 64-bit fixed-point arithmetic (linkgraph.py), so the
+    oracle's unrolled integer CTEs match hash-exactly with no float
+    rounding protocol."""
+    from html_parser_spark.operators.extract import links
+    from html_parser_spark.operators.linkgraph import (
+        host_edges, link_graph)
+
+    lk = links(_tmpl(spark, sf_dir, _T_LINKGRAPH)).select(
+        (F.concat(F.lit("h"),
+                  (F.col("conv_id").cast("long") % 7).cast("string"),
+                  F.lit(".ex.com"))).alias("src_host"),
+        "url")
+    return link_graph(host_edges(lk), iters=3)
 
 
 def _q_dedup_canonical(spark, sf_dir):
@@ -1541,7 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_knn": _q_cosine_knn,
         "embedding_near_dup": _q_embedding_near_dup,
-        "lsh_ann": _q_lsh_ann,
+        "link_graph": _q_link_graph,
         "marked_sections": _q_marked_sections,
         "skipped_text": _q_skipped_text,
         "handler_filters": _q_handler_filters,
@@ -2818,6 +2841,29 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sb ON sb.doc_id = id_b)
             WHERE jaccard >= 0.1""",
         "cosine_knn": f"""
+            WITH c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_lsh_bucket_expr("CAST(embedding AS DOUBLE[])")}
+                       AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                  FROM c WHERE vec_id = 0),
+            cent AS (SELECT vec_id AS k, v FROM c WHERE vec_id < 4),
+            sims AS (SELECT c.vec_id, cent.k,
+                            CAST(list_cosine_similarity(c.v, cent.v)
+                                 AS DOUBLE) AS s
+                     FROM c, cent),
+            assign AS (SELECT vec_id, k + 1 AS list_id
+                       FROM (SELECT vec_id, k, row_number() OVER (
+                                 PARTITION BY vec_id
+                                 ORDER BY s DESC, k ASC) AS rn
+                             FROM sims)
+                       WHERE rn = 1),
+            probes AS (SELECT k + 1 AS list_id
+                       FROM (SELECT k, row_number() OVER (
+                                 ORDER BY s DESC, k ASC) AS rn
+                             FROM sims WHERE vec_id = 0)
+                       WHERE rn <= 2)
             SELECT 'thresh' AS variant, CAST(0 AS BIGINT) AS query_id,
                    vec_id, {_COS} AS cos_sim, CAST(-1 AS INT) AS rank
             FROM embeddings WHERE {_COS} >= 0.2
@@ -2835,7 +2881,24 @@ def oracle_sql() -> dict[str, str]:
                              (SELECT vec_id AS query_id,
                                      CAST(embedding AS DOUBLE[]) AS qv
                               FROM embeddings WHERE vec_id <= 2) q))
-            WHERE rn <= 5""",
+            WHERE rn <= 5
+            UNION ALL
+            SELECT 'lsh', q.query_id, c.vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv)
+                              AS DOUBLE), 3) AS cos_sim,
+                   CAST(-1 AS INT) AS rank
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
+                             AS DOUBLE), 3) >= 0.2
+            UNION ALL
+            SELECT 'ivf', CAST(0 AS BIGINT), c.vec_id,
+                   round(CAST(list_cosine_similarity(c.v, q.qv)
+                              AS DOUBLE), 3) AS cos_sim,
+                   CAST(-1 AS INT) AS rank
+            FROM c JOIN assign a ON a.vec_id = c.vec_id, q
+            WHERE a.list_id IN (SELECT list_id FROM probes)
+              AND round(CAST(list_cosine_similarity(c.v, q.qv)
+                             AS DOUBLE), 3) >= 0.2""",
         "embedding_near_dup": f"""
             WITH RECURSIVE c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -2894,44 +2957,58 @@ def oracle_sql() -> dict[str, str]:
             FROM comp
             JOIN keeper k USING (component)
             JOIN assign a ON a.vec_id = comp.vec_id""",
-        "lsh_ann": f"""
-            WITH c AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     {_lsh_bucket_expr("CAST(embedding AS DOUBLE[])")}
-                       AS bucket
-              FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv, bucket
-                  FROM c WHERE vec_id = 0),
-            cent AS (SELECT vec_id AS k, v FROM c WHERE vec_id < 4),
-            sims AS (SELECT c.vec_id, cent.k,
-                            CAST(list_cosine_similarity(c.v, cent.v)
-                                 AS DOUBLE) AS s
-                     FROM c, cent),
-            assign AS (SELECT vec_id, k + 1 AS list_id
-                       FROM (SELECT vec_id, k, row_number() OVER (
-                                 PARTITION BY vec_id
-                                 ORDER BY s DESC, k ASC) AS rn
-                             FROM sims)
-                       WHERE rn = 1),
-            probes AS (SELECT k + 1 AS list_id
-                       FROM (SELECT k, row_number() OVER (
-                                 ORDER BY s DESC, k ASC) AS rn
-                             FROM sims WHERE vec_id = 0)
-                       WHERE rn <= 2)
-            SELECT 'lsh' AS variant, q.query_id, c.vec_id,
-                   round(CAST(list_cosine_similarity(c.v, q.qv)
-                              AS DOUBLE), 3) AS cos_sim
-            FROM c JOIN q ON c.bucket = q.bucket
-            WHERE round(CAST(list_cosine_similarity(c.v, q.qv)
-                             AS DOUBLE), 3) >= 0.2
-            UNION ALL
-            SELECT 'ivf', CAST(0 AS BIGINT), c.vec_id,
-                   round(CAST(list_cosine_similarity(c.v, q.qv)
-                              AS DOUBLE), 3) AS cos_sim
-            FROM c JOIN assign a ON a.vec_id = c.vec_id, q
-            WHERE a.list_id IN (SELECT list_id FROM probes)
-              AND round(CAST(list_cosine_similarity(c.v, q.qv)
-                             AS DOUBLE), 3) >= 0.2""",
+        "link_graph": """
+            WITH e AS (
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com'
+                       AS src,
+                     'h' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com'
+                       AS dst
+              FROM documents
+              UNION
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com',
+                     'h' || CAST((3 * doc_id + 1) % 11 AS VARCHAR)
+                       || '.ex.com'
+              FROM documents),
+            nodes AS (SELECT src AS host FROM e
+                      UNION SELECT dst FROM e),
+            od AS (SELECT src, count(*) AS out_deg FROM e
+                   GROUP BY src),
+            idg AS (SELECT dst, count(*) AS in_deg FROM e
+                    GROUP BY dst),
+            r0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS pr
+                   FROM nodes),
+            c1 AS (SELECT e.dst AS host,
+                          sum((r.pr * 85) // (100 * od.out_deg)) AS s
+                   FROM e JOIN r0 r ON r.host = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            r1 AS (SELECT n.host,
+                          CAST(150000000 + coalesce(c1.s, 0)
+                               AS BIGINT) AS pr
+                   FROM nodes n LEFT JOIN c1 ON c1.host = n.host),
+            c2 AS (SELECT e.dst AS host,
+                          sum((r.pr * 85) // (100 * od.out_deg)) AS s
+                   FROM e JOIN r1 r ON r.host = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT n.host,
+                          CAST(150000000 + coalesce(c2.s, 0)
+                               AS BIGINT) AS pr
+                   FROM nodes n LEFT JOIN c2 ON c2.host = n.host),
+            c3 AS (SELECT e.dst AS host,
+                          sum((r.pr * 85) // (100 * od.out_deg)) AS s
+                   FROM e JOIN r2 r ON r.host = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            r3 AS (SELECT n.host,
+                          CAST(150000000 + coalesce(c3.s, 0)
+                               AS BIGINT) AS pr
+                   FROM nodes n LEFT JOIN c3 ON c3.host = n.host)
+            SELECT n.host,
+                   CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg,
+                   r3.pr
+            FROM nodes n
+            LEFT JOIN od ON od.src = n.host
+            LEFT JOIN idg ON idg.dst = n.host
+            JOIN r3 ON r3.host = n.host""",
         "marked_sections": f"""
             SELECT {_ID} AS conv_id,
                    'pre ' || text || '  a<b>&amp; ' || {_ID} ||

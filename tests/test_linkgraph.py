@@ -1,0 +1,103 @@
+"""Host-level link graph + fixed-point PageRank: degree correctness,
+exact agreement with a pure-Python integer reference, bit-identical
+results under different partitionings (the determinism invariant the
+fixed-point design exists for), and the URL-hardening posture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from html_parser_spark.operators.linkgraph import (
+    degrees, host_edges, link_graph, pagerank)
+
+SCALE = 10 ** 9
+
+
+def _edges(spark, pairs, parts=4):
+    return spark.createDataFrame(pairs, "src string, dst string") \
+        .repartition(parts)
+
+
+def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100):
+    """Reference: the identical integer recurrence, single-threaded."""
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    out = {}
+    for s, _ in pairs:
+        out[s] = out.get(s, 0) + 1
+    teleport = (dd - dn) * scale // dd
+    pr = {n: scale for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d in pairs:
+            acc[d] += pr[s] * dn // (dd * out[s])
+        pr = {n: teleport + acc[n] for n in nodes}
+    return pr
+
+
+GRAPH = [("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com"),
+         ("c.com", "a.com"), ("d.com", "c.com"), ("d.com", "d.com")]
+
+
+def test_degrees(spark):
+    got = {r.host: (r.out_deg, r.in_deg)
+           for r in degrees(_edges(spark, GRAPH)).collect()}
+    assert got == {"a.com": (2, 1), "b.com": (1, 1),
+                   "c.com": (1, 3), "d.com": (2, 1)}
+
+
+def test_degrees_pure_sink_gets_zero_out(spark):
+    got = {r.host: (r.out_deg, r.in_deg)
+           for r in degrees(_edges(spark, [("a.com", "z.com")]))
+           .collect()}
+    assert got["z.com"] == (0, 1) and got["a.com"] == (1, 0)
+
+
+def test_pagerank_matches_integer_reference_exactly(spark):
+    for iters in (1, 3, 5):
+        want = _py_pagerank(GRAPH, iters)
+        got = {r.host: r.pr
+               for r in pagerank(_edges(spark, GRAPH),
+                                 iters=iters).collect()}
+        assert got == want, iters
+
+
+def test_pagerank_bit_identical_across_partitionings(spark):
+    # the invariant fixed-point arithmetic buys: any partition count,
+    # same bits (float PageRank fails this on the last digits)
+    a = sorted(map(tuple, pagerank(_edges(spark, GRAPH, parts=1),
+                                   iters=4).collect()))
+    b = sorted(map(tuple, pagerank(_edges(spark, GRAPH, parts=16),
+                                   iters=4).collect()))
+    assert a == b
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # every host links to hub.com; hub links back to one
+    pairs = [(f"s{i}.com", "hub.com") for i in range(8)]
+    pairs.append(("hub.com", "s0.com"))
+    pr = {r.host: r.pr for r in pagerank(_edges(spark, pairs),
+                                         iters=3).collect()}
+    assert pr["hub.com"] > pr["s0.com"] > pr["s1.com"]
+
+
+def test_host_edges_hardening(spark):
+    links = spark.createDataFrame(
+        [("A.com", "https://B.com/x"),      # both ends case-fold
+         ("a.com", "https://b.com/y"),      # same host edge -> distinct
+         ("a.com", "/relative/only"),       # no host -> dropped
+         ("a.com", "not a url at all \x00"),  # hostile -> dropped
+         ("a.com", None),                   # NULL url -> dropped
+         ("c.com", "https://c.com/self")],  # self-loop kept
+        "src_host string, url string")
+    got = sorted(map(tuple, host_edges(links).collect()))
+    assert got == [("a.com", "b.com"), ("c.com", "c.com")]
+
+
+def test_link_graph_composes(spark):
+    rows = {r.host: r for r in link_graph(_edges(spark, GRAPH),
+                                          iters=2).collect()}
+    want = _py_pagerank(GRAPH, 2)
+    assert set(rows) == set(want)
+    for h, r in rows.items():
+        assert r.pr == want[h]
+    assert rows["c.com"].in_deg == 3
