@@ -395,6 +395,16 @@ _T_LINKGRAPH = (
     "<a href=\"https://H' || CAST((3 * doc_id + 1) % 11 AS VARCHAR)"
     " || '.EX.com/b\">y</a>'")
 
+# frontier fixture: one URL per doc; every 4th on an uppercase-spelled
+# host OUTSIDE the link graph (priority 0 path), the rest on in-graph
+# h(doc_id%5) hosts
+_T_FRONTIER = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'https://New' || CAST(doc_id % 3 AS VARCHAR) || '.EX.com/u/' || "
+    "CAST(doc_id AS VARCHAR) "
+    "ELSE 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com/f/' "
+    "|| CAST(doc_id AS VARCHAR) END")
+
 
 def _q_warc_extract(spark, sf_dir):
     """Crawl-to-text end-to-end over the STANDARD web-archive
@@ -954,16 +964,26 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 def _q_link_graph(spark, sf_dir):
     """Host-level link graph + fixed-point PageRank over URLs the
-    ENGINE'S OWN tokenizer extracts: each doc-page lives on host
-    h(doc_id%7).ex.com and anchors to h(doc_id%5).ex.com and
-    H((3·doc_id+1)%11).EX.com (the second spelled uppercase, so the
-    RFC 3986 case fold is exercised end-to-end). The residue classes
-    saturate at a few hundred docs, so the distinct host graph — and
-    this query's row set — is the same at every SF while the edge
-    EXTRACTION still scans the whole corpus. PageRank runs 3 rounds
-    of exact 64-bit fixed-point arithmetic (linkgraph.py), so the
-    oracle's unrolled integer CTEs match hash-exactly with no float
-    rounding protocol."""
+    ENGINE'S OWN tokenizer extracts, tagged by `variant`:
+    variant='graph' rows are the per-host (out_deg, in_deg, pr)
+    table — each doc-page lives on host h(doc_id%7).ex.com and
+    anchors to h(doc_id%5).ex.com and H((3·doc_id+1)%11).EX.com (the
+    second spelled uppercase, so the RFC 3986 case fold is exercised
+    end-to-end); the residue classes saturate at a few hundred docs,
+    so the distinct host graph is the same at every SF while the
+    edge EXTRACTION still scans the whole corpus. variant='frontier'
+    rows close the crawl loop: one planted frontier URL per doc
+    (every 4th on a 'NewK.EX.com' host the graph has never seen)
+    gains its host's rank as `pr` via frontier_priority — the
+    Cho/Garcia-Molina/Page 1998 URL-ordering prior — with
+    unknown-host URLs taking pr=0 (fetched last, never dropped).
+    PageRank runs 3 rounds of exact 64-bit fixed-point arithmetic
+    (linkgraph.py), so the oracle's unrolled integer CTEs — and the
+    frontier join against round 3 — match hash-exactly with no float
+    rounding protocol. Admission itself (robots + URL gate) is
+    crawl_frontier's job, verified under warc_extract; here
+    keep_col=None feeds the priority join directly."""
+    from html_parser_spark.operators.crawl import frontier_priority
     from html_parser_spark.operators.extract import links
     from html_parser_spark.operators.linkgraph import (
         host_edges, link_graph)
@@ -973,7 +993,26 @@ def _q_link_graph(spark, sf_dir):
                   (F.col("conv_id").cast("long") % 7).cast("string"),
                   F.lit(".ex.com"))).alias("src_host"),
         "url")
-    return link_graph(host_edges(lk), iters=3)
+    g = link_graph(host_edges(lk), iters=3)
+    graph_rows = g.select(
+        F.lit("graph").alias("variant"), "host",
+        F.lit(None).cast("string").alias("url"),
+        "out_deg", "in_deg", "pr")
+    fr = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_T_FRONTIER.replace("AS VARCHAR", "AS STRING"))
+        .alias("url"))
+    pri = frontier_priority(fr, g.select("host", "pr"),
+                            keep_col=None)
+    frontier_rows = pri.select(
+        F.lit("frontier").alias("variant"),
+        F.lower(F.coalesce(F.try_parse_url("url", F.lit("HOST")),
+                           F.lit(""))).alias("host"),
+        "url",
+        F.lit(None).cast("long").alias("out_deg"),
+        F.lit(None).cast("long").alias("in_deg"),
+        F.col("host_pr").alias("pr"))
+    return graph_rows.unionByName(frontier_rows)
 
 
 def _q_dedup_canonical(spark, sf_dir):
@@ -3000,15 +3039,34 @@ def oracle_sql() -> dict[str, str]:
             r3 AS (SELECT n.host,
                           CAST(150000000 + coalesce(c3.s, 0)
                                AS BIGINT) AS pr
-                   FROM nodes n LEFT JOIN c3 ON c3.host = n.host)
-            SELECT n.host,
+                   FROM nodes n LEFT JOIN c3 ON c3.host = n.host),
+            fr AS (SELECT doc_id,
+                          CASE WHEN doc_id % 4 = 0 THEN
+                            'https://New' || CAST(doc_id % 3 AS VARCHAR)
+                            || '.EX.com/u/' || CAST(doc_id AS VARCHAR)
+                          ELSE 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.ex.com/f/' || CAST(doc_id AS VARCHAR)
+                          END AS url,
+                          CASE WHEN doc_id % 4 = 0 THEN
+                            'new' || CAST(doc_id % 3 AS VARCHAR)
+                            || '.ex.com'
+                          ELSE 'h' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.ex.com' END AS host
+                   FROM documents)
+            SELECT 'graph' AS variant, n.host,
+                   CAST(NULL AS VARCHAR) AS url,
                    CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
                    CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg,
                    r3.pr
             FROM nodes n
             LEFT JOIN od ON od.src = n.host
             LEFT JOIN idg ON idg.dst = n.host
-            JOIN r3 ON r3.host = n.host""",
+            JOIN r3 ON r3.host = n.host
+            UNION ALL
+            SELECT 'frontier', fr.host, fr.url,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(coalesce(r3.pr, 0) AS BIGINT)
+            FROM fr LEFT JOIN r3 ON r3.host = fr.host""",
         "marked_sections": f"""
             SELECT {_ID} AS conv_id,
                    'pre ' || text || '  a<b>&amp; ' || {_ID} ||

@@ -1,5 +1,5 @@
 """Crawl-frontier composition: sitemap discovery -> robots admission
--> URL gate.
+-> URL gate -> PageRank-prior ordering.
 
 Ties the three crawl-side operators into the one DataFrame a fetch
 fleet actually consumes: URLs discovered from sitemaps.org files
@@ -81,3 +81,51 @@ def crawl_frontier(sitemaps: DataFrame, robots: DataFrame,
         "matched_rule", "keep_url",
         (F.col("robots_allowed") & F.col("keep_url"))
         .alias("frontier"))
+
+
+def frontier_priority(frontier: DataFrame, ranks: DataFrame,
+                      url_col: str = "url",
+                      keep_col: str | None = "frontier") -> DataFrame:
+    """Order the admitted frontier by link-graph authority: each URL
+    gains ``host_pr``, its host's fixed-point PageRank from
+    :func:`~html_parser_spark.operators.linkgraph.pagerank` — the
+    classic crawl-scheduling prior (Cho, Garcia-Molina & Page 1998,
+    "Efficient crawling through URL ordering"): fetch high-authority
+    hosts first.
+
+    ``ranks`` is the ``(host, pr)`` table. The URL's host is
+    re-derived here from the url itself (same hardened
+    ``try_parse_url`` + RFC 3986 case-fold posture as
+    :func:`~html_parser_spark.operators.linkgraph.host_edges`), so
+    callers can feed ANY url-bearing table, not only
+    :func:`crawl_frontier` output. Hosts the graph has never seen
+    (new discoveries — exactly the URLs a crawl surfaces constantly)
+    take ``host_pr = 0``: fetched last, never dropped. When
+    ``keep_col`` names a column it is applied first, so priorities
+    are computed only for admitted rows; pass ``None`` for
+    pre-filtered input.
+
+    Scale shape: ONE equi-join on host. The rank table is O(hosts) —
+    orders of magnitude smaller than the frontier but still
+    corpus-derived, so no broadcast hint (AQE promotes it at runtime
+    when it fits; the same rule minhash_lsh documents). A fetch
+    fleet partitions the frontier by host anyway (politeness), so
+    this join rides the partitioning the consumer already needs.
+    ``host_pr`` is a long (exact fixed-point units), so the
+    resulting order is deterministic at any cluster size —
+    downstream writers get a total order from
+    ``sortWithinPartitions/orderBy("host_pr" DESC, url)`` with no
+    float-tie protocol.
+    """
+    out = frontier
+    if keep_col is not None:
+        out = out.filter(F.col(keep_col))
+    host = F.lower(F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
+    pr = ranks.select(F.col("host").alias("_pr_host"),
+                      F.col("pr").alias("_pr"))
+    return (out.withColumn("_host", host)
+            .join(pr, F.col("_host") == F.col("_pr_host"), "left")
+            .withColumn("host_pr",
+                        F.coalesce(F.col("_pr"), F.lit(0)).cast("long"))
+            .drop("_host", "_pr_host", "_pr"))

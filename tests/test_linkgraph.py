@@ -101,3 +101,39 @@ def test_link_graph_composes(spark):
     for h, r in rows.items():
         assert r.pr == want[h]
     assert rows["c.com"].in_deg == 3
+
+
+def test_frontier_priority_orders_admitted_frontier(spark):
+    """crawl_frontier -> frontier_priority composition: admitted rows
+    gain the host's PageRank, unadmitted rows are filtered by
+    keep_col first, unknown hosts take host_pr = 0 (fetched last,
+    never dropped), and keep_col=None skips the admission filter."""
+    from html_parser_spark.operators.crawl import (crawl_frontier,
+                                                   frontier_priority)
+    sm = ("<urlset>"
+          "<url><loc>https://C.com/rich</loc></url>"      # case fold
+          "<url><loc>https://b.com/mid</loc></url>"
+          "<url><loc>https://new.com/unseen</loc></url>"  # not in graph
+          "<url><loc>https://c.com/private/x</loc></url>"  # robots veto
+          "</urlset>")
+    sitemaps = spark.createDataFrame([("c.com", sm)],
+                                     "host string, sitemap_xml string")
+    robots = spark.createDataFrame(
+        [("c.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    frontier = crawl_frontier(sitemaps, robots)
+    ranks = pagerank(_edges(spark, GRAPH), iters=3)
+    want = _py_pagerank(GRAPH, 3)
+
+    got = {r.url: r.host_pr
+           for r in frontier_priority(frontier, ranks).collect()}
+    assert got == {"https://C.com/rich": want["c.com"],
+                   "https://b.com/mid": want["b.com"],
+                   "https://new.com/unseen": 0}
+    # c.com collects 3 in-edges: the prior must rank it first
+    assert got["https://C.com/rich"] > got["https://b.com/mid"] > 0
+
+    unfiltered = frontier_priority(frontier, ranks, keep_col=None)
+    assert unfiltered.count() == 4
+    vetoed = {r.url: r.host_pr for r in unfiltered.collect()}
+    assert vetoed["https://c.com/private/x"] == want["c.com"]
