@@ -388,12 +388,16 @@ _T_HOSTS = ("'<a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
             "CAST(doc_id AS VARCHAR) || '.png\">'")
 
 # link-graph fixture: page on h(doc_id%7) anchors to h(doc_id%5) and
-# (uppercase-spelled, exercising the case fold) H((3*doc_id+1)%11)
+# (uppercase-spelled, exercising the case fold) H((3*doc_id+1)%11);
+# anchor TEXTS vary by doc ('x{d%3}', and ' Y  {d%2} ' whose case +
+# whitespace exercise the anchor-profile normalization end-to-end)
 _T_LINKGRAPH = (
     "'<a href=\"https://h' || CAST(doc_id % 5 AS VARCHAR) || "
-    "'.ex.com/a/' || CAST(doc_id AS VARCHAR) || '\">x</a>"
+    "'.ex.com/a/' || CAST(doc_id AS VARCHAR) || '\">x' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '</a>"
     "<a href=\"https://H' || CAST((3 * doc_id + 1) % 11 AS VARCHAR)"
-    " || '.EX.com/b\">y</a>'")
+    " || '.EX.com/b\"> Y  ' || CAST(doc_id % 2 AS VARCHAR) || "
+    "' </a>'")
 
 # frontier fixture: one URL per doc; every 4th on an uppercase-spelled
 # host OUTSIDE the link graph (priority 0 path), the rest on in-graph
@@ -977,16 +981,22 @@ def _q_link_graph(spark, sf_dir):
     gains its host's rank as `pr` via frontier_priority — the
     Cho/Garcia-Molina/Page 1998 URL-ordering prior — with
     unknown-host URLs taking pr=0 (fetched last, never dropped).
-    PageRank runs 3 rounds of exact 64-bit fixed-point arithmetic
-    (linkgraph.py), so the oracle's unrolled integer CTEs — and the
-    frontier join against round 3 — match hash-exactly with no float
-    rounding protocol. Admission itself (robots + URL gate) is
-    crawl_frontier's job, verified under warc_extract; here
+    variant='anchor' rows are the per-target-host anchor-text
+    profiles (anchor_profiles over the REAL anchors extractor: the
+    engine's get_tag/get_text assembly feeds the normalizer, so the
+    ' Y  {d%2} ' fixture text must survive trim + collapse + casefold
+    as 'y {d%2}'), column-mapped url<-top_text, out_deg<-n_anchors,
+    in_deg<-n_texts, pr<-top_n (the warc_extract per-variant reuse
+    precedent). PageRank runs 3 rounds of exact 64-bit fixed-point
+    arithmetic (linkgraph.py), so the oracle's unrolled integer CTEs
+    — and the frontier join against round 3 — match hash-exactly
+    with no float rounding protocol. Admission itself (robots + URL
+    gate) is crawl_frontier's job, verified under warc_extract; here
     keep_col=None feeds the priority join directly."""
     from html_parser_spark.operators.crawl import frontier_priority
-    from html_parser_spark.operators.extract import links
+    from html_parser_spark.operators.extract import anchors, links
     from html_parser_spark.operators.linkgraph import (
-        host_edges, link_graph)
+        anchor_profiles, host_edges, link_graph)
 
     lk = links(_tmpl(spark, sf_dir, _T_LINKGRAPH)).select(
         (F.concat(F.lit("h"),
@@ -1012,7 +1022,15 @@ def _q_link_graph(spark, sf_dir):
         F.lit(None).cast("long").alias("out_deg"),
         F.lit(None).cast("long").alias("in_deg"),
         F.col("host_pr").alias("pr"))
-    return graph_rows.unionByName(frontier_rows)
+    an = anchor_profiles(anchors(_tmpl(spark, sf_dir, _T_LINKGRAPH)))
+    anchor_rows = an.select(
+        F.lit("anchor").alias("variant"), "host",
+        F.col("top_text").alias("url"),
+        F.col("n_anchors").alias("out_deg"),
+        F.col("n_texts").alias("in_deg"),
+        F.col("top_n").alias("pr"))
+    return graph_rows.unionByName(frontier_rows) \
+        .unionByName(anchor_rows)
 
 
 def _q_dedup_canonical(spark, sf_dir):
@@ -3066,7 +3084,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'frontier', fr.host, fr.url,
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(coalesce(r3.pr, 0) AS BIGINT)
-            FROM fr LEFT JOIN r3 ON r3.host = fr.host""",
+            FROM fr LEFT JOIN r3 ON r3.host = fr.host
+            UNION ALL
+            SELECT 'anchor', prof.host, top.t,
+                   prof.n_anchors, prof.n_texts,
+                   CAST(top.n AS BIGINT)
+            FROM (SELECT host, sum(n) AS n_anchors,
+                         count(*) AS n_texts
+                  FROM (SELECT host, t, count(*) AS n FROM (
+                          SELECT 'h' || CAST(doc_id % 5 AS VARCHAR)
+                                 || '.ex.com' AS host,
+                                 'x' || CAST(doc_id % 3 AS VARCHAR)
+                                 AS t
+                          FROM documents
+                          UNION ALL
+                          SELECT 'h' ||
+                                 CAST((3 * doc_id + 1) % 11 AS VARCHAR)
+                                 || '.ex.com',
+                                 'y ' || CAST(doc_id % 2 AS VARCHAR)
+                          FROM documents)
+                        GROUP BY host, t)
+                  GROUP BY host) prof
+            JOIN (SELECT host, t, n FROM (
+                    SELECT host, t, n, row_number() OVER (
+                      PARTITION BY host ORDER BY n DESC, t ASC) AS r
+                    FROM (SELECT host, t, count(*) AS n FROM (
+                            SELECT 'h' || CAST(doc_id % 5 AS VARCHAR)
+                                   || '.ex.com' AS host,
+                                   'x' || CAST(doc_id % 3 AS VARCHAR)
+                                   AS t
+                            FROM documents
+                            UNION ALL
+                            SELECT 'h' ||
+                                   CAST((3 * doc_id + 1) % 11
+                                        AS VARCHAR) || '.ex.com',
+                                   'y ' || CAST(doc_id % 2 AS VARCHAR)
+                            FROM documents)
+                          GROUP BY host, t))
+                  WHERE r = 1) top
+            ON top.host = prof.host""",
         "marked_sections": f"""
             SELECT {_ID} AS conv_id,
                    'pre ' || text || '  a<b>&amp; ' || {_ID} ||

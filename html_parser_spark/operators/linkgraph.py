@@ -123,6 +123,51 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
     return ranks
 
 
+def anchor_profiles(anchors: DataFrame, url_col: str = "href",
+                    text_col: str = "anchor_text") -> DataFrame:
+    """Per-target-host anchor-text profile: ``(host, n_anchors,
+    n_texts, top_text, top_n)``.
+
+    Anchor text is how the REST of the web describes a page — the
+    classic link-based relevance/quality signal (public technique:
+    Craswell, Hawking & Robertson 2001, "Effective site finding using
+    link anchor information"); curation pipelines feed these profiles
+    to quality classifiers alongside the PageRank prior. Input is any
+    ``(href, anchor_text)`` table, e.g. the ``anchors`` extractor's
+    output.
+
+    Text is normalized (trim, whitespace-collapse, casefold) before
+    counting so 'Home', ' home ' and 'HOME' profile as one
+    description. ``top_text`` is the modal description with a
+    DETERMINISTIC argmax: highest count, ties broken by
+    lexicographically smallest text — encoded as ``F.min`` over a
+    ``(-n, text)`` struct, so the result is the same at any
+    partitioning (``max_by`` alone is tie-nondeterministic).
+
+    Scale shape: two partial-aggregating groupBys — (host, text)
+    counts, then per-host fold. Both combine map-side, so Zipf-hot
+    hosts (every web graph has them) arrive at the shuffle as
+    combined partials, not raw anchor rows; state per host is O(1).
+    """
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    txt = F.lower(F.trim(F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")))
+    per = (anchors
+           .select(host.alias("host"), txt.alias("t"))
+           .filter(F.col("host").isNotNull() & (F.col("host") != "")
+                   & (F.col("t") != ""))
+           .groupBy("host", "t").agg(F.count("*").alias("n")))
+    best = F.min(F.struct((-F.col("n")).alias("nn"),
+                          F.col("t").alias("t")))
+    return (per.groupBy("host")
+            .agg(F.sum("n").alias("n_anchors"),
+                 F.count("*").alias("n_texts"),
+                 best.alias("_b"))
+            .select("host", "n_anchors", "n_texts",
+                    F.col("_b.t").alias("top_text"),
+                    (-F.col("_b.nn")).cast("long").alias("top_n")))
+
+
 def link_graph(edges: DataFrame, iters: int = 3,
                scale: int = 10 ** 9) -> DataFrame:
     """Composed host table: (host, out_deg, in_deg, pr).

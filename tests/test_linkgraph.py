@@ -103,6 +103,31 @@ def test_link_graph_composes(spark):
     assert rows["c.com"].in_deg == 3
 
 
+def test_anchor_profiles(spark):
+    """Normalization folds case/whitespace variants into one
+    description, the argmax is deterministic under ties (smallest
+    text wins), hosts come from the href, and hostile rows (no host,
+    empty text, NULLs) drop out instead of crashing."""
+    from html_parser_spark.operators.linkgraph import anchor_profiles
+    rows = [("https://A.com/1", "Home"),
+            ("https://a.com/2", "  home  "),
+            ("https://a.com/3", "HOME\tpage"),   # collapses to 'home page'
+            ("https://a.com/4", "home page"),    # tie: 2 vs 2
+            ("https://b.com/x", "b"),
+            ("/relative", "dropped"),
+            ("https://c.com/e", "   "),          # empty after trim
+            (None, "n"), ("https://d.com/n", None)]
+    got = {r.host: r for r in anchor_profiles(
+        spark.createDataFrame(rows, "href string, anchor_text string")
+        .repartition(7)).collect()}
+    assert set(got) == {"a.com", "b.com"}
+    a = got["a.com"]
+    assert (a.n_anchors, a.n_texts) == (4, 2)
+    # 'home' (2) ties 'home page' (2): lexicographically smaller wins
+    assert (a.top_text, a.top_n) == ("home", 2)
+    assert (got["b.com"].top_text, got["b.com"].top_n) == ("b", 1)
+
+
 def test_frontier_priority_orders_admitted_frontier(spark):
     """crawl_frontier -> frontier_priority composition: admitted rows
     gain the host's PageRank, unadmitted rows are filtered by
