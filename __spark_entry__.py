@@ -889,16 +889,48 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    """Scale-default composition: exact Jaccard scored only on
-    MinHash-LSH candidate pairs (the operator's ``candidates``
-    path), never the corpus cross-product."""
+    """Two LSH-fed similarity tiers in one variant-tagged row set:
+    variant='doc' is the scale-default composition — exact Jaccard
+    scored only on MinHash-LSH candidate pairs (the operator's
+    ``candidates`` path), never the corpus cross-product.
+    variant='mirror' is GROUP-level: per-doc signatures fold up to
+    synthetic hosts via minhash_union (min commutes with set union —
+    Broder 1997 mergeability), then mirror_pairs LSH-bands the host
+    signatures and scores agreement. Fixture hosts m{d%4} serve
+    one-shingle docs 'a{q} b{q} c{q}' (q = d%10): gcd(4,10)=2 makes
+    m0==m2 and m1==m3 exact mirrors (est_jaccard 1.0) and every
+    cross-parity pair disjoint. At min_sim 0.75 and band_size 2 the
+    LSH step is pigeonhole-complete (>=6/8 agreements always leave
+    an intact band), so the oracle's brute-force 4-host cross join
+    re-derives the identical pair set. est_jaccard = k/8 is exactly
+    representable, so the double hashes bit-identically."""
     from html_parser_spark.operators.dedup import (
-        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs)
+        lsh_candidate_pairs, minhash_signatures, minhash_union,
+        mirror_pairs, ngram_jaccard_pairs)
     docs = _docs(spark, sf_dir)
     cand = lsh_candidate_pairs(
         minhash_signatures(docs, num_hashes=8),
         num_hashes=8, band_size=2, max_bucket=1_000_000)
-    return ngram_jaccard_pairs(docs, threshold=0.1, candidates=cand)
+    doc_rows = ngram_jaccard_pairs(
+        docs, threshold=0.1, candidates=cand).select(
+        F.lit("doc").alias("variant"),
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+        "jaccard")
+    q = (F.col("doc_id") % 10).cast("string")
+    mdocs = docs.select(
+        "doc_id",
+        F.concat(F.lit("m"), (F.col("doc_id") % 4).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("a"), q, F.lit(" b"), q, F.lit(" c"), q)
+        .alias("text"))
+    hsigs = minhash_union(
+        minhash_signatures(mdocs).join(
+            mdocs.select("doc_id", "host"), "doc_id"), "host")
+    mirror_rows = mirror_pairs(hsigs, min_sim=0.75).select(
+        F.lit("mirror").alias("variant"), "id_a", "id_b",
+        F.col("est_jaccard").alias("jaccard"))
+    return doc_rows.unionByName(mirror_rows)
 
 
 def _q_cosine_knn(spark, sf_dir):
@@ -2889,14 +2921,61 @@ def oracle_sql() -> dict[str, str]:
                       JOIN sh a ON a.doc_id = c.id_a
                       JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
                       GROUP BY 1, 2)
-            SELECT id_a, id_b, jaccard FROM (
+            SELECT 'doc' AS variant, CAST(id_a AS VARCHAR) AS id_a,
+                   CAST(id_b AS VARCHAR) AS id_b, jaccard FROM (
               SELECT id_a, id_b,
                      round(CAST(inter AS DOUBLE)
                            / (sa.n + sb.n - inter), 3) AS jaccard
               FROM pairs
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b)
-            WHERE jaccard >= 0.1""",
+            WHERE jaccard >= 0.1
+            UNION ALL
+            SELECT 'mirror', id_a, id_b, jaccard FROM (
+              SELECT a.host AS id_a, b.host AS id_b,
+                     CAST((CASE WHEN a.h0=b.h0 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h1=b.h1 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h2=b.h2 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h3=b.h3 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h4=b.h4 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h5=b.h5 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h6=b.h6 THEN 1 ELSE 0 END
+                         + CASE WHEN a.h7=b.h7 THEN 1 ELSE 0 END)
+                          / 8.0 AS DOUBLE) AS jaccard
+              FROM (SELECT 'm' || CAST(doc_id % 4 AS VARCHAR) AS host,
+                           min(md5(s || '#0')) AS h0,
+                           min(md5(s || '#1')) AS h1,
+                           min(md5(s || '#2')) AS h2,
+                           min(md5(s || '#3')) AS h3,
+                           min(md5(s || '#4')) AS h4,
+                           min(md5(s || '#5')) AS h5,
+                           min(md5(s || '#6')) AS h6,
+                           min(md5(s || '#7')) AS h7
+                    FROM (SELECT doc_id,
+                                 'a' || CAST(doc_id % 10 AS VARCHAR)
+                                 || ' b' || CAST(doc_id % 10 AS VARCHAR)
+                                 || ' c' || CAST(doc_id % 10 AS VARCHAR)
+                                 AS s
+                          FROM documents)
+                    GROUP BY 1) a
+              JOIN (SELECT 'm' || CAST(doc_id % 4 AS VARCHAR) AS host,
+                           min(md5(s || '#0')) AS h0,
+                           min(md5(s || '#1')) AS h1,
+                           min(md5(s || '#2')) AS h2,
+                           min(md5(s || '#3')) AS h3,
+                           min(md5(s || '#4')) AS h4,
+                           min(md5(s || '#5')) AS h5,
+                           min(md5(s || '#6')) AS h6,
+                           min(md5(s || '#7')) AS h7
+                    FROM (SELECT doc_id,
+                                 'a' || CAST(doc_id % 10 AS VARCHAR)
+                                 || ' b' || CAST(doc_id % 10 AS VARCHAR)
+                                 || ' c' || CAST(doc_id % 10 AS VARCHAR)
+                                 AS s
+                          FROM documents)
+                    GROUP BY 1) b
+              ON a.host < b.host)
+            WHERE jaccard >= 0.75""",
         "cosine_knn": f"""
             WITH c AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -170,6 +170,63 @@ def lsh_candidate_pairs(sigs: DataFrame, key_col: str = "doc_id",
     )
 
 
+def minhash_union(sigs: DataFrame, group_col: str,
+                  num_hashes: int = 8) -> DataFrame:
+    """Fold member signatures into the EXACT MinHash signature of the
+    union of their shingle sets: per hash position,
+    ``min(minhash(A), minhash(B)) == minhash(A ∪ B)`` — min commutes
+    with set union (Broder 1997, the MinHash mergeability property).
+
+    This is what makes GROUP-level similarity free once per-doc
+    signatures exist: fold a persisted per-doc signature store up to
+    hosts/shards/snapshots without ever re-shingling text — the same
+    reuse the incremental-dedup store banks on. One
+    partial-aggregating groupBy; map-side combine does most of the
+    fold, and only O(groups) signature rows shuffle.
+    """
+    return sigs.groupBy(group_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+
+
+def mirror_pairs(sigs: DataFrame, key_col: str = "host",
+                 num_hashes: int = 8, band_size: int = 2,
+                 min_sim: float = 0.75,
+                 max_bucket: int = 1000) -> DataFrame:
+    """Mirror detection over GROUP-level signatures (hosts serving
+    the same corpus — the classic web-curation mirror problem;
+    public technique: Bharat & Broder 1999, "Mirror, mirror on the
+    web"): LSH banding proposes candidate pairs, then the standard
+    MinHash estimator — the fraction of agreeing signature positions
+    — scores them; returns ``(id_a, id_b, est_jaccard)`` with
+    ``est_jaccard >= min_sim``, id_a < id_b.
+
+    Feed it :func:`minhash_union` output (or
+    :func:`minhash_signatures` keyed directly on the group column).
+    Scale shape: candidates come from the bucketed LSH join (never a
+    cross-product of groups), and scoring joins the O(groups)
+    signature table twice on its key. ``est_jaccard`` is k/num_hashes
+    for integer k — exactly representable, so the score is
+    bit-identical in any engine.
+    """
+    cand = lsh_candidate_pairs(sigs, key_col=key_col,
+                               num_hashes=num_hashes,
+                               band_size=band_size,
+                               max_bucket=max_bucket)
+    a = sigs.select(F.col(key_col).alias("id_a"),
+                    *[F.col(f"h{i}").alias(f"_a{i}")
+                      for i in range(num_hashes)])
+    b = sigs.select(F.col(key_col).alias("id_b"),
+                    *[F.col(f"h{i}").alias(f"_b{i}")
+                      for i in range(num_hashes)])
+    agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1)
+                .otherwise(0) for i in range(num_hashes))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("est_jaccard",
+                        (agree / F.lit(num_hashes)).cast("double"))
+            .filter(F.col("est_jaccard") >= min_sim)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
 def simhash(df: DataFrame, key_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace words, md5-derived, pure JVM.
