@@ -18,7 +18,8 @@ def _edges(spark, pairs, parts=4):
         .repartition(parts)
 
 
-def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100):
+def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100,
+                 dangling=False):
     """Reference: the identical integer recurrence, single-threaded."""
     nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
     out = {}
@@ -30,7 +31,11 @@ def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100):
         acc = {n: 0 for n in nodes}
         for s, d in pairs:
             acc[d] += pr[s] * dn // (dd * out[s])
-        pr = {n: teleport + acc[n] for n in nodes}
+        dshare = 0
+        if dangling:
+            dmass = sum(pr[n] for n in nodes if n not in out)
+            dshare = dmass * dn // (dd * len(nodes))
+        pr = {n: teleport + acc[n] + dshare for n in nodes}
     return pr
 
 
@@ -69,6 +74,28 @@ def test_pagerank_bit_identical_across_partitionings(spark):
     b = sorted(map(tuple, pagerank(_edges(spark, GRAPH, parts=16),
                                    iters=4).collect()))
     assert a == b
+
+
+def test_pagerank_dangling_redistribution_exact(spark):
+    """The textbook dangling-mass arm matches the integer reference
+    exactly: b.com is dangling in this graph (a->b, c->b, b has no
+    out-links), so its pooled rank must flow back evenly — and the
+    default arm must keep the documented simplification."""
+    pairs = [("a.com", "b.com"), ("c.com", "b.com"),
+             ("c.com", "a.com")]
+    for iters in (1, 3):
+        want = _py_pagerank(pairs, iters, dangling=True)
+        got = {r.host: r.pr
+               for r in pagerank(_edges(spark, pairs), iters=iters,
+                                 redistribute_dangling=True)
+               .collect()}
+        assert got == want, iters
+    # redistribution must actually change something vs the default
+    assert {r.host: r.pr
+            for r in pagerank(_edges(spark, pairs), iters=3).collect()
+            } == _py_pagerank(pairs, 3)
+    assert _py_pagerank(pairs, 3, dangling=True) != _py_pagerank(
+        pairs, 3)
 
 
 def test_pagerank_hub_outranks_leaf(spark):
