@@ -1048,8 +1048,7 @@ def _q_link_graph(spark, sf_dir):
                             keep_col=None)
     frontier_rows = pri.select(
         F.lit("frontier").alias("variant"),
-        F.lower(F.coalesce(F.try_parse_url("url", F.lit("HOST")),
-                           F.lit(""))).alias("host"),
+        F.col("url_host").alias("host"),
         "url",
         F.lit(None).cast("long").alias("out_deg"),
         F.lit(None).cast("long").alias("in_deg"),
@@ -2920,7 +2919,23 @@ def oracle_sql() -> dict[str, str]:
                       FROM cand c
                       JOIN sh a ON a.doc_id = c.id_a
                       JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-                      GROUP BY 1, 2)
+                      GROUP BY 1, 2),
+            hsig AS (SELECT 'm' || CAST(doc_id % 4 AS VARCHAR) AS host,
+                            min(md5(s || '#0')) AS h0,
+                            min(md5(s || '#1')) AS h1,
+                            min(md5(s || '#2')) AS h2,
+                            min(md5(s || '#3')) AS h3,
+                            min(md5(s || '#4')) AS h4,
+                            min(md5(s || '#5')) AS h5,
+                            min(md5(s || '#6')) AS h6,
+                            min(md5(s || '#7')) AS h7
+                     FROM (SELECT doc_id,
+                                  'a' || CAST(doc_id % 10 AS VARCHAR)
+                                  || ' b' || CAST(doc_id % 10 AS VARCHAR)
+                                  || ' c' || CAST(doc_id % 10 AS VARCHAR)
+                                  AS s
+                           FROM documents)
+                     GROUP BY 1)
             SELECT 'doc' AS variant, CAST(id_a AS VARCHAR) AS id_a,
                    CAST(id_b AS VARCHAR) AS id_b, jaccard FROM (
               SELECT id_a, id_b,
@@ -2942,39 +2957,7 @@ def oracle_sql() -> dict[str, str]:
                          + CASE WHEN a.h6=b.h6 THEN 1 ELSE 0 END
                          + CASE WHEN a.h7=b.h7 THEN 1 ELSE 0 END)
                           / 8.0 AS DOUBLE) AS jaccard
-              FROM (SELECT 'm' || CAST(doc_id % 4 AS VARCHAR) AS host,
-                           min(md5(s || '#0')) AS h0,
-                           min(md5(s || '#1')) AS h1,
-                           min(md5(s || '#2')) AS h2,
-                           min(md5(s || '#3')) AS h3,
-                           min(md5(s || '#4')) AS h4,
-                           min(md5(s || '#5')) AS h5,
-                           min(md5(s || '#6')) AS h6,
-                           min(md5(s || '#7')) AS h7
-                    FROM (SELECT doc_id,
-                                 'a' || CAST(doc_id % 10 AS VARCHAR)
-                                 || ' b' || CAST(doc_id % 10 AS VARCHAR)
-                                 || ' c' || CAST(doc_id % 10 AS VARCHAR)
-                                 AS s
-                          FROM documents)
-                    GROUP BY 1) a
-              JOIN (SELECT 'm' || CAST(doc_id % 4 AS VARCHAR) AS host,
-                           min(md5(s || '#0')) AS h0,
-                           min(md5(s || '#1')) AS h1,
-                           min(md5(s || '#2')) AS h2,
-                           min(md5(s || '#3')) AS h3,
-                           min(md5(s || '#4')) AS h4,
-                           min(md5(s || '#5')) AS h5,
-                           min(md5(s || '#6')) AS h6,
-                           min(md5(s || '#7')) AS h7
-                    FROM (SELECT doc_id,
-                                 'a' || CAST(doc_id % 10 AS VARCHAR)
-                                 || ' b' || CAST(doc_id % 10 AS VARCHAR)
-                                 || ' c' || CAST(doc_id % 10 AS VARCHAR)
-                                 AS s
-                          FROM documents)
-                    GROUP BY 1) b
-              ON a.host < b.host)
+              FROM hsig a JOIN hsig b ON a.host < b.host)
             WHERE jaccard >= 0.75""",
         "cosine_knn": f"""
             WITH c AS (

@@ -116,6 +116,11 @@ def frontier_priority(frontier: DataFrame, ranks: DataFrame,
     downstream writers get a total order from
     ``sortWithinPartitions/orderBy("host_pr" DESC, url)`` with no
     float-tie protocol.
+
+    The derived host is kept as ``url_host`` (named to avoid
+    colliding with :func:`crawl_frontier`'s existing ``host``
+    column) so consumers never pay a second ``try_parse_url`` over
+    the frontier to recover what this join already computed.
     """
     out = frontier
     if keep_col is not None:
@@ -124,8 +129,8 @@ def frontier_priority(frontier: DataFrame, ranks: DataFrame,
         F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
     pr = ranks.select(F.col("host").alias("_pr_host"),
                       F.col("pr").alias("_pr"))
-    return (out.withColumn("_host", host)
-            .join(pr, F.col("_host") == F.col("_pr_host"), "left")
+    return (out.withColumn("url_host", host)
+            .join(pr, F.col("url_host") == F.col("_pr_host"), "left")
             .withColumn("host_pr",
                         F.coalesce(F.col("_pr"), F.lit(0)).cast("long"))
-            .drop("_host", "_pr_host", "_pr"))
+            .drop("_pr_host", "_pr"))

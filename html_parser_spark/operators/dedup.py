@@ -191,7 +191,7 @@ def minhash_union(sigs: DataFrame, group_col: str,
 def mirror_pairs(sigs: DataFrame, key_col: str = "host",
                  num_hashes: int = 8, band_size: int = 2,
                  min_sim: float = 0.75,
-                 max_bucket: int = 1000) -> DataFrame:
+                 max_bucket: int = 100_000) -> DataFrame:
     """Mirror detection over GROUP-level signatures (hosts serving
     the same corpus — the classic web-curation mirror problem;
     public technique: Bharat & Broder 1999, "Mirror, mirror on the
@@ -207,6 +207,14 @@ def mirror_pairs(sigs: DataFrame, key_col: str = "host",
     signature table twice on its key. ``est_jaccard`` is k/num_hashes
     for integer k — exactly representable, so the score is
     bit-identical in any engine.
+
+    ``max_bucket`` caveat: here a bucket IS a mirror cluster, so a
+    low cap silently drops exactly the largest mirror farms — the
+    primary thing the operator exists to find. The default is
+    therefore 100k (a 100k-host bucket is ~10^10 pairs: past that,
+    dedup the content, not the pair list); lower it only to shed
+    degenerate buckets (e.g. empty-corpus hosts all hashing alike),
+    and know that a capped bucket vanishes without a trace.
     """
     cand = lsh_candidate_pairs(sigs, key_col=key_col,
                                num_hashes=num_hashes,

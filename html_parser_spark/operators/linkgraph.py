@@ -57,16 +57,20 @@ def host_edges(links: DataFrame, src_col: str = "src_host",
 
     ``dst`` is the URL's authority host via the JVM ``try_parse_url``
     (relative URLs and non-URL garbage parse to NULL and drop out —
-    same hardened posture as urls.py). Hostnames are case-insensitive
-    (RFC 3986 §3.2.2): both ends fold to lowercase so one host never
-    splits into several graph nodes. Self-loops are kept — a site
-    linking to itself is real signal and PageRank handles it.
+    same hardened posture as urls.py). NULL/empty ``src`` rows drop
+    too: a phantom NULL node would count in ``degrees`` but never
+    transfer rank (NULL never equi-joins), leaving the composed
+    table inconsistent. Hostnames are case-insensitive (RFC 3986
+    §3.2.2): both ends fold to lowercase so one host never splits
+    into several graph nodes. Self-loops are kept — a site linking
+    to itself is real signal and PageRank handles it.
     """
     dst = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     return (links
             .select(F.lower(F.col(src_col)).alias("src"),
                     dst.alias("dst"))
-            .filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
+            .filter(F.col("src").isNotNull() & (F.col("src") != "")
+                    & F.col("dst").isNotNull() & (F.col("dst") != ""))
             .distinct())
 
 
@@ -107,8 +111,18 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
     The default keeps the simplified curation variant (module
     docstring). The extra per-round cost is one anti-join aggregate
     producing a 1-row table crossed back in (Spark broadcasts a
-    1-row side; no corpus-sized shuffle, no driver round trip — the
-    whole loop stays one lazy plan).
+    1-row side; no corpus-sized shuffle).
+
+    Lineage note: this arm references the previous round's ranks
+    TWICE (contribution join + dangling aggregate), which would
+    double the logical plan every round — 2^iters analysis blowup —
+    so each round eagerly ``localCheckpoint``s the O(hosts) rank
+    table to keep lineage linear. That is the standard iterative-job
+    pattern (and the cost is one small materialization per round);
+    on long production runs prefer reliable ``checkpoint`` with a
+    checkpoint dir, since localCheckpoint pins blocks to executors.
+    The default arm references ranks once per round and stays fully
+    lazy.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -145,7 +159,8 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
             ranks = (joined.crossJoin(share)
                      .select("host",
                              (base + F.col("_dshare"))
-                             .cast("long").alias("pr")))
+                             .cast("long").alias("pr"))
+                     .localCheckpoint())
         else:
             ranks = joined.select(
                 "host", base.cast("long").alias("pr"))
