@@ -134,3 +134,37 @@ def frontier_priority(frontier: DataFrame, ranks: DataFrame,
             .withColumn("host_pr",
                         F.coalesce(F.col("_pr"), F.lit(0)).cast("long"))
             .drop("_pr_host", "_pr"))
+
+
+def frontier_schedule(prioritized: DataFrame,
+                      per_wave: int = 1) -> DataFrame:
+    """Politeness-scheduled fetch order over
+    :func:`frontier_priority` output: adds ``wave``, the 0-based
+    fetch round in which a URL may be requested so that no host sees
+    more than ``per_wave`` concurrent requests per round — the
+    standard per-host rate constraint every crawler honors (Heydon &
+    Najork 1999, "Mercator: a scalable, extensible web crawler").
+
+    ``wave = (per-host position) DIV per_wave`` where the position
+    is a ``row_number`` over ``(host_pr DESC, url ASC)`` WITHIN each
+    ``url_host`` partition — a fetch fleet then processes waves in
+    ascending order, and within a wave every row is on a distinct
+    host budget slot. The ordering key is (long, string), so the
+    schedule is bit-deterministic at any cluster size.
+
+    Scale shape: ONE window partitioned by host — Spark hash-
+    partitions on ``url_host`` and sorts within partitions; there is
+    no global sort and no single-partition window (the classic
+    ``row_number() OVER (ORDER BY ...)`` scale-killer this operator
+    exists to avoid). Per-host state is one counter; the shuffle is
+    the same by-host exchange the frontier already needs for
+    fetching.
+    """
+    if per_wave < 1:
+        raise ValueError(f"per_wave must be >= 1, got {per_wave}")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("url_host")
+         .orderBy(F.desc("host_pr"), F.asc("url")))
+    return prioritized.withColumn(
+        "wave", F.floor((F.row_number().over(w) - 1) / per_wave)
+        .cast("long"))

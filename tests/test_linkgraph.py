@@ -130,6 +130,40 @@ def test_link_graph_composes(spark):
     assert rows["c.com"].in_deg == 3
 
 
+def test_frontier_schedule_politeness_waves(spark):
+    """No host appears more than per_wave times in any wave, higher
+    host_pr fetches in earlier waves, intra-host order is
+    deterministic (pr desc, url asc), and the window stays
+    partitioned by host (no single-partition global sort)."""
+    from html_parser_spark.operators.crawl import frontier_schedule
+    rows = ([("https://a.com/" + str(i), "a.com", 100) for i in range(5)]
+            + [("https://b.com/x", "b.com", 900),
+               ("https://b.com/y", "b.com", 50)])
+    pri = spark.createDataFrame(
+        rows, "url string, url_host string, host_pr long") \
+        .repartition(4)
+    out = frontier_schedule(pri).collect()
+    by_wave = {}
+    for r in out:
+        by_wave.setdefault(r.wave, []).append(r)
+    for wave, members in by_wave.items():
+        hosts = [m.url_host for m in members]
+        assert len(hosts) == len(set(hosts)), (wave, hosts)
+    b = {r.url: r.wave for r in out if r.url_host == "b.com"}
+    assert b == {"https://b.com/x": 0, "https://b.com/y": 1}
+    a_waves = sorted(r.wave for r in out if r.url_host == "a.com")
+    assert a_waves == [0, 1, 2, 3, 4]
+    # per_wave=2 halves the rounds
+    out2 = frontier_schedule(pri, per_wave=2).collect()
+    assert sorted(r.wave for r in out2 if r.url_host == "a.com") \
+        == [0, 0, 1, 1, 2]
+    # plan: the window must be partitioned (hashpartitioning on
+    # url_host), never a single-partition global window
+    plan = frontier_schedule(pri)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "url_host" in plan and "SinglePartition" not in plan
+
+
 def test_anchor_profiles(spark):
     """Normalization folds case/whitespace variants into one
     description, the argmax is deterministic under ties (smallest
