@@ -196,6 +196,30 @@ def test_mirror_pairs_find_mirrored_hosts(spark):
     assert got == {("m0", "m2"): 1.0, ("m1", "m3"): 1.0}
 
 
+def test_mirror_pairs_from_persisted_signature_store(spark, tmp_path):
+    """The reuse minhash_union exists for: fold the incremental-dedup
+    epochs' PERSISTED per-doc signature store up to hosts and find
+    mirrors ACROSS epochs — no re-shingling of any text. Epoch 1
+    writes m0's docs, epoch 2 writes m1's (same content, different
+    host); the store alone must reveal them as mirrors."""
+    store = str(tmp_path / "sigstore")
+    e1 = spark.createDataFrame(
+        [(d, f"a{d % 6} b{d % 6} c{d % 6}") for d in range(30)],
+        "doc_id long, text string")
+    e2 = spark.createDataFrame(
+        [(d, f"a{d % 6} b{d % 6} c{d % 6}") for d in range(100, 130)],
+        "doc_id long, text string")
+    dedup.dedup_incremental(spark, e1, store, epoch_tag="e1").collect()
+    dedup.dedup_incremental(spark, e2, store, epoch_tag="e2").collect()
+    stored = spark.read.parquet(store)
+    hosts = stored.withColumn(
+        "host", F.when(F.col("doc_id") < 100, "m0").otherwise("m1"))
+    got = dedup.mirror_pairs(
+        dedup.minhash_union(hosts, "host"), key_col="host").collect()
+    assert [(r.id_a, r.id_b, r.est_jaccard) for r in got] \
+        == [("m0", "m1", 1.0)]
+
+
 def _ham64(a: int, b: int) -> int:
     # signatures are signed-bigint readings of 64 bits; mask before
     # popcount so Python's infinite-precision ints match bit_count
