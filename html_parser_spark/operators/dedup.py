@@ -216,6 +216,13 @@ def mirror_pairs(sigs: DataFrame, key_col: str = "host",
     degenerate buckets (e.g. empty-corpus hosts all hashing alike),
     and know that a capped bucket vanishes without a trace.
     """
+    # groups whose docs were all too short to shingle carry all-NULL
+    # signatures; concat_ws would fold those to '' band keys and herd
+    # every empty-corpus group into ONE degenerate bucket (their
+    # agreement score is 0 anyway — NULL == NULL is NULL — so they
+    # can't reach the output, only waste the candidate join). Same
+    # no-similarity-evidence posture as dedup_incremental.
+    sigs = sigs.filter(F.col("h0").isNotNull())
     cand = lsh_candidate_pairs(sigs, key_col=key_col,
                                num_hashes=num_hashes,
                                band_size=band_size,

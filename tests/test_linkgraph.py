@@ -114,10 +114,23 @@ def test_host_edges_hardening(spark):
          ("a.com", "/relative/only"),       # no host -> dropped
          ("a.com", "not a url at all \x00"),  # hostile -> dropped
          ("a.com", None),                   # NULL url -> dropped
+         (None, "https://d.com/x"),         # NULL src -> dropped
+         ("", "https://d.com/y"),           # empty src -> dropped
          ("c.com", "https://c.com/self")],  # self-loop kept
         "src_host string, url string")
     got = sorted(map(tuple, host_edges(links).collect()))
     assert got == [("a.com", "b.com"), ("c.com", "c.com")]
+
+
+def test_graph_ops_degrade_on_empty_edges(spark):
+    """An empty edge table (e.g. a corpus with no parseable links)
+    must yield empty — never crash — through every graph op."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert degrees(empty).count() == 0
+    assert pagerank(empty, iters=2).count() == 0
+    assert pagerank(empty, iters=2,
+                    redistribute_dangling=True).count() == 0
+    assert link_graph(empty).count() == 0
 
 
 def test_link_graph_composes(spark):

@@ -220,6 +220,23 @@ def test_mirror_pairs_from_persisted_signature_store(spark, tmp_path):
         == [("m0", "m1", 1.0)]
 
 
+def test_mirror_pairs_empty_corpus_hosts_never_pair(spark):
+    """Hosts whose docs are all too short to shingle (all-NULL
+    signatures) must not pair with each other — without the
+    h0-NOT-NULL guard they'd all share the '' band key; real mirrors
+    alongside them must still be found."""
+    rows = ([(d, f"e{d % 2}", "tiny") for d in range(4)]      # no 3-gram
+            + [(d, f"m{d % 2 + 2}", "s1 s2 s3")                # mirrors
+               for d in range(10, 14)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, host string, text string")
+    sigs = dedup.minhash_union(
+        dedup.minhash_signatures(df).join(
+            df.select("doc_id", "host"), "doc_id"), "host")
+    got = {(r.id_a, r.id_b) for r in dedup.mirror_pairs(sigs).collect()}
+    assert got == {("m2", "m3")}
+
+
 def _ham64(a: int, b: int) -> int:
     # signatures are signed-bigint readings of 64 bits; mask before
     # popcount so Python's infinite-precision ints match bit_count
