@@ -93,7 +93,8 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
              damp_num: int = 85, damp_den: int = 100,
-             redistribute_dangling: bool = False) -> DataFrame:
+             redistribute_dangling: bool = False,
+             seed_hosts: tuple[str, ...] | None = None) -> DataFrame:
     """Fixed-point integer PageRank -> (host, pr).
 
     ``pr`` is a long in units of 1/``scale`` (unnormalized: every host
@@ -123,6 +124,17 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
     checkpoint dir, since localCheckpoint pins blocks to executors.
     The default arm references ranks once per round and stays fully
     lazy.
+
+    ``seed_hosts`` turns the score into TrustRank (Gyöngyi,
+    Garcia-Molina & Pedersen 2004, "Combating web spam with
+    TrustRank"): initial mass and the per-round teleport go ONLY to
+    the trusted seed set, so trust decays outward along links and
+    hosts reachable only from spam farms score 0 — the standard
+    seed-propagated spam prior in web curation. Seeds fold in as a
+    literal ``isin`` (curated seed lists are small by design — the
+    technique's point is a few hand-audited hosts); everything else
+    — fixed-point arithmetic, dangling handling, plan shape — is the
+    identical loop.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -134,7 +146,14 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
     ed = edges.join(out_deg, edges["src"] == out_deg["e_src"]) \
         .select("src", "dst", "out_deg")
     teleport = (damp_den - damp_num) * scale // damp_den
-    ranks = nodes.select("host", F.lit(scale).cast("long").alias("pr"))
+    if seed_hosts is not None:
+        seeded = F.col("host").isin(*[str(s) for s in seed_hosts])
+        init = F.when(seeded, F.lit(scale)).otherwise(F.lit(0))
+        tele_col = F.when(seeded, F.lit(teleport)).otherwise(F.lit(0))
+    else:
+        init = F.lit(scale)
+        tele_col = F.lit(teleport)
+    ranks = nodes.select("host", init.cast("long").alias("pr"))
     for _ in range(iters):
         # exact integer per-edge share; DIV keeps it long-typed
         contrib = (ed.join(ranks, ed["src"] == ranks["host"])
@@ -142,7 +161,7 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
                            F.expr(f"pr * {damp_num} DIV "
                                   f"({damp_den} * out_deg)").alias("c")))
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        base = (F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0)))
+        base = (tele_col + F.coalesce(F.col("s"), F.lit(0)))
         joined = nodes.join(sums, nodes["host"] == sums["dst"], "left")
         if redistribute_dangling:
             # 1-row (dangling mass, node count) side, broadcast back

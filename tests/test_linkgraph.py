@@ -19,14 +19,15 @@ def _edges(spark, pairs, parts=4):
 
 
 def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100,
-                 dangling=False):
+                 dangling=False, seeds=None):
     """Reference: the identical integer recurrence, single-threaded."""
     nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
     out = {}
     for s, _ in pairs:
         out[s] = out.get(s, 0) + 1
     teleport = (dd - dn) * scale // dd
-    pr = {n: scale for n in nodes}
+    pr = {n: (scale if seeds is None or n in seeds else 0)
+          for n in nodes}
     for _ in range(iters):
         acc = {n: 0 for n in nodes}
         for s, d in pairs:
@@ -35,7 +36,8 @@ def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100,
         if dangling:
             dmass = sum(pr[n] for n in nodes if n not in out)
             dshare = dmass * dn // (dd * len(nodes))
-        pr = {n: teleport + acc[n] + dshare for n in nodes}
+        pr = {n: (teleport if seeds is None or n in seeds else 0)
+              + acc[n] + dshare for n in nodes}
     return pr
 
 
@@ -96,6 +98,28 @@ def test_pagerank_dangling_redistribution_exact(spark):
             } == _py_pagerank(pairs, 3)
     assert _py_pagerank(pairs, 3, dangling=True) != _py_pagerank(
         pairs, 3)
+
+
+def test_trustrank_seed_propagation_exact(spark):
+    """TrustRank arm: trust flows ONLY outward from the seed —
+    exact-integer match with the reference; a host reachable only
+    from the unseeded side scores 0; a chain two hops out still
+    receives decayed trust."""
+    pairs = [("seed.com", "one.com"), ("one.com", "two.com"),
+             ("spam1.com", "spam2.com"), ("spam2.com", "spam1.com"),
+             ("spam1.com", "one.com")]
+    for iters in (1, 3):
+        want = _py_pagerank(pairs, iters, seeds={"seed.com"})
+        got = {r.host: r.pr
+               for r in pagerank(_edges(spark, pairs), iters=iters,
+                                 seed_hosts=("seed.com",)).collect()}
+        assert got == want, iters
+    tr = _py_pagerank(pairs, 3, seeds={"seed.com"})
+    assert tr["seed.com"] > 0 and tr["one.com"] > 0
+    assert tr["two.com"] > 0                     # two hops of decay
+    assert tr["one.com"] > tr["two.com"]         # decay is monotone
+    # the spam loop never touches the seed: zero trust
+    assert tr["spam2.com"] == 0
 
 
 def test_pagerank_hub_outranks_leaf(spark):
