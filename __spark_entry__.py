@@ -1022,9 +1022,12 @@ def _q_link_graph(spark, sf_dir):
     precedent). PageRank runs 3 rounds of exact 64-bit fixed-point
     arithmetic (linkgraph.py), so the oracle's unrolled integer CTEs
     — and the frontier join against round 3 — match hash-exactly
-    with no float rounding protocol. Admission itself (robots + URL
-    gate) is crawl_frontier's job, verified under warc_extract; here
-    keep_col=None feeds the priority join directly."""
+    with no float rounding protocol. variant='trust' rows are
+    TrustRank over the same edges, seeded ONLY at h0.ex.com — the
+    oracle unrolls the seed-gated teleport the same way, so the
+    spam-prior arm is hash-verified too. Admission itself (robots +
+    URL gate) is crawl_frontier's job, verified under warc_extract;
+    here keep_col=None feeds the priority join directly."""
     from html_parser_spark.operators.crawl import frontier_priority
     from html_parser_spark.operators.extract import anchors, links
     from html_parser_spark.operators.linkgraph import (
@@ -1060,8 +1063,18 @@ def _q_link_graph(spark, sf_dir):
         F.col("n_anchors").alias("out_deg"),
         F.col("n_texts").alias("in_deg"),
         F.col("top_n").alias("pr"))
+    # TrustRank arm: same edge fixture, trust seeded ONLY at
+    # h0.ex.com — the oracle re-derives 3 seed-gated integer rounds
+    from html_parser_spark.operators.linkgraph import pagerank
+    trust_rows = pagerank(host_edges(lk), iters=3,
+                          seed_hosts=("h0.ex.com",)).select(
+        F.lit("trust").alias("variant"), "host",
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("out_deg"),
+        F.lit(None).cast("long").alias("in_deg"),
+        "pr")
     return graph_rows.unionByName(frontier_rows) \
-        .unionByName(anchor_rows)
+        .unionByName(anchor_rows).unionByName(trust_rows)
 
 
 def _q_dedup_canonical(spark, sf_dir):
@@ -3120,6 +3133,38 @@ def oracle_sql() -> dict[str, str]:
                           CAST(150000000 + coalesce(c3.s, 0)
                                AS BIGINT) AS pr
                    FROM nodes n LEFT JOIN c3 ON c3.host = n.host),
+            s0 AS (SELECT host,
+                          CAST(CASE WHEN host = 'h0.ex.com'
+                               THEN 1000000000 ELSE 0 END
+                               AS BIGINT) AS pr
+                   FROM nodes),
+            sc1 AS (SELECT e.dst AS host,
+                           sum((r.pr * 85) // (100 * od.out_deg)) AS s
+                    FROM e JOIN s0 r ON r.host = e.src
+                    JOIN od ON od.src = e.src GROUP BY e.dst),
+            s1 AS (SELECT n.host,
+                          CAST(CASE WHEN n.host = 'h0.ex.com'
+                               THEN 150000000 ELSE 0 END
+                               + coalesce(sc1.s, 0) AS BIGINT) AS pr
+                   FROM nodes n LEFT JOIN sc1 ON sc1.host = n.host),
+            sc2 AS (SELECT e.dst AS host,
+                           sum((r.pr * 85) // (100 * od.out_deg)) AS s
+                    FROM e JOIN s1 r ON r.host = e.src
+                    JOIN od ON od.src = e.src GROUP BY e.dst),
+            s2 AS (SELECT n.host,
+                          CAST(CASE WHEN n.host = 'h0.ex.com'
+                               THEN 150000000 ELSE 0 END
+                               + coalesce(sc2.s, 0) AS BIGINT) AS pr
+                   FROM nodes n LEFT JOIN sc2 ON sc2.host = n.host),
+            sc3 AS (SELECT e.dst AS host,
+                           sum((r.pr * 85) // (100 * od.out_deg)) AS s
+                    FROM e JOIN s2 r ON r.host = e.src
+                    JOIN od ON od.src = e.src GROUP BY e.dst),
+            s3 AS (SELECT n.host,
+                          CAST(CASE WHEN n.host = 'h0.ex.com'
+                               THEN 150000000 ELSE 0 END
+                               + coalesce(sc3.s, 0) AS BIGINT) AS pr
+                   FROM nodes n LEFT JOIN sc3 ON sc3.host = n.host),
             fr AS (SELECT doc_id,
                           CASE WHEN doc_id % 4 = 0 THEN
                             'https://New' || CAST(doc_id % 3 AS VARCHAR)
@@ -3147,6 +3192,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(coalesce(r3.pr, 0) AS BIGINT)
             FROM fr LEFT JOIN r3 ON r3.host = fr.host
+            UNION ALL
+            SELECT 'trust', s3.host, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), s3.pr
+            FROM s3
             UNION ALL
             SELECT 'anchor', prof.host, top.t,
                    prof.n_anchors, prof.n_texts,
