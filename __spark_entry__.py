@@ -1031,14 +1031,15 @@ def _q_link_graph(spark, sf_dir):
     from html_parser_spark.operators.crawl import frontier_priority
     from html_parser_spark.operators.extract import anchors, links
     from html_parser_spark.operators.linkgraph import (
-        anchor_profiles, host_edges, link_graph)
+        anchor_profiles, host_edges, link_graph, pagerank)
 
     lk = links(_tmpl(spark, sf_dir, _T_LINKGRAPH)).select(
         (F.concat(F.lit("h"),
                   (F.col("conv_id").cast("long") % 7).cast("string"),
                   F.lit(".ex.com"))).alias("src_host"),
         "url")
-    g = link_graph(host_edges(lk), iters=3)
+    edges = host_edges(lk)
+    g = link_graph(edges, iters=3)
     graph_rows = g.select(
         F.lit("graph").alias("variant"), "host",
         F.lit(None).cast("string").alias("url"),
@@ -1065,8 +1066,7 @@ def _q_link_graph(spark, sf_dir):
         F.col("top_n").alias("pr"))
     # TrustRank arm: same edge fixture, trust seeded ONLY at
     # h0.ex.com — the oracle re-derives 3 seed-gated integer rounds
-    from html_parser_spark.operators.linkgraph import pagerank
-    trust_rows = pagerank(host_edges(lk), iters=3,
+    trust_rows = pagerank(edges, iters=3,
                           seed_hosts=("h0.ex.com",)).select(
         F.lit("trust").alias("variant"), "host",
         F.lit(None).cast("string").alias("url"),

@@ -131,10 +131,14 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
     the trusted seed set, so trust decays outward along links and
     hosts reachable only from spam farms score 0 — the standard
     seed-propagated spam prior in web curation. Seeds fold in as a
-    literal ``isin`` (curated seed lists are small by design — the
-    technique's point is a few hand-audited hosts); everything else
-    — fixed-point arithmetic, dangling handling, plan shape — is the
-    identical loop.
+    lowercased literal ``isin`` (curated seed lists are small by
+    design — the technique's point is a few hand-audited hosts; the
+    fold matches host_edges' node case fold). Under
+    ``redistribute_dangling=True`` dangling mass follows the
+    TELEPORT distribution — back to the seeds only, per the
+    canonical formulation — so the reachable-from-seeds invariant
+    holds in every arm combination. Everything else — fixed-point
+    arithmetic, plan shape — is the identical loop.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -147,10 +151,16 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
         .select("src", "dst", "out_deg")
     teleport = (damp_den - damp_num) * scale // damp_den
     if seed_hosts is not None:
-        seeded = F.col("host").isin(*[str(s) for s in seed_hosts])
+        # the node universe is lowercased by host_edges (RFC 3986
+        # fold) — fold the seed literals the same way, or a caller's
+        # 'Wikipedia.ORG' silently matches nothing and every trust
+        # score is 0
+        seeded = F.col("host").isin(
+            *[str(s).lower() for s in seed_hosts])
         init = F.when(seeded, F.lit(scale)).otherwise(F.lit(0))
         tele_col = F.when(seeded, F.lit(teleport)).otherwise(F.lit(0))
     else:
+        seeded = F.lit(True)
         init = F.lit(scale)
         tele_col = F.lit(teleport)
     ranks = nodes.select("host", init.cast("long").alias("pr"))
@@ -164,20 +174,28 @@ def pagerank(edges: DataFrame, iters: int = 3, scale: int = 10 ** 9,
         base = (tele_col + F.coalesce(F.col("s"), F.lit(0)))
         joined = nodes.join(sums, nodes["host"] == sums["dst"], "left")
         if redistribute_dangling:
-            # 1-row (dangling mass, node count) side, broadcast back
+            # 1-row (dangling mass, receiver count) side, broadcast
+            # back. Canonical semantics: dangling mass redistributes
+            # per the TELEPORT distribution — evenly over all hosts
+            # for plain PageRank, over the SEEDS for TrustRank
+            # (Gyongyi et al. §4.2); splitting it over all hosts
+            # would leak trust to hosts unreachable from the seeds
             dang = (ranks
                     .join(out_deg,
                           ranks["host"] == out_deg["e_src"],
                           "left_anti")
                     .agg(F.coalesce(F.sum("pr"), F.lit(0))
                          .alias("_dmass")))
+            receivers = nodes.filter(seeded) if seed_hosts is not None \
+                else nodes
             share = dang.crossJoin(
-                nodes.agg(F.count("*").alias("_n"))).select(
+                receivers.agg(F.count("*").alias("_n"))).select(
                 F.expr(f"_dmass * {damp_num} DIV "
                        f"({damp_den} * _n)").alias("_dshare"))
             ranks = (joined.crossJoin(share)
                      .select("host",
-                             (base + F.col("_dshare"))
+                             (base + F.when(seeded, F.col("_dshare"))
+                              .otherwise(F.lit(0)))
                              .cast("long").alias("pr"))
                      .localCheckpoint())
         else:

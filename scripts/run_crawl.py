@@ -113,8 +113,13 @@ def main() -> None:
                  ((F.col("conv_id").cast("long") + 1) % 7)
                  .cast("string"),
                  F.lit(".ex.com/")).alias("url"))
-    lk = lk.unionByName(nxt)
-    edges = host_edges(lk)
+    # distinct: a URL discovered N times is still ONE fetch — without
+    # this, duplicates each get their own schedule row and the same
+    # URL occupies many waves
+    lk = lk.unionByName(nxt).distinct()
+    # edges feeds two pagerank runs + the sitemap synthesis: persist
+    # so the Arrow extraction fan-out runs once, not per consumer
+    edges = host_edges(lk).persist()
     ranks = pagerank(edges, iters=args.iters)
     if args.trust_seeds:
         seeds = tuple(s.strip() for s in args.trust_seeds.split(",")
@@ -126,7 +131,6 @@ def main() -> None:
         trust = None
 
     # ---- stage 2 inputs: deterministic per-host sitemap + robots
-    hosts = edges.select(F.col("src").alias("host")).distinct()
     pages = (lk.select(
         F.lower(F.coalesce(F.try_parse_url("url", F.lit("HOST")),
                            F.lit(""))).alias("host"),
@@ -140,7 +144,11 @@ def main() -> None:
                       F.lit("<url><loc>https://"), F.col("host"),
                       F.lit("/private/admin</loc></url>"),
                       F.lit("</urlset>")).alias("sitemap_xml")))
-    robots = hosts.select(
+    # robots must cover every sitemap PUBLISHER (pages' host set is
+    # the URL-target superset, not just edge sources) — a dst-only
+    # host with a sitemap but no robots row would default-admit the
+    # /private/admin entry the synthesis exists to block
+    robots = pages.select(
         "host",
         F.lit("User-agent: *\nDisallow: /private/\n")
         .alias("robots_txt"))
@@ -148,7 +156,10 @@ def main() -> None:
     # ---- stages 2-4: admission -> priority -> politeness waves
     blocked = tuple(d.strip() for d in args.blocked_domains.split(",")
                     if d.strip())
-    frontier = crawl_frontier(pages, robots, blocked_domains=blocked)
+    # frontier feeds the schedule AND the blocked-count report row:
+    # persist so extraction/admission run once, not per action
+    frontier = crawl_frontier(pages, robots,
+                              blocked_domains=blocked).persist()
     sched = frontier_schedule(
         frontier_priority(frontier, ranks), per_wave=args.per_wave)
     if trust is not None:

@@ -35,9 +35,14 @@ def _py_pagerank(pairs, iters, scale=SCALE, dn=85, dd=100,
         dshare = 0
         if dangling:
             dmass = sum(pr[n] for n in nodes if n not in out)
-            dshare = dmass * dn // (dd * len(nodes))
-        pr = {n: (teleport if seeds is None or n in seeds else 0)
-              + acc[n] + dshare for n in nodes}
+            receivers = (nodes if seeds is None
+                         else [n for n in nodes if n in seeds])
+            if receivers:
+                dshare = dmass * dn // (dd * len(receivers))
+        pr = {n: ((teleport if seeds is None or n in seeds else 0)
+                  + acc[n]
+                  + (dshare if seeds is None or n in seeds else 0))
+              for n in nodes}
     return pr
 
 
@@ -120,6 +125,34 @@ def test_trustrank_seed_propagation_exact(spark):
     assert tr["one.com"] > tr["two.com"]         # decay is monotone
     # the spam loop never touches the seed: zero trust
     assert tr["spam2.com"] == 0
+    # seeds fold like the node universe: an uppercase seed matches
+    got = {r.host: r.pr
+           for r in pagerank(_edges(spark, pairs), iters=2,
+                             seed_hosts=("SEED.COM",)).collect()}
+    assert got == _py_pagerank(pairs, 2, seeds={"seed.com"})
+
+
+def test_trustrank_dangling_mass_returns_to_seeds_only(spark):
+    """TrustRank + redistribute_dangling: dangling trust flows back
+    to the SEEDS (the canonical teleport-vector redistribution), so
+    hosts unreachable from the seed still score exactly 0 — matched
+    bit-for-bit by the reference."""
+    pairs = [("seed.com", "d.com"),               # d.com dangles
+             ("spam1.com", "spam2.com"), ("spam2.com", "spam1.com")]
+    for iters in (1, 2, 4):
+        want = _py_pagerank(pairs, iters, seeds={"seed.com"},
+                            dangling=True)
+        got = {r.host: r.pr
+               for r in pagerank(_edges(spark, pairs), iters=iters,
+                                 seed_hosts=("seed.com",),
+                                 redistribute_dangling=True)
+               .collect()}
+        assert got == want, iters
+        assert got["spam1.com"] == 0 and got["spam2.com"] == 0
+    # the leaked-trust failure mode: d.com's pooled mass must show
+    # up at the seed, not spread corpus-wide
+    assert got["seed.com"] > _py_pagerank(
+        pairs, 4, seeds={"seed.com"})["seed.com"]
 
 
 def test_pagerank_hub_outranks_leaf(spark):
